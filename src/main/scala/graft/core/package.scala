@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core helpers shared by every operator in the engine.
+  *
+  * Determinism discipline (SURVEY.md §7.3): money/value aggregates go
+  * decimal-sum → round(2) → double; averages are one IEEE double division;
+  * counts are BIGINT; every declared query ends in a total ORDER BY.
+  */
+package object core {
+
+  /** One declared query: the Spark plan plus (optionally) the equivalent
+    * DuckDB oracle SQL. `oracle = None` → driver records a rows-only check.
+    */
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      tier: String = "C")
+
+  /** Parquet table reader — the only input path the engine uses.
+    * Explicit schemas come from the files themselves (parquet is
+    * self-describing); never CSV/inferSchema (FIXTURES.md §2).
+    *
+    * `events.ts` is TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively (PARQUET_TYPE_ILLEGAL): read it as raw nanos via the legacy
+    * conf and truncate to a µs timestamp — the same floor-truncation DuckDB
+    * applies on read, so both engines see identical values (FIXTURES.md §1).
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else d
+    }
+  }
+
+  /** Cast to exact decimal — the first step of every money aggregate. */
+  def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
+
+  /** decimal-sum → round → double: hash-stable across Spark and DuckDB. */
+  def moneySum(c: Column, p: Int = 18, s: Int = 2): Column =
+    round(sum(dec(c, p, s)), 2).cast("double")
+
+  /** Exact average as one double division (SURVEY §7.3 rule 3). */
+  def moneyAvg(c: Column, p: Int = 18, s: Int = 2): Column =
+    round(sum(dec(c, p, s)).cast("double") / count(c).cast("double"), 2)
+
+  /** count(*) as BIGINT under a stable alias. */
+  def cnt(alias: String): Column = count(lit(1)).cast("long").as(alias)
+
+  /** Portable double rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+    *
+    * Engines disagree on `round(double, n)` at representation boundaries
+    * (Spark rounds the shortest decimal string HALF_UP, DuckDB scales the
+    * binary value), so every declared query that rounds a genuine double
+    * (division, sqrt, cosine) uses THIS exact arithmetic on both sides —
+    * identical IEEE ops ⇒ identical results. Decimal rounds stay `round`
+    * (both engines are HALF_UP on decimals — verified 2026-08-12).
+    */
+  def pround(c: Column, n: Int): Column = {
+    val p = lit(math.pow(10, n))
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** DuckDB twin of [[pround]] — inline SQL with the same arithmetic. */
+  def proundSql(x: String, n: Int): String = {
+    val p = "1" + ("0" * n) + ".0"
+    s"floor(($x) * $p + 0.5) / $p"
+  }
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * North-star requirement: treat image/audio/video as `binary` columns with
+  * typed metadata and make the Spark-side plumbing (schema, partitioning,
+  * batch shape) real even though no media codecs exist in this environment —
+  * the decode kernel itself is STUBBED (deterministic fake derived from the
+  * payload hash) and clearly marked.
+  *
+  * Scale design: assets stay in their parquet row groups until the decode
+  * pass; decode runs per-partition (mapPartitions-shaped via typed Dataset
+  * ops) so a real codec drops in without changing the plan shape; frame
+  * sampling is posexplode (a Generator — no shuffle); features are fixed-dim
+  * float arrays ready for the graft.operators.SimilarityQueries ANN path.
+  */
+object Multimodal {
+
+  /** Canonical asset schema. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  final case class DecodedMeta(width: Int, height: Int, durationMs: Long, nFrames: Int)
+
+  /** REAL decode entry point — intentionally unimplemented in this
+    * environment (no image/audio libs in the container). A production
+    * build plugs the codec in here; everything downstream is agnostic.
+    */
+  def decodeReal(bytes: Array[Byte], modality: String): DecodedMeta =
+    throw new NotImplementedError(
+      "media codecs unavailable in this environment - use decodeStubbed")
+
+  /** STUB decode: deterministic fake metadata derived from the payload's
+    * md5 — stable across runs/engines, exercises the full pipeline shape.
+    */
+  def stubDecodeCols(df: DataFrame): DataFrame = {
+    val h = md5(col("bytes"))
+    df
+      .withColumn("width", (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024).cast("int"))
+      .withColumn("height", (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024).cast("int"))
+      .withColumn("duration_ms", conv(substring(h, 9, 6), 16, 10).cast("long") % 600000L)
+      .withColumn("n_frames", (length(col("bytes")) / 256 + 1).cast("int"))
+  }
+
+  /** Build an asset table from any source with an id + payload column —
+    * used by tests to synthesize binary assets from `documents.text`.
+    */
+  def assetsFrom(df: DataFrame, idCol: String, payloadCol: String,
+                 modality: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast("binary").as("bytes"))
+
+  /** Frame sampling: one row per sampled frame index — posexplode of a
+    * sequence, a Generator, no shuffle. `stride` = keep every Nth frame.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.select(col("asset_id"), col("n_frames"),
+      posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .filter(col("frame_idx") % stride === 0)
+      .drop("pos")
+
+  /** STUB feature extraction: fixed-dim float array derived from payload
+    * hash chunks — the batch shape (one Array[Float] per asset) matches
+    * what a real vision/audio encoder would emit.
+    */
+  def stubFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    val h = md5(col("bytes"))
+    val feats = (0 until dim).map { i =>
+      (conv(substring(h, (i % 7) * 4 + 1, 4), 16, 10).cast("double") / 65535.0).cast("float")
+    }
+    df.withColumn("features", array(feats: _*))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Aggregation operators — north-star analytics surface (SURVEY.md §2.B).
+  *
+  * All plain groupBys here compile to partial (map-side) + final hash
+  * aggregation, so the shuffle carries pre-combined state, not raw rows —
+  * the property that keeps these O(distinct keys), not O(rows), at 100 TB.
+  * Exact distinct counts do need a key shuffle; the scalable alternative is
+  * `approx_distinct_hll` (SimilarityQueries) built on HLL++ partial merge.
+  */
+object AggQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Flagship: TPC-H Q1 pricing summary (decimal-exact, SURVEY §7.3).
+    "agg_pricing_summary" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            cnt("cnt"),
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_price"),
+            // disc price multiplies IN DECIMAL (2dp × 2dp → exact 4dp) and
+            // rounds once after the sum — rounding the double product per
+            // row lands on exact .xx5 boundaries where engines disagree.
+            round(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 12, 2))), 2)
+              .cast("double").as("sum_disc_price"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price
+             |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
+
+    "agg_distinct_count" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).cast("long").as("users"), cnt("cnt"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // GROUPING SETS / ROLLUP / CUBE — one scan, Expand node, partial agg.
+    "agg_grouping_sets" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+        spark.sql(
+          """SELECT coalesce(o_orderpriority, 'ALL') AS p,
+            |       coalesce(o_orderstatus, 'ALL') AS s,
+            |       CAST(count(*) AS BIGINT) AS c
+            |FROM graft_gs_orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            |ORDER BY p, s""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderpriority, 'ALL') AS p,
+             |coalesce(o_orderstatus, 'ALL') AS s,
+             |CAST(count(*) AS BIGINT) AS c
+             |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY p, s""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    "agg_rollup" -> QueryDef(
+      (spark, dir) => {
+        // DataFrame rollup + re-select of the grouping columns trips
+        // Spark's ambiguous-self-reference check (the rollup output and
+        // its child both expose the names) — SQL ROLLUP resolves cleanly.
+        t(spark, dir, "customer")
+          .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"))
+          .createOrReplaceTempView("graft_rollup_cn")
+        spark.sql(
+          """SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n,
+            |       CAST(count(*) AS BIGINT) AS customers
+            |FROM graft_rollup_cn GROUP BY ROLLUP (r_name, n_name)
+            |ORDER BY r, n""".stripMargin)
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n,
+             |CAST(count(*) AS BIGINT) AS customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name) ORDER BY r, n""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    "agg_cube" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(cnt("c"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("s"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("p"), col("c"))
+          .orderBy(col("s"), col("p"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS s,
+             |coalesce(o_orderpriority, 'ALL') AS p,
+             |CAST(count(*) AS BIGINT) AS c
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY s, p""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Per-group top-k: window row_number inside each brand partition —
+    // shuffles once on the group key; never a global sort.
+    "agg_topk_groups" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(spark, dir, "part")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("p_brand"), col("rnk"), col("p_partkey"),
+            dec(col("p_retailprice"), 12, 2).cast("double").as("retail"))
+          .orderBy(col("p_brand"), col("rnk"))
+      },
+      Some("""SELECT p_brand, rnk, p_partkey, retail FROM (SELECT p_brand,
+             |CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk,
+             |p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail
+             |FROM part) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Batch re-expressions of the reference's CDC apply semantics
+  * (SURVEY.md §2.A6–A8, A10–A12).
+  *
+  * pg2ch applies a WAL change stream to ClickHouse MergeTree-family tables:
+  *  - ReplacingMergeTree: every INSERT/UPDATE carries `ver = LSN`; reading
+  *    with FINAL keeps the max-version row per key
+  *    (`pkg/tableengines/replacingmergetree.go` [recall:med]).
+  *  - CollapsingMergeTree: UPDATE = (old,−1),(new,+1), DELETE = (old,−1);
+  *    merging collapses rows whose sign-sum is 0
+  *    (`pkg/tableengines/collapsingmergetree.go` [recall:med]).
+  *  - Buffered flush: rows batch in memory / a buffer table and merge into
+  *    the main table every N flushes (`pkg/tableengines/generic.go`).
+  *  - Restart dedup: rows at-or-below the persisted per-table LSN are
+  *    skipped on resume (`pkg/replicator` [recall:med]).
+  * (SURVEY §0 caveat: /root/reference empty; paths from public-repo recall.)
+  *
+  * The `events` table doubles as the change stream: `event_id` is dense,
+  * monotone in ts, and unique — it plays the LSN/version role.
+  *
+  * Scale notes: `cdc_replacing_latest` is one hash-partition window (single
+  * shuffle on user_id, no global sort). The collapse/append/frontier family
+  * is partial-agg + final-agg — map-side combine keeps the shuffle tiny at
+  * any scale. The streaming twins of these live in graft.streaming.CdcApply.
+  */
+object CdcQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // A7: ReplacingMergeTree FINAL — latest version per key wins.
+    "cdc_replacing_latest" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+        t(spark, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            round(col("value"), 2).as("value_r"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_type, round(value, 2) AS value_r
+             |FROM (SELECT user_id, event_type, value,
+             |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // A8: CollapsingMergeTree — signed rows collapse; sum(sign)=0 vanishes.
+    "cdc_collapsing_net" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "error", -1)
+              .otherwise(0).as("sign"))
+          .groupBy("user_id")
+          .agg(sum(col("sign")).cast("long").as("net"))
+          .filter(col("net") =!= 0)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, net FROM (SELECT user_id,
+             |CAST(sum(CASE event_type WHEN 'signup' THEN 1 WHEN 'error' THEN -1 ELSE 0 END) AS BIGINT) AS net
+             |FROM events GROUP BY user_id) WHERE net <> 0 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // A6: plain MergeTree append — the stream lands as-is; analytics on top.
+    "cdc_append_stream" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(cnt("cnt"),
+            round(sum(dec(col("value"), 14, 2)), 2).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // A12: restart-safe redelivery — exact dedup of the replayed batch.
+    "cdc_dedup_exact" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .agg(cnt("total"),
+            countDistinct(col("user_id"), col("event_type"), col("value"))
+              .cast("long").as("distinct_rows"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total,
+             |CAST((SELECT count(*) FROM (SELECT DISTINCT user_id, event_type, value FROM events)) AS BIGINT) AS distinct_rows
+             |FROM events""".stripMargin.replace("\n", " "))),
+
+    // A12: the per-key LSN frontier that makes restart dedup possible.
+    "lsn_frontier" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("user_id")
+          .agg(max(col("event_id")).as("max_lsn"), cnt("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, max(event_id) AS max_lsn,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // A10/A11: buffered-flush arithmetic — fixed-size micro-batches by LSN.
+    "buffer_flush_batches" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .withColumn("batch", floor(col("event_id") / 1000).cast("long"))
+          .groupBy("batch")
+          .agg(cnt("nrows"), countDistinct(col("user_id")).cast("long").as("users"))
+          .orderBy(col("batch"))
+      },
+      Some("""SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch,
+             |CAST(count(*) AS BIGINT) AS nrows,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS users
+             |FROM events GROUP BY 1 ORDER BY batch""".stripMargin.replace("\n", " "))))
+}

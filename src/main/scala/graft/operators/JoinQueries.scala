@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Join operators — north-star analytics surface (SURVEY.md §2.B).
+  *
+  * The reference has no join engine at all (pg2ch processes one relation at
+  * a time — SURVEY §2.A, [recall:high]); these are the analytics
+  * capabilities layered on top, expressed so Catalyst picks the right
+  * physical join:
+  *
+  *  - dims (region/nation, and customer when it is the small side) are
+  *    wrapped in `broadcast()` — at 100 TB the fact side never shuffles for
+  *    a dimension join;
+  *  - big-big joins (orders⋈lineitem) stay shuffle hash/sort-merge on the
+  *    join key, AQE handles skew;
+  *  - semi/anti use the dedicated join types (no EXISTS subquery to
+  *    decorrelate, no distinct-then-join shuffle).
+  */
+object JoinQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "join_inner_equi" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .join(broadcast(t(spark, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(cnt("orders"), moneySum(col("o_totalprice")).as("rev"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
+             |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
+    "join_broadcast_dim" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer")
+          .join(broadcast(t(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(spark, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(cnt("customers"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin.replace("\n", " "))),
+
+    "join_left_outer" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer")
+          .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).cast("long").as("n_orders"))
+          .orderBy(col("n_orders").desc, col("c_custkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY n_orders DESC, c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    "join_semi" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer")
+          .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    "join_anti" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer")
+          .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // Equi-join with a theta residual: Catalyst keys the shuffle on the
+    // equi part and evaluates the range predicate as a post-join filter —
+    // never a cartesian, so it scales as a normal key-partitioned join.
+    "join_range_theta" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .join(t(spark, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .agg(cnt("cnt"))
+          .orderBy(col("m"))
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM orders JOIN lineitem
+             |ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+             |GROUP BY 1 ORDER BY m""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // AS-OF join (latest prior-or-equal view per purchase). Spark has no
+    // native ASOF join; a running conditional max over the per-user stream
+    // gives identical semantics with ONE shuffle (by user_id) and no
+    // self-join — the classic scalable rewrite.
+    "join_asof_latest" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(spark, dir, "events")
+          .withColumn("last_view",
+            max(when(col("event_type") === "view", col("event_id"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("last_view"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, last_view FROM (SELECT event_id, user_id, event_type,
+             |max(CASE WHEN event_type = 'view' THEN event_id END)
+             |OVER (PARTITION BY user_id ORDER BY event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |FROM events) WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // TPC-H Q3 shape: broadcast the filtered customer dim, shuffle join the
+    // two fact tables on orderkey, aggregate, global top-10 (TakeOrdered).
+    "multi_join_star" -> QueryDef(
+      (spark, dir) => {
+        val cutoff = lit("1995-03-15").cast("date")
+        val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+        val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          // decimal multiply (2dp × 2dp → exact 4dp), round once post-sum —
+          // same boundary-safety rationale as agg_pricing_summary.
+          .agg(round(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 12, 2))), 2)
+            .cast("double").as("rev"))
+          .orderBy(col("rev").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS rev
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+             |GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

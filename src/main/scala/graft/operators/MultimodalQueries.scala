@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Multimodal plumbing exercised as a declared query: documents.text cast
+  * to a binary payload, stub-decoded to deterministic metadata (payload-md5
+  * derived — see graft.multimodal.Multimodal). The oracle replicates the
+  * same arithmetic, so the full binary-column pipeline shape is
+  * hash-checked even with the codec stubbed.
+  */
+object MultimodalQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "multimodal_meta_extract" -> QueryDef(
+      (spark, dir) => {
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "text")
+        graft.multimodal.Multimodal.stubDecodeCols(assets)
+          .select(col("asset_id"), col("modality"),
+            length(col("bytes")).cast("long").as("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("duration_ms"))
+          .orderBy(col("asset_id"))
+          .limit(300)
+      },
+      Some("""SELECT doc_id AS asset_id, 'text' AS modality,
+             |CAST(length(text) AS BIGINT) AS n_bytes,
+             |CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024 AS width,
+             |CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024 AS height,
+             |CAST('0x' || substr(md5(text), 9, 6) AS BIGINT) % 600000 AS duration_ms
+             |FROM documents ORDER BY asset_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

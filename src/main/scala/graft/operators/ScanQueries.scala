@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Scan / projection / cast / scalar-function operators.
+  *
+  * Models the reference's snapshot scan + column subset + type-cast/encode
+  * stages (SURVEY.md §2.A1/A4/A5): pg2ch reads whole relations with
+  * `COPY … TO STDOUT`, projects the configured column subset, and converts
+  * PG values to ClickHouse types with TSV escaping
+  * (`pkg/replicator`, `pkg/utils/chutils` [recall:med] — SURVEY §0 caveat:
+  * /root/reference was empty; upstream paths from public-repo knowledge).
+  *
+  * Spark-first: all of these compile to a single parquet scan with pushed
+  * filters + pruned columns and whole-stage codegen — no shuffle except the
+  * final total-order sort, which is TakeOrdered (no full exchange) whenever
+  * a LIMIT is present.
+  */
+object ScanQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "scan_project_filter" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "lineitem")
+          .filter(col("l_quantity") > 30 && col("l_shipdate") >= lit("1994-01-01").cast("date"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            dec(col("l_quantity"), 12, 2).cast("double").as("qty"),
+            col("l_returnflag"),
+            col("l_shipdate").cast("date").as("ship_date"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty,
+             |l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem
+             |WHERE l_quantity > 30 AND l_shipdate >= DATE '1994-01-01'
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    "scan_count_star" -> QueryDef(
+      (spark, dir) => t(spark, dir, "lineitem").agg(cnt("cnt")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")),
+
+    "type_cast_matrix" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer")
+          .select(
+            col("c_custkey"),
+            col("c_custkey").cast("string").as("custkey_str"),
+            dec(col("c_acctbal"), 12, 2).cast("double").as("acctbal"),
+            upper(col("c_mktsegment")).as("mktseg_upper"),
+            col("c_nationkey").cast("long").as("nationkey"))
+          .orderBy(col("c_custkey"))
+          .limit(200)
+      },
+      Some("""SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS custkey_str,
+             |CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+             |upper(c_mktsegment) AS mktseg_upper,
+             |CAST(c_nationkey AS BIGINT) AS nationkey
+             |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin.replace("\n", " "))),
+
+    // pg2ch TSV-encodes every outgoing row, escaping \t \n \\ with NULL as
+    // \N (SURVEY §2.A5). Full escape/unescape lives in functions.TsvCodec;
+    // this query pins the escape arithmetic against the oracle.
+    "tsv_escape_roundtrip" -> QueryDef(
+      (spark, dir) => {
+        val esc = graft.functions.TsvCodec.escape(col("text"))
+        t(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n"),
+            length(esc).cast("long").as("n_esc"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             |CAST(length(replace(replace(replace(text, '\', '\\'), chr(9), '\t'), chr(10), '\n')) AS BIGINT) AS n_esc
+             |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replace("\n", " "))),
+
+    "str_funcs" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_name"), 1, 10).as("name10"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+            length(col("p_name")).cast("long").as("nlen"))
+          .orderBy(col("p_partkey"))
+          .limit(200)
+      },
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+             |substr(p_name, 1, 10) AS name10,
+             |concat(p_brand, '#', p_type) AS bt,
+             |CAST(length(p_name) AS BIGINT) AS nlen
+             |FROM part WHERE p_name LIKE '%widget%'
+             |ORDER BY p_partkey LIMIT 200""".stripMargin.replace("\n", " "))),
+
+    "date_funcs" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+            datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).cast("long").as("dd"))
+          .orderBy(col("o_orderkey"))
+          .limit(200)
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             |CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS dd
+             |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "C"),
+
+    "math_funcs" -> QueryDef(
+      (spark, dir) => {
+        val p = col("p_retailprice")
+        t(spark, dir, "part")
+          .select(
+            col("p_partkey"),
+            pround(p, 1).as("r1"),
+            floor(p - 500.0).cast("long").as("fl"),
+            ceil(p - 500.0).cast("long").as("ce"),
+            pround(abs(p - 1000.0), 2).as("ab"),
+            pround(sqrt(p), 6).as("sq"))
+          .orderBy(col("p_partkey"))
+          .limit(200)
+      },
+      Some(s"""SELECT p_partkey, ${proundSql("p_retailprice", 1)} AS r1,
+             |CAST(floor(p_retailprice - 500.0) AS BIGINT) AS fl,
+             |CAST(ceil(p_retailprice - 500.0) AS BIGINT) AS ce,
+             |${proundSql("abs(p_retailprice - 1000.0)", 2)} AS ab,
+             |${proundSql("sqrt(p_retailprice)", 6)} AS sq
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Semi-structured extraction — pg2ch passes json/jsonb through as
+    // String (SURVEY §1.2); analytics over it uses get_json_object.
+    "json_extract" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).cast("long").as("sum_k"), cnt("cnt"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Array scalar over the embeddings table: sequential double fold in
+    // array order — deterministic across engines (SURVEY §7.3 rule 5).
+    "array_funcs" -> QueryDef(
+      (spark, dir) => {
+        val sq = aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            pround(sqrt(sq), 4).as("norm"))
+          .orderBy(col("vec_id"))
+          .limit(200)
+      },
+      Some(s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |${proundSql("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 4)} AS norm
+             |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    "sort_multi_key_limit" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "lineitem")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(50)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dec(col("l_extendedprice"), 12, 2).cast("double").as("price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    "topk_global" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"),
+            dec(col("o_totalprice"), 12, 2).cast("double").as("price"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    "set_ops" -> QueryDef(
+      (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val o = orders.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+        val f = orders.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        val u = o.union(f).distinct().agg(cnt("union_n"))
+        val i = o.intersect(f).agg(cnt("intersect_n"))
+        val e = o.except(f).agg(cnt("except_n"))
+        u.crossJoin(i).crossJoin(e)
+      },
+      Some("""SELECT
+             |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS union_n,
+             |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS intersect_n,
+             |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS except_n""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

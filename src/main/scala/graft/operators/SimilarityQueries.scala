@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Similarity search over the embeddings table — north-star surface.
+  *
+  * Cosine is computed as an explicit sequential double fold in array order
+  * (`zip_with` dot product + per-side norms) so Spark and the DuckDB oracle
+  * produce bit-identical IEEE doubles (SURVEY.md §7.3 rule 5). The fold is
+  * a codegen'd higher-order function, not a UDF.
+  *
+  * Scale design: the baseline brute-force top-k is probe-bounded (never
+  * all-pairs); the LSH-bucketed variant is the 100 TB path — hyperplane
+  * signs assign every vector to a bucket in one narrow pass, and the probe
+  * join hits only its own bucket. Both keep the big side un-shuffled when
+  * the probe set is broadcast-size.
+  */
+object SimilarityQueries {
+
+  /** Sequential dot-product fold, double-widened, deterministic order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cos(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of [[cos]] — same fold order, same division shape. */
+  private val cosDuck =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** Portably-rounded cosine for the oracle (core.proundSql semantics). */
+  private val cosR = proundSql(cosDuck, 6)
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Brute-force cosine top-k: the correctness baseline for ANN.
+    "sim_cosine_topk" -> QueryDef(
+      (spark, dir) => {
+        val probes = vecs(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("embedding").as("pv"))
+        val cands = vecs(spark, dir)
+          .select(col("vec_id").as("cand"), col("embedding").as("cv"))
+        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
+        broadcast(probes).join(cands, col("probe") =!= col("cand"))
+          .withColumn("sim", pround(cos(col("pv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe"), col("cand"), col("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              |SELECT probe, cand, sim FROM (
+              |SELECT a.vec_id AS probe, b.vec_id AS cand, $cosR AS sim,
+              |row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosR DESC, b.vec_id) AS rn
+              |FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+              |WHERE rn <= 5 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // LSH-bucketed ANN: 4 fixed hyperplanes (vectors 0..3) → 16 sign
+    // buckets; probes search only their own bucket. The scale path: bucket
+    // assignment is one narrow map pass, the join key is the bucket id.
+    "ann_lsh_topk" -> QueryDef(
+      (spark, dir) => {
+        val hp = vecs(spark, dir).filter(col("vec_id") < 4)
+          .select(col("vec_id").as("hb"), col("embedding").as("hv"))
+        val bucketed = vecs(spark, dir)
+          .crossJoin(broadcast(hp))
+          .withColumn("bit", when(dot(col("embedding"), col("hv")) > 0,
+            expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
+          .groupBy("vec_id")
+          .agg(sum(col("bit")).cast("long").as("bucket"),
+            first(col("embedding")).as("v"))
+        val probes = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("bucket").as("pb"), col("v").as("pv"))
+        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
+        broadcast(probes)
+          .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe"))
+          .withColumn("sim", pround(cos(col("pv"), col("v")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("vec_id").as("cand"), col("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |hp AS (SELECT vec_id AS hb, v AS hv FROM e WHERE vec_id < 4),
+              |bkt AS (SELECT e.vec_id, any_value(e.v) AS v,
+              |CAST(sum(CASE WHEN list_dot_product(e.v, hp.hv) > 0 THEN (1::BIGINT << hb) ELSE 0 END) AS BIGINT) AS bucket
+              |FROM e CROSS JOIN hp GROUP BY e.vec_id)
+              |SELECT probe, cand, sim FROM (
+              |SELECT a.vec_id AS probe, b.vec_id AS cand, $cosR AS sim,
+              |row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosR DESC, b.vec_id) AS rn
+              |FROM bkt a JOIN bkt b ON a.vec_id < 10 AND b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+              |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Embedding near-dup: bounded candidate set, cosine threshold.
+    "dedup_embedding_cosine" -> QueryDef(
+      (spark, dir) => {
+        val a = vecs(spark, dir).filter(col("vec_id") < 500)
+          .select(col("vec_id").as("v1"), col("embedding").as("e1"))
+        val b = vecs(spark, dir)
+          .select(col("vec_id").as("v2"), col("embedding").as("e2"))
+        broadcast(a).join(b, col("v2") > col("v1"))
+          .withColumn("sim", pround(cos(col("e1"), col("e2")), 6))
+          .filter(col("sim") >= 0.3)
+          .orderBy(col("sim").desc, col("v1"), col("v2"))
+          .limit(500)
+          .select(col("v1"), col("v2"), col("sim"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              |SELECT v1, v2, sim FROM (
+              |SELECT a.vec_id AS v1, b.vec_id AS v2, $cosR AS sim
+              |FROM e a JOIN e b ON a.vec_id < 500 AND b.vec_id > a.vec_id)
+              |WHERE sim >= 0.3 ORDER BY sim DESC, v1, v2 LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // HLL++ approximate distinct — engine-specific sketch, no oracle
+    // (SURVEY §2.B): Spark's built-in replaces a custom HLL aggregate.
+    "approx_distinct_hll" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"), cnt("cnt"))
+          .orderBy(col("event_type"))
+      },
+      oracle = None,
+      tier = "E"))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Batch forms of the streaming/event-time semantics (SURVEY.md §2.B
+  * `stream_*`). Each has a true Structured Streaming twin in
+  * graft.streaming.StreamTwins (tumbling/session via the built-in
+  * `window`/`session_window`, late data via `withWatermark`); these batch
+  * forms pin the exact event-time arithmetic against the DuckDB oracle.
+  *
+  * Epoch-second rule: `events.ts` carries fractional microseconds, so both
+  * engines must FLOOR to whole seconds (Spark `unix_timestamp` floors;
+  * DuckDB gets an explicit `floor(epoch(ts))`) — otherwise frame boundaries
+  * disagree (SURVEY §7.3 rule 6).
+  */
+object StreamQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Tumbling event-time window ≡ streaming groupBy(window($"ts","1 hour")).
+    "stream_tumbling_window" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy(
+            unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+            col("event_type"))
+          .agg(cnt("cnt"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             |event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin.replace("\n", " "))),
+
+    // Sliding 1h count per user: RANGE frame over floored epoch seconds.
+    "stream_sliding_count" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("epoch_s")
+          .rangeBetween(-3600, Window.currentRow)
+        t(spark, dir, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("c1h"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, c1h FROM (SELECT event_id, user_id,
+             |CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS c1h
+             |FROM events) ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Sessionization: gap > 30 min starts a new session. Streaming twin:
+    // session_window($"ts", "30 minutes") — see graft.streaming.StreamTwins.
+    "stream_session_window" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+          .withColumn("gap_s", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+          .withColumn("flag", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum(col("flag")).cast("long").as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(flag) AS BIGINT) AS n_sessions FROM (
+             |SELECT user_id, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS flag
+             |FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+             |- lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+             |FROM events)) GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Watermark model: rows older than max(ts) − 1h are "late". Streaming
+    // twin: withWatermark("ts", "1 hour") drops them; batch counts both.
+    "stream_late_data" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val cut = ev.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cutoff"))
+        ev.crossJoin(cut)
+          .agg(
+            sum(when(col("ts") >= col("cutoff"), 1).otherwise(0)).cast("long").as("on_time"),
+            sum(when(col("ts") < col("cutoff"), 1).otherwise(0)).cast("long").as("late"))
+      },
+      Some("""SELECT
+             |CAST(sum(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+             |CAST(sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS late
+             |FROM events, (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events)""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

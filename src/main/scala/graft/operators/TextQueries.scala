@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Text-analysis + document-dedup operators — the LLM-training-pipeline
+  * surface (north star; SURVEY.md §2.B text/dedup rows).
+  *
+  * Everything here is built from codegen'd built-ins and higher-order
+  * array functions — no UDFs — so the per-document work stays inside
+  * whole-stage codegen and needs NO shuffle until the final (small)
+  * aggregate/join. The only shuffles are on group keys (lang/source) or
+  * LSH band keys, never on raw text.
+  *
+  * Portable hashing: engines disagree on built-in `hash()` (Murmur3 vs
+  * DuckDB's), so cross-engine-checked queries use the first 15 hex digits
+  * of md5 as a 60-bit integer — bit-identical everywhere. The
+  * Spark-optimized library variants in graft.functions.* use xxhash64
+  * (cheaper, codegen'd) and are exercised by ScalaTest instead.
+  */
+object TextQueries {
+
+  /** 60-bit portable hash, Spark SQL form. `$s` is an expression string. */
+  private def hx(s: String) = s"cast(conv(substr(md5($s), 1, 15), 16, 10) as bigint)"
+  /** Same hash, DuckDB form. */
+  private def hxDuck(s: String) = s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  private val Stopwords = Seq("the", "a", "data", "value", "row")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // 16-bit SimHash over word hashes: bit b is the majority vote of bit b
+  // across all word hashes. Generated from ONE loop for both engines.
+  private def simhashSpark: String = (0 until 16).map { b =>
+    s"(CASE WHEN 2 * size(filter(hs, h -> ((shiftright(h, $b) & 1) = 1))) > size(hs) THEN ${1L << b} ELSE 0 END)"
+  }.mkString("cast(", " + ", " as bigint)")
+  private def simhashDuck: String = (0 until 16).map { b =>
+    s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
+  }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // UDTF-shape: split + explode ≡ a Generator; partial-agg wordcount.
+    "text_tokenize_wordcount" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(cnt("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(20)
+      },
+      Some("""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    "text_lang_stats" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .groupBy("lang")
+          .agg(cnt("docs"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            pround(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 2)
+              .as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             |CAST(sum(n_chars) AS BIGINT) AS chars,
+             |${proundSql("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 2)} AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Token counting: whitespace words, distinct words, and a BPE-ish
+    // estimate (chars/4 is the classic subword-token rule of thumb).
+    "text_token_count" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+            ceil(col("n_chars") / 4.0).cast("long").as("n_tok_est"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tok_est
+             |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Quality scoring: length norm + stopword ratio (punctuation ratio is
+    // degenerate on this corpus — synthetic text has none).
+    "text_quality_score" -> QueryDef(
+      (spark, dir) => {
+        val stops = inList(Stopwords)
+        val score = s"0.5 * least(1.0, n_chars / 500.0) + " +
+          s"0.5 * (cast(size(filter(w, x -> x IN $stops)) as double) / cast(size(w) as double))"
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), expr(proundSql(score, 4)).as("quality"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""SELECT doc_id, ${proundSql(
+               """0.5 * least(1.0, n_chars / 500.0) +
+               |0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN """.stripMargin.replace("\n", " ")
+                 + inList(Stopwords) +
+               ")) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))", 4)} AS quality
+              |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Language-ID: marker-word voting with a deterministic tie order. The
+    // full character-trigram-profile variant is functions.TextAnalysis
+    // (Spark-only, ScalaTest-checked); this pins the voting plumbing.
+    "text_lang_id" -> QueryDef(
+      (spark, dir) => {
+        val en = inList(Seq("the", "a", "of"))
+        val es = inList(Seq("el", "la", "de"))
+        val de = inList(Seq("der", "die", "und"))
+        val fr = inList(Seq("le", "la", "et"))
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("s_en", expr(s"size(filter(w, x -> x IN $en))"))
+          .withColumn("s_es", expr(s"size(filter(w, x -> x IN $es))"))
+          .withColumn("s_de", expr(s"size(filter(w, x -> x IN $de))"))
+          .withColumn("s_fr", expr(s"size(filter(w, x -> x IN $fr))"))
+          .withColumn("pred", expr(
+            """CASE WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+              |WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+              |WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              |WHEN s_fr > 0 THEN 'fr' ELSE 'und' END""".stripMargin))
+          .groupBy("lang", "pred")
+          .agg(cnt("docs"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some(s"""SELECT lang, pred, CAST(count(*) AS BIGINT) AS docs FROM (
+              |SELECT lang,
+              |CASE WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+              |WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+              |WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              |WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred FROM (
+              |SELECT lang,
+              |len(list_filter(string_split(text, ' '), x -> x IN ${inList(Seq("the", "a", "of"))})) AS s_en,
+              |len(list_filter(string_split(text, ' '), x -> x IN ${inList(Seq("el", "la", "de"))})) AS s_es,
+              |len(list_filter(string_split(text, ' '), x -> x IN ${inList(Seq("der", "die", "und"))})) AS s_de,
+              |len(list_filter(string_split(text, ' '), x -> x IN ${inList(Seq("le", "la", "et"))})) AS s_fr
+              |FROM documents)) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Document fingerprinting: canonical bag-of-words fingerprint (sorted
+    // distinct words → md5). Rolling-hash variant in functions.TextAnalysis.
+    "text_fingerprint" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("fp",
+            md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+          .groupBy("lang")
+          .agg(cnt("docs"), countDistinct(col("fp")).cast("long").as("distinct_fp"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             |CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS BIGINT) AS distinct_fp
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Exact dedup: hash-groupBy on a content digest — the 100 TB-safe way
+    // (shuffle carries 16-byte digests, never documents).
+    "dedup_exact_docs" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .groupBy("source")
+          .agg(cnt("docs"), countDistinct(md5(col("text"))).cast("long").as("uniq_texts"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             |CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Near-dup signature (MinHash-lite, SURVEY §2.B): prefix digest.
+    "dedup_text_signature" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("signature", md5(substring(col("text"), 1, 64)))
+          .groupBy("lang")
+          .agg(cnt("docs"), countDistinct(col("signature")).cast("long").as("distinct_sigs"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             |CAST(count(DISTINCT md5(substr(text, 1, 64))) AS BIGINT) AS distinct_sigs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Full MinHash + LSH banding: 3-word shingles → 8 minhashes → 4 bands
+    // of 2 → band-key self-join → distinct candidate pairs. This is the
+    // shape that scales: the self-join is on band keys (tiny), candidate
+    // verification never touches all-pairs. Spark-optimized variant:
+    // graft.functions.MinHash (xxhash64).
+    "dedup_minhash_lsh" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+        val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
+          d.withColumn(s"mh$i",
+            expr(s"array_min(transform(shingles, s -> ${hx(s"concat('$i:', s)")}))"))
+        }
+        val bands = (0 until 4).map { b =>
+          withMh.select(col("doc_id"),
+            md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("k"))
+        }.reduce(_ union _)
+        val a = bands.as("a"); val b = bands.as("b")
+        a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .agg(cnt("candidate_pairs"))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> ${hxDuck(s"'$i:' || s")})) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |mh AS (SELECT doc_id, $mhCols FROM sh),
+           |bands AS ($bandSelects)
+           |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM (
+           |SELECT DISTINCT a.doc_id, b.doc_id FROM bands a JOIN bands b
+           |ON a.k = b.k AND a.doc_id < b.doc_id)""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // SimHash fingerprints (16-bit, majority vote per bit over word
+    // hashes) — computed entirely in array HOFs, zero shuffle per doc.
+    "dedup_simhash" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("hs", expr(s"transform(split(text, ' '), w -> ${hx("w")})"))
+          .select(col("doc_id"), expr(simhashSpark).as("simhash"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""SELECT doc_id, $simhashDuck AS simhash FROM (
+              |SELECT doc_id, list_transform(string_split(text, ' '),
+              |w -> ${hxDuck("w")}) AS hs FROM documents)
+              |ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // n-gram Jaccard near-dup: probe docs vs same-lang candidates on
+    // distinct 3-shingle sets. Bounded probe set — never all-pairs.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (spark, dir) => {
+        val sh = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("sh", expr(
+            "array_distinct(transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3))))"))
+          .select(col("doc_id"), col("lang"), col("sh"))
+        val probes = sh.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("d1"), col("lang").as("l1"), col("sh").as("sh1"))
+        probes.join(sh, col("lang") === col("l1") && col("doc_id") > col("d1"))
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh"))).cast("double"))
+          .withColumn("ja", pround(col("inter")
+            / (size(col("sh1")) + size(col("sh")) - col("inter")), 4))
+          .filter(col("ja") >= 0.05)
+          .select(col("d1"), col("doc_id").as("d2"), col("ja"))
+          .orderBy(col("ja").desc, col("d1"), col("d2"))
+          .limit(200)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, lang,
+             |list_distinct(list_transform(range(1, len(w) - 1),
+             |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+             |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 3))
+             |SELECT d1, d2, ja FROM (
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |${proundSql("""CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             | / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)} AS ja
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND b.doc_id > a.doc_id
+             |WHERE a.doc_id < 20)
+             |WHERE ja >= 0.05 ORDER BY ja DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}

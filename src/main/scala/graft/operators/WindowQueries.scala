@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Window-function operators — north-star analytics surface (SURVEY.md §2.B).
+  *
+  * Frames are always spelled explicitly (ROWS BETWEEN …) — default RANGE
+  * frames differ between engines when the ordering has ties (SURVEY §7.4).
+  *
+  * Scale notes: every window here partitions by a key (nationkey/user_id) —
+  * one hash shuffle, per-partition sort, no global ordering. The only
+  * global window is `win_ntile` (single-partition by construction, the
+  * operator's semantics demand it); its input is the 15k-row customer dim,
+  * and at real scale ntile over a fact table would be re-expressed via
+  * approximate quantiles instead.
+  */
+object WindowQueries {
+
+  private def events(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    t(spark, dir, "events")
+
+  private val perUser = Window.partitionBy("user_id").orderBy("event_id")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    "win_rank_dense" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(spark, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy(col("nationkey"), col("rnk"), col("c_custkey"))
+          .limit(300)
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+             |CAST(rank() OVER w AS BIGINT) AS rnk,
+             |CAST(dense_rank() OVER w AS BIGINT) AS drnk
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY nationkey, rnk, c_custkey LIMIT 300""".stripMargin.replace("\n", " "))),
+
+    "win_lag_lead" -> QueryDef(
+      (spark, dir) => {
+        events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") - lag(col("value"), 1).over(perUser), 2).as("delta"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id,
+             |round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+             |FROM events ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " "))),
+
+    // Moving average via the §7.3 avg rule: decimal window sum, double
+    // division, round — IEEE-identical across engines.
+    "win_moving_avg" -> QueryDef(
+      (spark, dir) => {
+        val w = perUser.rowsBetween(-3, Window.currentRow)
+        events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            pround(sum(dec(col("value"), 14, 2)).over(w).cast("double")
+              / count(col("value")).over(w).cast("double"), 2).as("mavg"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some(s"""SELECT event_id, user_id,
+             |${proundSql("""CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+             | / CAST(count(value) OVER w AS DOUBLE)""".stripMargin.replace("\n", ""), 2)} AS mavg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    "win_running_sum" -> QueryDef(
+      (spark, dir) => {
+        val w = perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            round(sum(dec(col("value"), 14, 2)).over(w), 2).cast("double").as("rsum"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id,
+             |CAST(round(sum(CAST(value AS DECIMAL(14,2))) OVER
+             |(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rsum
+             |FROM events ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    "win_ntile" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(spark, dir, "customer")
+          .select(col("c_custkey"), ntile(4).over(w).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(cnt("cnt"), min(col("c_custkey")).as("min_ck"), max(col("c_custkey")).as("max_ck"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+             |min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+             |FROM (SELECT c_custkey,
+             |CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bucket
+             |FROM customer) GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " ")),
+      tier = "E"))
+}
