@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-optimized MinHash + LSH and SimHash over document text — the
+  * production forms of the oracle-checked dedup_minhash_lsh/dedup_simhash
+  * queries (those use portable md5 hashing for cross-engine parity; these
+  * use xxhash64, which stays in whole-stage codegen).
+  *
+  * Pipeline shape at 100 TB: signatures and band keys are computed
+  * map-side (array HOFs, no shuffle); the only shuffle is the band-key
+  * self-join, whose key space is tiny compared to the corpus; candidate
+  * pairs then get verified with exact Jaccard — never an all-pairs pass.
+  */
+object MinHash {
+
+  /** k-word shingles of a text column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(w) - (k - 1), lit(0))),
+      j => concat_ws(" ", slice(w, j, lit(k))))
+  }
+
+  /** MinHash signature: seed-salted xxhash64 minimum per hash function. */
+  def signature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH band keys: hash of each r-row band of the signature. */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** End-to-end candidate-pair generation: docs(idCol, textCol) →
+    * (id1, id2) distinct pairs sharing ≥1 LSH band.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val keyed = docs
+      .withColumn("__sh", shingles(col(textCol)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", signature(col("__sh"), numHashes))
+      .select(col(idCol).as("id"), explode(bandKeys(col("__sig"), bands, rows)).as("band"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets (candidate verification). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** 64-bit SimHash from word hashes: majority vote per bit. */
+  def simhash64(text: Column): Column = {
+    val hs = transform(split(text, " "), w => xxhash64(w))
+    val bits = (0 until 64).map { b =>
+      when(lit(2) * size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+        > size(hs), lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two simhashes (near-dup test: dist ≤ k). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity primitives over `Array[Float]` embedding columns —
+  * the library forms behind graft.operators.SimilarityQueries.
+  *
+  * All folds are sequential in array order (deterministic); everything is
+  * higher-order functions, never UDFs, so the hot loop stays in codegen.
+  */
+object Similarity {
+
+  /** Sequential double-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force top-k: probes (small, broadcast) × candidates, window
+    * row_number per probe. Exact; O(|probes| · |candidates|).
+    */
+  def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
+      .join(candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id: one sign bit per hyperplane. The
+    * hyperplane set is a small DataFrame (id, vector) — broadcast, so
+    * bucketing is a map-side pass over the corpus. IVF works identically
+    * with centroids + argmin distance instead of sign bits.
+    */
+  def lshBuckets(vectors: DataFrame, hyperplanes: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(hyperplanes.select(col("vec_id").as("hb"), col("embedding").as("hv"))))
+      .withColumn("bit",
+        when(dot(col("embedding"), col("hv")) > 0, expr("shiftleft(1L, cast(hb as int))"))
+          .otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).cast("long").as("bucket"), first(col("embedding")).as("embedding"))
+
+  /** Bucketed ANN top-k: probes only search their own bucket. */
+  def lshTopK(vectors: DataFrame, hyperplanes: DataFrame,
+              probeFilter: Column, k: Int): DataFrame = {
+    val bucketed = lshBuckets(vectors, hyperplanes)
+    val probes = bucketed.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("bucket").as("pb"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("pv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("sim"))
+  }
+}

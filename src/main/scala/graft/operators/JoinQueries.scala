@@ -79,16 +79,20 @@ object JoinQueries {
              |WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              |ORDER BY c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
 
+    // Anti against P-status orders: every customer has SOME order in this
+    // data, so the unfiltered anti-join would be degenerately empty.
     "join_anti" -> QueryDef(
       (spark, dir) => {
         t(spark, dir, "customer")
-          .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "P"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
           .limit(100)
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              |ORDER BY c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
 
     // Equi-join with a theta residual: Catalyst keys the shuffle on the

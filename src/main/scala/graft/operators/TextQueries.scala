@@ -92,20 +92,24 @@ object TextQueries {
     // degenerate on this corpus — synthetic text has none).
     "text_quality_score" -> QueryDef(
       (spark, dir) => {
+        // every operand forced to DOUBLE on both sides: bare `0.5`/`500.0`
+        // literals parse as DECIMAL in Spark SQL (and DuckDB), silently
+        // switching the whole expression to decimal arithmetic.
         val stops = inList(Stopwords)
-        val score = s"0.5 * least(1.0, n_chars / 500.0) + " +
+        val score = s"0.5 * least(1.0, cast(n_chars as double) / 500.0) + " +
           s"0.5 * (cast(size(filter(w, x -> x IN $stops)) as double) / cast(size(w) as double))"
         t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), expr(proundSql(score, 4)).as("quality"))
+          .select(col("doc_id"),
+            expr(s"cast(${proundSql(score, 4)} as double)").as("quality"))
           .orderBy(col("doc_id"))
           .limit(300)
       },
-      Some(s"""SELECT doc_id, ${proundSql(
-               """0.5 * least(1.0, n_chars / 500.0) +
+      Some(s"""SELECT doc_id, CAST(${proundSql(
+               """0.5 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0) +
                |0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN """.stripMargin.replace("\n", " ")
                  + inList(Stopwords) +
-               ")) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))", 4)} AS quality
+               ")) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))", 4)} AS DOUBLE) AS quality
               |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),
 

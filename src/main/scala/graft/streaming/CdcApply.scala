@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch CDC-apply operators over a [[ChangeRelation]] — the engine's
+  * re-expression of pg2ch's three table-engine semantics
+  * (`pkg/tableengines/{mergetree,replacingmergetree,collapsingmergetree}
+  * .go` [recall:med]; SURVEY.md §2.A6–A8). The `cdc_*` declared queries
+  * exercise the same algebra over the events table; these functions give
+  * the general form over arbitrary key/row structs, and the streaming path
+  * reuses them inside foreachBatch (see [[BufferedSink]]).
+  *
+  * Scale notes: every apply is a single hash shuffle on the key columns.
+  * applyReplacing uses max_by-style window; applyCollapsing is partial-agg
+  * friendly (sum of signs). Nothing here sorts globally.
+  */
+object CdcApply {
+
+  /** MergeTree append: inserts only; U/D are not supported by the plain
+    * engine (the reference rejects them at config time — SURVEY §2.A6).
+    */
+  def applyAppend(changes: DataFrame): DataFrame =
+    changes.filter(col("op") === ChangeRelation.OpInsert).select(col("after.*"))
+
+  /** ReplacingMergeTree FINAL: latest version (= LSN) per key wins;
+    * a DELETE tombstone removes the key entirely.
+    */
+  def applyReplacing(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(k => col(s"key_$k")): _*).orderBy(col("lsn").desc)
+    val keyed = changes.withColumns(
+      keyCols.map(k => s"key_$k" ->
+        coalesce(col(s"after.$k"), col(s"before.$k"))).toMap)
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= ChangeRelation.OpDelete)
+      .select(col("after.*"))
+  }
+
+  /** CollapsingMergeTree: signed row pairs; rows whose sign-sum collapses
+    * to 0 vanish, survivors are the net +1 row values.
+    * Emits the signed physical stream (what the reference buffers to CH).
+    */
+  def toSignedRows(changes: DataFrame): DataFrame = {
+    val ins = changes.filter(col("op") === ChangeRelation.OpInsert)
+      .select(col("lsn"), col("after").as("row"), lit(1).as("sign"))
+    val updOld = changes.filter(col("op") === ChangeRelation.OpUpdate)
+      .select(col("lsn"), col("before").as("row"), lit(-1).as("sign"))
+    val updNew = changes.filter(col("op") === ChangeRelation.OpUpdate)
+      .select(col("lsn"), col("after").as("row"), lit(1).as("sign"))
+    val del = changes.filter(col("op") === ChangeRelation.OpDelete)
+      .select(col("lsn"), col("before").as("row"), lit(-1).as("sign"))
+    ins.unionByName(updOld).unionByName(updNew).unionByName(del)
+  }
+
+  /** Read-side collapse of the signed stream: groupBy full row value,
+    * keep sum(sign) != 0 — ClickHouse's merge-time collapse as one agg.
+    */
+  def collapse(signed: DataFrame): DataFrame =
+    signed.groupBy(col("row"))
+      .agg(sum(col("sign")).as("net"))
+      .filter(col("net") =!= 0)
+      .select(col("row.*"))
+
+  /** A12 restart dedup: drop redelivered changes at-or-below the persisted
+    * per-table LSN frontier. Idempotent replay = filter + apply.
+    */
+  def dropReplayed(changes: DataFrame, frontier: Long): DataFrame =
+    changes.filter(col("lsn") > frontier)
+
+  /** The LSN frontier after applying a batch (max commit LSN). */
+  def frontierOf(changes: DataFrame): Column = max(col("lsn"))
+}

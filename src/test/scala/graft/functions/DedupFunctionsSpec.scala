@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MinHash/SimHash/Similarity library functions (xxhash64 fast path). */
+class DedupFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different text about spark engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH surfaces the exact dup and near-dup pairs, not the unrelated doc") {
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), "exact dup must collide in every band")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("identical docs have identical signatures; jaccard verifies candidates") {
+    val sigs = docs.withColumn("sig", MinHash.signature(MinHash.shingles(col("text")), 16))
+      .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(3L))
+    val ja = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 0 && col("b.doc_id") === 3)
+      .select(MinHash.jaccard(
+        array_distinct(MinHash.shingles(col("a.text"))),
+        array_distinct(MinHash.shingles(col("b.text")))))
+      .collect().head.getDouble(0)
+    assert(ja === 1.0)
+  }
+
+  test("simhash: exact dup distance 0, near-dup closer than unrelated") {
+    val sh = docs.withColumn("sh", MinHash.simhash64(col("text")))
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(dist(0, 3) === 0)
+    assert(dist(0, 1) < dist(0, 2))
+  }
+
+  test("cosine: orthogonal 0, identical 1, library matches manual fold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((0L, 1L)) === 0.0)
+    assert(sims((0L, 2L)) === 1.0)
+  }
+
+  test("brute-force topk and lsh bucketing run on real embeddings") {
+    val e = graft.core.t(spark, sf001, "embeddings")
+    val bf = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 2).collect()
+    assert(bf.length === 6) // 3 probes × k=2
+    val hp = e.filter(col("vec_id") < 4)
+    val buckets = Similarity.lshBuckets(e, hp).select("bucket").distinct().count()
+    assert(buckets > 1 && buckets <= 16)
+  }
+
+  test("text analysis: trigram score and rolling fingerprint are stable and discriminative") {
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.trigramScore(col("text"), Seq("the", "he ", "qui")).as("s"),
+      TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
+    val byId = scored.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byId(0L)._2 === byId(3L)._2, "identical docs → identical fingerprint")
+    assert(byId(0L)._2 !== byId(1L)._2, "order-sensitive fingerprint differs on near-dup")
+    assert(byId(0L)._1 > byId(2L)._1, "'the quick' text scores higher on its trigrams")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: schema, stub decode determinism,
+  * frame sampling shape, feature batch shape (north-star requirement —
+  * codecs stubbed, pipeline real).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def assets = Multimodal.assetsFrom(
+    graft.core.t(spark, sf001, "documents"), "doc_id", "text", "image")
+
+  test("asset schema: binary payload + typed columns") {
+    val a = assets
+    assert(a.schema("bytes").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(a.schema("asset_id").dataType === org.apache.spark.sql.types.LongType)
+    assert(a.count() === 500)
+  }
+
+  test("stub decode is deterministic and bounded") {
+    val d1 = Multimodal.stubDecodeCols(assets).select("asset_id", "width", "height", "duration_ms")
+    val d2 = Multimodal.stubDecodeCols(assets).select("asset_id", "width", "height", "duration_ms")
+    assert(d1.exceptAll(d2).count() === 0)
+    val bad = Multimodal.stubDecodeCols(assets)
+      .filter(col("width") < 0 || col("width") >= 1024 ||
+        col("height") < 0 || col("height") >= 1024 ||
+        col("duration_ms") < 0 || col("duration_ms") >= 600000)
+    assert(bad.count() === 0)
+  }
+
+  test("frame sampling explodes n_frames rows with the stride applied") {
+    val decoded = Multimodal.stubDecodeCols(assets.limit(10))
+    val frames = Multimodal.sampleFrames(decoded, stride = 2)
+    val perAsset = frames.groupBy("asset_id").count()
+      .join(decoded.select("asset_id", "n_frames"), "asset_id")
+      .filter(col("count") =!= ceil(col("n_frames") / 2.0))
+    assert(perAsset.count() === 0)
+  }
+
+  test("stub features: fixed dim, [0,1] floats — ANN-ready batch shape") {
+    val f = Multimodal.stubFeatures(assets.limit(20), dim = 16)
+    val sizes = f.select(size(col("features"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(16))
+    val bad = f.select(explode(col("features")).as("x")).filter(col("x") < 0 || col("x") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("real decoder is an explicit stub") {
+    intercept[NotImplementedError] {
+      Multimodal.decodeReal(Array[Byte](1, 2), "image")
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming twins vs batch semantics on the FIXTURES.md §3.3 fixture:
+  * two users, gaps straddling the 30-min session threshold, one row
+  * arriving 61 minutes late (beyond the 1h watermark).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamTwinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  // user 1: events at 0, 29' (same session), 61' (31' gap → new session)
+  // user 2: events at 0, 31' (new session), 40' (same session)
+  private val fixture = Seq(
+    Ev(0, ts(0), 1, "view", 1.0), Ev(1, ts(29), 1, "view", 1.0), Ev(2, ts(61), 1, "view", 1.0),
+    Ev(3, ts(0), 2, "click", 1.0), Ev(4, ts(31), 2, "click", 1.0), Ev(5, ts(40), 2, "click", 1.0))
+
+  // arrives AFTER the stream has advanced to minute 200 — 61+ min late.
+  private val lateRow = Ev(6, ts(100), 1, "view", 1.0)
+  private val sentinel = Ev(7, ts(200), 2, "click", 1.0)
+
+  private def runStream(batches: Seq[Seq[Ev]])(q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = q(mem.toDF()).writeStream
+      .format("memory").queryName("twin_out").outputMode("append").start()
+    batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+    query.stop()
+    spark.table("twin_out").collect()
+  }
+
+  test("session_window twin matches batch gap arithmetic") {
+    val rows = runStream(Seq(fixture, Seq(sentinel)))(
+      StreamTwins.sessionCounts(_, gap = "30 minutes", watermark = "1 minute"))
+    val sessionsPerUser = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // user 1: [0,29] then [61] → 2 sessions; user 2: [0] then [31,40] → 2
+    // (sentinel session for user 2 still open → not emitted in append mode)
+    assert(sessionsPerUser === Map(1L -> 2, 2L -> 2))
+    // batch twin on the same rows (29' gap joins, 31' gap splits)
+    val batch = fixture.toDF()
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("gap_s", col("epoch_s") - lag("epoch_s", 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .withColumn("flag", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("flag").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch === Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("watermark drops the 61-minute-late row") {
+    val rows = runStream(Seq(fixture, Seq(sentinel), Seq(lateRow), Seq.empty))(
+      StreamTwins.tumblingCounts(_, watermark = "1 hour"))
+    val total = rows.map(_.getLong(2)).sum
+    // fixture's two hour-windows (5 + 1 events) finalize once the sentinel
+    // advances the watermark past them; the lateRow's window was already
+    // finalized → dropped; the sentinel's own window never finalizes.
+    assert(total === 6L)
+  }
+}
