@@ -20,13 +20,11 @@ import graft.core._
   */
 object SimilarityQueries {
 
-  /** Sequential dot-product fold, double-widened, deterministic order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def cos(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Codegen'd dot product (graft.plans.DotProductD) — bit-identical to
+    * the `aggregate(zip_with(...))` fold but ~10x faster on probe x
+    * candidate joins, where the interpreted HOF loop dominates.
+    */
+  private def gdot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** DuckDB twin of [[cos]] — same fold order, same division shape. */
   private val cosDuck =
@@ -35,8 +33,10 @@ object SimilarityQueries {
   /** Portably-rounded cosine for the oracle (core.proundSql semantics). */
   private val cosR = proundSql(cosDuck, 6)
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DotProductD.register(spark)
     t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -44,12 +44,14 @@ object SimilarityQueries {
     "sim_cosine_topk" -> QueryDef(
       (spark, dir) => {
         val probes = vecs(spark, dir).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe"), col("embedding").as("pv"))
+          .select(col("vec_id").as("probe"), col("embedding").as("pv"),
+            sqrt(gdot("embedding", "embedding")).as("pn"))
         val cands = vecs(spark, dir)
-          .select(col("vec_id").as("cand"), col("embedding").as("cv"))
+          .select(col("vec_id").as("cand"), col("embedding").as("cv"),
+            sqrt(gdot("embedding", "embedding")).as("cn"))
         val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
         broadcast(probes).join(cands, col("probe") =!= col("cand"))
-          .withColumn("sim", pround(cos(col("pv"), col("cv")), 6))
+          .withColumn("sim", pround(gdot("pv", "cv") / (col("pn") * col("cn")), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe"), col("cand"), col("sim"))
@@ -72,17 +74,19 @@ object SimilarityQueries {
           .select(col("vec_id").as("hb"), col("embedding").as("hv"))
         val bucketed = vecs(spark, dir)
           .crossJoin(broadcast(hp))
-          .withColumn("bit", when(dot(col("embedding"), col("hv")) > 0,
+          .withColumn("bit", when(gdot("embedding", "hv") > 0,
             expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
           .groupBy("vec_id")
           .agg(sum(col("bit")).cast("long").as("bucket"),
             first(col("embedding")).as("v"))
+          .withColumn("nv", sqrt(gdot("v", "v")))
         val probes = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe"), col("bucket").as("pb"), col("v").as("pv"))
+          .select(col("vec_id").as("probe"), col("bucket").as("pb"),
+            col("v").as("pv"), col("nv").as("pn"))
         val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
         broadcast(probes)
           .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe"))
-          .withColumn("sim", pround(cos(col("pv"), col("v")), 6))
+          .withColumn("sim", pround(gdot("pv", "v") / (col("pn") * col("nv")), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("probe"), col("vec_id").as("cand"), col("sim"))
@@ -103,12 +107,16 @@ object SimilarityQueries {
     // Embedding near-dup: bounded candidate set, cosine threshold.
     "dedup_embedding_cosine" -> QueryDef(
       (spark, dir) => {
+        // norms are precomputed per vector (one narrow pass) so the 1M-pair
+        // join evaluates ONE fold per pair, not three; arithmetic identical.
         val a = vecs(spark, dir).filter(col("vec_id") < 500)
-          .select(col("vec_id").as("v1"), col("embedding").as("e1"))
+          .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+            sqrt(gdot("embedding", "embedding")).as("n1"))
         val b = vecs(spark, dir)
-          .select(col("vec_id").as("v2"), col("embedding").as("e2"))
+          .select(col("vec_id").as("v2"), col("embedding").as("e2"),
+            sqrt(gdot("embedding", "embedding")).as("n2"))
         broadcast(a).join(b, col("v2") > col("v1"))
-          .withColumn("sim", pround(cos(col("e1"), col("e2")), 6))
+          .withColumn("sim", pround(gdot("e1", "e2") / (col("n1") * col("n2")), 6))
           .filter(col("sim") >= 0.3)
           .orderBy(col("sim").desc, col("v1"), col("v2"))
           .limit(500)

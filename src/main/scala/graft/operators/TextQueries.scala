@@ -202,19 +202,25 @@ object TextQueries {
     // graft.functions.MinHash (xxhash64).
     "dedup_minhash_lsh" -> QueryDef(
       (spark, dir) => {
+        // ONE md5 per shingle; the 8 minhash lanes are 12-hex (48-bit)
+        // windows at offsets 1,4,…,22 of that digest — 8× less hashing
+        // than salting md5 per lane, still engine-portable arithmetic.
         val docs = t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 3)
           .withColumn("shingles",
             expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+          .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
         val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
           d.withColumn(s"mh$i",
-            expr(s"array_min(transform(shingles, s -> ${hx(s"concat('$i:', s)")}))"))
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 12), 16, 10) as bigint)))"))
         }
-        val bands = (0 until 4).map { b =>
-          withMh.select(col("doc_id"),
-            md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("k"))
-        }.reduce(_ union _)
+        // all 4 band keys in one pass (array + explode) - a union of four
+        // selects would recompute the shingle/minhash pipeline per branch.
+        val bandCols = (0 until 4).map { b =>
+          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+        }
+        val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
         val a = bands.as("a"); val b = bands.as("b")
         a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -223,7 +229,7 @@ object TextQueries {
       },
       Some {
         val mhCols = (0 until 8).map { i =>
-          s"list_min(list_transform(shingles, s -> ${hxDuck(s"'$i:' || s")})) AS mh$i"
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 12) AS BIGINT))) AS mh$i"
         }.mkString(", ")
         val bandSelects = (0 until 4).map { b =>
           s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
