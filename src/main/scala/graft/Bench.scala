@@ -16,7 +16,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write materializes EVERY output column — count() would
+      // let Catalyst prune projections and under-measure map-heavy queries.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

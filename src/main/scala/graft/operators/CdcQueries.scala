@@ -40,10 +40,10 @@ object CdcQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("event_type"),
-            round(col("value"), 2).as("value_r"))
+            pround(col("value"), 2).as("value_r"))
           .orderBy(col("user_id"))
       },
-      Some("""SELECT user_id, event_type, round(value, 2) AS value_r
+      Some(s"""SELECT user_id, event_type, ${proundSql("value", 2)} AS value_r
              |FROM (SELECT user_id, event_type, value,
              |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),

@@ -26,8 +26,11 @@ object MultimodalQueries {
           .orderBy(col("asset_id"))
           .limit(300)
       },
+      // n_bytes counts BYTES on both sides (Spark: length over BINARY;
+      // DuckDB: octet_length over BLOB) — `length(text)` counts CHARS and
+      // would diverge on any non-ASCII document.
       Some("""SELECT doc_id AS asset_id, 'text' AS modality,
-             |CAST(length(text) AS BIGINT) AS n_bytes,
+             |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              |CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024 AS width,
              |CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024 AS height,
              |CAST('0x' || substr(md5(text), 9, 6) AS BIGINT) % 600000 AS duration_ms

@@ -72,6 +72,9 @@ object SimilarityQueries {
       (spark, dir) => {
         val hp = vecs(spark, dir).filter(col("vec_id") < 4)
           .select(col("vec_id").as("hb"), col("embedding").as("hv"))
+        // persist: both the probe derivation and the bucket join below read
+        // `bucketed`; without it the crossJoin+groupBy bucketing pass runs
+        // once per branch — two full corpus scans at scale instead of one.
         val bucketed = vecs(spark, dir)
           .crossJoin(broadcast(hp))
           .withColumn("bit", when(gdot("embedding", "hv") > 0,
@@ -80,6 +83,7 @@ object SimilarityQueries {
           .agg(sum(col("bit")).cast("long").as("bucket"),
             first(col("embedding")).as("v"))
           .withColumn("nv", sqrt(gdot("v", "v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = bucketed.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe"), col("bucket").as("pb"),
             col("v").as("pv"), col("nv").as("pn"))

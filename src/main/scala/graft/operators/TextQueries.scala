@@ -202,9 +202,10 @@ object TextQueries {
     // graft.functions.MinHash (xxhash64).
     "dedup_minhash_lsh" -> QueryDef(
       (spark, dir) => {
-        // ONE md5 per shingle; the 8 minhash lanes are 12-hex (48-bit)
-        // windows at offsets 1,4,…,22 of that digest — 8× less hashing
-        // than salting md5 per lane, still engine-portable arithmetic.
+        // ONE md5 per shingle; the 8 minhash lanes are 11-hex (44-bit)
+        // windows at offsets 1,4,…,22 of that digest (22+11-1 = 32 = md5
+        // length, so no lane overflows) — 8× less hashing than salting md5
+        // per lane, still engine-portable arithmetic.
         val docs = t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 3)
@@ -213,14 +214,18 @@ object TextQueries {
           .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
         val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
           d.withColumn(s"mh$i",
-            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 12), 16, 10) as bigint)))"))
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
         }
         // all 4 band keys in one pass (array + explode) - a union of four
         // selects would recompute the shingle/minhash pipeline per branch.
         val bandCols = (0 until 4).map { b =>
           md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
         }
+        // persist: the self-join below reads `bands` twice; without it the
+        // md5-per-shingle signature pass executes once PER BRANCH — at
+        // corpus scale that is two full scans instead of one.
         val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = bands.as("a"); val b = bands.as("b")
         a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -229,7 +234,7 @@ object TextQueries {
       },
       Some {
         val mhCols = (0 until 8).map { i =>
-          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 12) AS BIGINT))) AS mh$i"
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
         }.mkString(", ")
         val bandSelects = (0 until 4).map { b =>
           s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
@@ -274,7 +279,11 @@ object TextQueries {
           .select(col("doc_id"), col("lang"), col("sh"))
         val probes = sh.filter(col("doc_id") < 20)
           .select(col("doc_id").as("d1"), col("lang").as("l1"), col("sh").as("sh1"))
-        probes.join(sh, col("lang") === col("l1") && col("doc_id") > col("d1"))
+        // broadcast the ≤20-doc probe side: the only equi-key is `lang`
+        // (5 distinct values), so a shuffle join would funnel the whole
+        // corpus into ≤5 partitions — a skew scale-killer at 100 TB. With
+        // the probe side broadcast the corpus never shuffles at all.
+        broadcast(probes).join(sh, col("lang") === col("l1") && col("doc_id") > col("d1"))
           .withColumn("inter", size(array_intersect(col("sh1"), col("sh"))).cast("double"))
           .withColumn("ja", pround(col("inter")
             / (size(col("sh1")) + size(col("sh")) - col("inter")), 4))

@@ -46,12 +46,12 @@ object WindowQueries {
       (spark, dir) => {
         events(spark, dir)
           .select(col("event_id"), col("user_id"),
-            round(col("value") - lag(col("value"), 1).over(perUser), 2).as("delta"))
+            pround(col("value") - lag(col("value"), 1).over(perUser), 2).as("delta"))
           .orderBy(col("event_id"))
           .limit(500)
       },
-      Some("""SELECT event_id, user_id,
-             |round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+      Some(s"""SELECT event_id, user_id,
+             |${proundSql("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)", 2)} AS delta
              |FROM events ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " "))),
 
     // Moving average via the §7.3 avg rule: decimal window sum, double

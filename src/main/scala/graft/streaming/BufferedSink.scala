@@ -47,8 +47,11 @@ final class BufferedSink(tableDir: String) {
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     }
     Files.createDirectories(committed.getParent)
-    Files.writeString(committed,
-      (committedBatches() + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+    // append ONE line per batch (single short write ≈ atomic on a local
+    // fs): a full rewrite would be O(batches²) I/O over a long stream and a
+    // crash mid-rewrite could truncate previously committed ids.
+    Files.write(committed, s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     true
   }
 

@@ -18,18 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object CdcApply {
 
+  /** A9 truncate: a pgoutput `T` message wipes the target and buffer
+    * tables (the reference truncates both on receipt — SURVEY §2.A9). In
+    * the change-relation algebra that means only changes whose LSN is
+    * AFTER the table's LAST truncate survive; the `T` rows themselves
+    * carry no data and are dropped.
+    *
+    * Scale shape: truncates are rare, so the per-table frontier relation
+    * aggregates to ≤ #tables rows — broadcast it back and the change
+    * stream itself never shuffles. (A window over `table` would funnel
+    * the whole stream into #tables partitions.)
+    */
+  def dropTruncated(changes: DataFrame): DataFrame = {
+    val frontiers = changes
+      .filter(col("op") === ChangeRelation.OpTruncate)
+      .groupBy(col("table").as("__t"))
+      .agg(max(col("lsn")).as("__tmax"))
+    changes
+      .filter(col("op") =!= ChangeRelation.OpTruncate)
+      .join(broadcast(frontiers), col("table") === col("__t"), "left")
+      .filter(col("__tmax").isNull || col("lsn") > col("__tmax"))
+      .drop("__t", "__tmax")
+  }
+
   /** MergeTree append: inserts only; U/D are not supported by the plain
     * engine (the reference rejects them at config time — SURVEY §2.A6).
+    * Truncate-aware: inserts before a table's last `T` event are wiped.
     */
   def applyAppend(changes: DataFrame): DataFrame =
-    changes.filter(col("op") === ChangeRelation.OpInsert).select(col("after.*"))
+    dropTruncated(changes)
+      .filter(col("op") === ChangeRelation.OpInsert).select(col("after.*"))
 
   /** ReplacingMergeTree FINAL: latest version (= LSN) per key wins;
-    * a DELETE tombstone removes the key entirely.
+    * a DELETE tombstone removes the key entirely. Truncate-aware.
     */
   def applyReplacing(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(k => col(s"key_$k")): _*).orderBy(col("lsn").desc)
-    val keyed = changes.withColumns(
+    val keyed = dropTruncated(changes).withColumns(
       keyCols.map(k => s"key_$k" ->
         coalesce(col(s"after.$k"), col(s"before.$k"))).toMap)
     keyed
@@ -41,8 +66,10 @@ object CdcApply {
   /** CollapsingMergeTree: signed row pairs; rows whose sign-sum collapses
     * to 0 vanish, survivors are the net +1 row values.
     * Emits the signed physical stream (what the reference buffers to CH).
+    * Truncate-aware: pre-truncate history never enters the signed stream.
     */
-  def toSignedRows(changes: DataFrame): DataFrame = {
+  def toSignedRows(changes0: DataFrame): DataFrame = {
+    val changes = dropTruncated(changes0)
     val ins = changes.filter(col("op") === ChangeRelation.OpInsert)
       .select(col("lsn"), col("after").as("row"), lit(1).as("sign"))
     val updOld = changes.filter(col("op") === ChangeRelation.OpUpdate)

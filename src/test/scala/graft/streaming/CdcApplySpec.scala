@@ -65,6 +65,50 @@ class CdcApplySpec extends SparkSpec {
     assert(sums === Map(1L -> 1L, 2L -> 0L))
   }
 
+  // A9 truncate: T at LSN 3 wipes everything before it; only post-T
+  // changes survive, in every engine semantics.
+  private val goldenT = changes(Seq(
+    (1L, "I", None, Some((1L, "a"))),
+    (2L, "U", Some((1L, "a")), Some((1L, "b"))),
+    (3L, "T", None, None),
+    (4L, "I", None, Some((2L, "x"))),
+    (5L, "U", Some((2L, "x")), Some((2L, "y")))))
+
+  test("golden+truncate: applyReplacing keeps only post-truncate state") {
+    val out = CdcApply.applyReplacing(goldenT, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === Set((2L, "y")))
+  }
+
+  test("golden+truncate: collapse and append see only post-truncate rows") {
+    val collapsed = CdcApply.collapse(CdcApply.toSignedRows(goldenT))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(collapsed.toSet === Set((2L, "y")))
+    val appended = CdcApply.applyAppend(goldenT).select("k").collect().map(_.getLong(0))
+    assert(appended.toSeq === Seq(2L))
+  }
+
+  test("golden+truncate: trailing truncate empties the table") {
+    val df = changes(Seq(
+      (1L, "I", None, Some((1L, "a"))),
+      (2L, "T", None, None)))
+    assert(CdcApply.applyReplacing(df, Seq("k")).count() === 0L)
+    assert(CdcApply.collapse(CdcApply.toSignedRows(df)).count() === 0L)
+    assert(CdcApply.applyAppend(df).count() === 0L)
+  }
+
+  test("truncate is per-table: other tables are untouched") {
+    val data = Seq(
+      org.apache.spark.sql.Row(1L, "I", "t1", null, Row(1L, "a", null)),
+      org.apache.spark.sql.Row(2L, "I", "t2", null, Row(9L, "z", null)),
+      org.apache.spark.sql.Row(3L, "T", "t1", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data), ChangeRelation.schema(rowT))
+    val out = CdcApply.applyReplacing(df, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === Set((9L, "z")))
+  }
+
   // Random op sequences: I for a new key, U/D for a live key.
   private case class Op(lsn: Long, op: String, key: Long, value: String)
 
