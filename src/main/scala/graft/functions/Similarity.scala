@@ -53,6 +53,7 @@ object Similarity {
   def lshTopK(vectors: DataFrame, hyperplanes: DataFrame,
               probeFilter: Column, k: Int): DataFrame = {
     val bucketed = lshBuckets(vectors, hyperplanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = bucketed.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("bucket").as("pb"), col("embedding").as("pv"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
@@ -62,5 +63,46 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id").as("cand_id"), col("sim"))
+  }
+
+  /** Multi-table LSH ANN top-k: several INDEPENDENT hyperplane sets; a
+    * probe's candidate set is the union of its bucket across all tables.
+    *
+    * This is the standard fix for the single-table recall cliff: a true
+    * neighbor straddling one table's hyperplane lands in the same bucket
+    * in another table with high probability, so recall rises toward exact
+    * as tables are added — while each table's join stays bucket-local
+    * (never all-pairs) and the final exact-cosine join broadcasts the
+    * probe-bounded candidate set, so the corpus side never shuffles.
+    */
+  def lshTopKMulti(vectors: DataFrame, hyperplaneSets: Seq[DataFrame],
+                   probeFilter: Column, k: Int): DataFrame = {
+    require(hyperplaneSets.nonEmpty, "need at least one hyperplane set")
+    val vecs = vectors.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate (probe, cand) ids per table, deduped ACROSS tables before
+    // any cosine work — each surviving pair's fold is evaluated once.
+    val pairs = hyperplaneSets.map { hp =>
+      val bucketed = lshBuckets(vecs, hp)
+      val probes = bucketed.filter(probeFilter)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("pb"))
+      broadcast(probes)
+        .join(bucketed.select(col("vec_id"), col("bucket")),
+          col("pb") === col("bucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"))
+    }.reduce(_ unionByName _).distinct()
+    // exact cosine on the candidate set: attach probe vectors, broadcast,
+    // hash-join the corpus on cand_id.
+    val withPv = pairs.join(
+      broadcast(vecs.filter(probeFilter)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))),
+      "probe_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(withPv), "cand_id")
+      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"))
   }
 }

@@ -1,0 +1,77 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import graft.functions.TsvCodec
+
+/** ClickHouse-shaped sink (SURVEY.md §7.1 M4) — the "custom sink" half of
+  * the reference's pipeline, behind an interface.
+  *
+  * pg2ch ships every buffered batch to ClickHouse as an HTTP
+  * `INSERT INTO <table> FORMAT TabSeparated` POST body of escaped TSV
+  * lines (`pkg/utils/chutils` HTTP insert [recall:med]; SURVEY §2.A10).
+  * The wire encoding is [[TsvCodec]]; this trait is the shipping side.
+  *
+  * Scale shape: the TSV encode happens DISTRIBUTED (a codegen'd projection
+  * to one string column), never on the driver. A real ClickHouse
+  * implementation would `foreachPartition` + POST each partition's lines;
+  * this environment has no ClickHouse, so [[FsCHSink]] lands the same
+  * lines as text files with the same two-phase commit + batchId
+  * idempotency the buffer-table path uses (SURVEY §2.A11–A12).
+  */
+trait CHSink {
+
+  /** Idempotently ship one micro-batch of rows into `table`.
+    * @return false iff this (table, batchId) was already shipped (replay).
+    */
+  def insert(batch: DataFrame, table: String, batchId: Long): Boolean
+
+  /** foreachBatch adapter for a single-table stream:
+    * `stream.writeStream.foreachBatch(sink.forEachBatch("t") _)`.
+    */
+  def forEachBatch(table: String)(batch: DataFrame, batchId: Long): Unit = {
+    insert(batch, table, batchId); ()
+  }
+}
+
+/** Filesystem TabSeparated sink: stage (distributed text write) → atomic
+  * move into `rootDir/<table>/batch=<id>` → append the manifest line.
+  * Byte-compatible with ClickHouse TabSeparated: `\t` separators, `\n`
+  * rows, `\\ \t \n` escaped, NULL as `\N`.
+  */
+final class FsCHSink(rootDir: String) extends CHSink {
+
+  private def manifest(table: String) = Paths.get(rootDir, table, "_committed_batches")
+
+  def committedBatches(table: String): Set[Long] = {
+    val m = manifest(table)
+    if (Files.exists(m))
+      Files.readAllLines(m).toArray(Array.empty[String])
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    else Set.empty
+  }
+
+  override def insert(batch: DataFrame, table: String, batchId: Long): Boolean = {
+    if (committedBatches(table).contains(batchId)) return false
+    val staging = Paths.get(rootDir, table, "_staging", batchId.toString)
+    val target = Paths.get(rootDir, table, s"batch=$batchId")
+    val line = TsvCodec.tsvLine(batch.columns.toSeq.map(col))
+    batch.select(line.as("value")).write.mode("overwrite").text(staging.toString)
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) { // crashed between move and manifest: keep it
+      deleteRecursively(staging)
+    } else {
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.write(manifest(table), s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    true
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -65,6 +65,26 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(buckets > 1 && buckets <= 16)
   }
 
+  test("multi-table LSH: recall@3 measured vs brute-force truth, above floor and >= single-table") {
+    val e = graft.core.t(spark, sf001, "embeddings")
+    val probeF = col("vec_id") < 20
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Similarity.bruteForceTopK(e.filter(probeF), e, k = 3))
+    // 3 independent tables of 4 hyperplanes each, drawn deterministically
+    // from disjoint vec_id ranges of the corpus itself.
+    val tables = (0 until 3).map(i =>
+      e.filter(col("vec_id") >= i * 4 && col("vec_id") < (i + 1) * 4))
+    def recall(hit: Set[(Long, Long)]): Double =
+      hit.intersect(truth).size.toDouble / truth.size
+    val single = recall(pairSet(Similarity.lshTopK(e, tables.head, probeF, k = 3)))
+    val multi = recall(pairSet(Similarity.lshTopKMulti(e, tables, probeF, k = 3)))
+    info(f"recall@3 single-table=$single%.3f multi-table=$multi%.3f")
+    assert(multi >= single, "adding tables must never lose recall")
+    assert(multi >= 0.5, f"multi-table recall@3 $multi%.3f below floor 0.5")
+  }
+
   test("text analysis: trigram score and rolling fingerprint are stable and discriminative") {
     val scored = docs.select(col("doc_id"),
       TextAnalysis.trigramScore(col("text"), Seq("the", "he ", "qui")).as("s"),

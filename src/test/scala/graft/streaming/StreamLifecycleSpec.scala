@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The reference's full lifecycle (SURVEY.md §3.2–§3.3) composed as ONE
+  * pipeline instead of piecewise units: a file-source WAL feed (JSON
+  * lines) → ChangeFeed decode → BufferedSink two-phase commit, with a
+  * checkpointed stop/restart in the middle — the restart must resume from
+  * the checkpoint (no reprocessing: exactly-once per change row), and the
+  * read side must see the correct final table state including a truncate.
+  */
+class StreamLifecycleSpec extends SparkSpec {
+
+  private def jline(lsn: Long, op: String, k: Long, v: String): String = {
+    val after =
+      if (op == "I" || op == "U") s""","after":{"k":$k,"v":"$v"}""" else ""
+    val before =
+      if (op == "U" || op == "D") s""","before":{"k":$k,"v":"old"}""" else ""
+    s"""{"lsn":$lsn,"op":"$op","table":"t"$before$after}"""
+  }
+
+  private def writeFeed(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, dir.resolve(name)) // atomic: file source never sees partials
+  }
+
+  private def runOnePass(in: String, ckpt: String, sink: BufferedSink): Unit = {
+    val raw = spark.readStream.text(in)
+    val changes = ChangeFeed.fromJsonLines(raw, ChangeRelation.testRow)
+    val q = changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink.forEachBatch _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+
+  private def committedChanges(out: String): DataFrame =
+    spark.read.parquet(s"$out/batch=*")
+
+  test("WAL feed -> decode -> sink with checkpointed restart is exactly-once") {
+    val in = Files.createTempDirectory("graft_wal_in")
+    val out = Files.createTempDirectory("graft_wal_out").toString
+    val ckpt = Files.createTempDirectory("graft_wal_ckpt").toString
+    val sink = new BufferedSink(out)
+
+    // pass 1: initial history for keys 1 and 2
+    writeFeed(in, "wal_000.json", Seq(
+      jline(1, "I", 1, "a"), jline(2, "U", 1, "b"),
+      jline(3, "I", 2, "x"), jline(4, "D", 2, "")))
+    runOnePass(in.toString, ckpt, sink)
+
+    // pass 2 (restart from checkpoint): truncate, then fresh inserts
+    writeFeed(in, "wal_001.json", Seq(
+      jline(5, "T", 0, ""), jline(6, "I", 3, "z"), jline(7, "U", 3, "zz")))
+    runOnePass(in.toString, ckpt, sink)
+
+    // pass 3 (restart with NO new data): must commit nothing new
+    val batchesBefore = sink.committedBatches()
+    runOnePass(in.toString, ckpt, sink)
+    assert(sink.committedBatches() === batchesBefore)
+
+    // exactly-once: every change row (incl. the decoded truncate at lsn 5)
+    // landed exactly once across all committed batches
+    val lsns = committedChanges(out).select("lsn").collect().map(_.getLong(0)).sorted
+    assert(lsns.toSeq === (1L to 7L))
+
+    // read-side FINAL over the landed change log: truncate wiped 1 and 2,
+    // key 3's latest version survives
+    val state = CdcApply.applyReplacing(committedChanges(out), Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(state.toSet === Set((3L, "zz")))
+  }
+
+  test("mid-stream crash replay: redelivered batch does not duplicate rows") {
+    val out = Files.createTempDirectory("graft_replay_out").toString
+    val sink = new BufferedSink(out)
+    val changes = ChangeFeed.fromJsonLines(
+      spark.createDataset(Seq(jline(1, "I", 1, "a"), jline(2, "I", 2, "b")))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value"),
+      ChangeRelation.testRow)
+    assert(sink.writeBatch(changes, 0))
+    assert(!sink.writeBatch(changes, 0)) // crash between commit and ack: replay
+    assert(committedChanges(out).count() === 2L)
+  }
+}
