@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a named declared query and dump its formatted physical
+  * plan — the `.explain` feedback loop the scale discipline demands.
+  *
+  * Usage: sbt "runMain graft.PlanAudit <query> [sfDir] [--explain]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.1")
+    val explain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100).selectExpr("sum(id)").collect() // JIT warm
+    val fn = Registry.all.toMap.apply(name).fn
+    if (explain) println(fn(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(s"[audit] $name run$i ${(System.nanoTime() - t0) / 1e9}s")
+    }
+    spark.stop()
+  }
+}

@@ -102,6 +102,33 @@ object CdcQueries {
              |CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // A9: truncate frontier — the declared-surface twin of
+    // CdcApply.dropTruncated. 'error' events play the role of pgoutput `T`
+    // markers: per user, the last error's LSN is the truncate point and
+    // only later events survive. Same broadcast-frontier shape as the
+    // streaming apply: the frontier aggregate is tiny (one row per key
+    // with any truncate), the event stream itself never shuffles for it.
+    "cdc_truncate_frontier" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val fr = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("u"))
+          .agg(max(col("event_id")).as("tmax"))
+        ev.join(broadcast(fr), col("user_id") === col("u"), "left")
+          .filter(col("tmax").isNull || col("event_id") > col("tmax"))
+          .groupBy("user_id")
+          .agg(cnt("survivors"), min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH fr AS (SELECT user_id AS u, max(event_id) AS tmax
+             |FROM events WHERE event_type = 'error' GROUP BY user_id)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS survivors,
+             |min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM events e LEFT JOIN fr ON e.user_id = fr.u
+             |WHERE fr.tmax IS NULL OR e.event_id > fr.tmax
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // A10/A11: buffered-flush arithmetic — fixed-size micro-batches by LSN.
     "buffer_flush_batches" -> QueryDef(
       (spark, dir) => {

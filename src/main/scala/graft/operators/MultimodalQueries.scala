@@ -35,5 +35,28 @@ object MultimodalQueries {
              |CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024 AS height,
              |CAST('0x' || substr(md5(text), 9, 6) AS BIGINT) % 600000 AS duration_ms
              |FROM documents ORDER BY asset_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Frame sampling: every 4th frame index of each asset via posexplode
+    // (a Generator — zero shuffle). n_frames is the stub decode's
+    // byte-length-derived count; floor() on both sides because Spark's
+    // int cast truncates while DuckDB's rounds.
+    "multimodal_frame_sample" -> QueryDef(
+      (spark, dir) => {
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "text")
+        val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
+        graft.multimodal.Multimodal.sampleFrames(decoded, stride = 4)
+          .select(col("asset_id"), col("n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy(col("asset_id"), col("frame_idx"))
+          .limit(500)
+      },
+      Some("""SELECT asset_id, n_frames, frame_idx FROM (
+             |SELECT doc_id AS asset_id,
+             |CAST(floor(octet_length(CAST(text AS BLOB)) / 256.0) + 1 AS BIGINT) AS n_frames,
+             |unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB)) / 256.0) + 1 AS BIGINT))) AS frame_idx
+             |FROM documents)
+             |WHERE frame_idx % 4 = 0 ORDER BY asset_id, frame_idx LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -108,6 +108,60 @@ object SimilarityQueries {
               |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // IVF-bucketed ANN: the second classic scale path (vs LSH above).
+    // 10 fixed centroids (vectors 480..489 — an absolute range, present
+    // and 10-wide at EVERY scale factor; an open-ended `>= N` filter
+    // would grow the centroid set with the corpus); every vector is
+    // assigned to its max-cosine centroid (argmax with cid tie-break);
+    // probes search only their own inverted list. At scale: assignment is
+    // one broadcast map pass, the join key is the centroid id, never
+    // all-pairs.
+    "sim_ivf_topk" -> QueryDef(
+      (spark, dir) => {
+        val cents = vecs(spark, dir)
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            sqrt(gdot("embedding", "embedding")).as("cn"))
+        val aw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+        // persist: probes and candidate lists both derive from `assigned`.
+        val assigned = vecs(spark, dir)
+          .crossJoin(broadcast(cents))
+          .withColumn("csim",
+            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")))
+          .withColumn("arn", row_number().over(aw))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding").as("v"),
+            sqrt(gdot("embedding", "embedding")).as("nv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("cid").as("pcid"),
+            col("v").as("pv"), col("nv").as("pn"))
+        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
+        broadcast(probes)
+          .join(assigned, col("pcid") === col("cid") && col("vec_id") =!= col("probe"))
+          .withColumn("sim", pround(gdot("pv", "v") / (col("pn") * col("nv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("vec_id").as("cand"), col("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some {
+        val csim =
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1)
+           |SELECT probe, cand, sim FROM (
+           |SELECT a.vec_id AS probe, b.vec_id AS cand, $cosR AS sim,
+           |row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosR DESC, b.vec_id) AS rn
+           |FROM asg a JOIN asg b ON a.vec_id < 10 AND b.cid = a.cid AND b.vec_id <> a.vec_id)
+           |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // Embedding near-dup: bounded candidate set, cosine threshold.
     "dedup_embedding_cosine" -> QueryDef(
       (spark, dir) => {

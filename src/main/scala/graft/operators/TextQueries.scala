@@ -251,6 +251,70 @@ object TextQueries {
       },
       tier = "E"),
 
+    // The COMPLETE dedup pipeline: MinHash → LSH banding → candidate
+    // pairs → exact-Jaccard verification — LSH recall plus exact
+    // precision, end-to-end. Scale shape: candidates are band-local
+    // (never all-pairs) and the shingle-set lookups broadcast the tiny
+    // candidate side, so the corpus never shuffles for verification.
+    "dedup_minhash_verified" -> QueryDef(
+      (spark, dir) => {
+        val base = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+        val withMh = (0 until 8).foldLeft(
+          base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
+          d.withColumn(s"mh$i",
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+        }
+        val bandCols = (0 until 4).map { b =>
+          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+        }
+        val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = bands.as("a")
+          .join(bands.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val withS1 = broadcast(cand)
+          .join(shs, col("d1") === col("doc_id"))
+          .select(col("d1"), col("d2"), col("s").as("s1"))
+        val pairs = broadcast(withS1)
+          .join(shs, col("d2") === col("doc_id"))
+          .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
+          .withColumn("ja", pround(col("inter")
+            / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+        pairs.agg(cnt("candidate_pairs"),
+          sum(when(col("ja") >= 0.5, 1L).otherwise(0L)).cast("long").as("verified_pairs"))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        val ja = proundSql("""CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+           |mh AS (SELECT doc_id, $mhCols FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+           |ON a.k = b.k AND a.doc_id < b.doc_id)
+           |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
+           |CAST(sum(CASE WHEN ja >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
+           |FROM (SELECT $ja AS ja FROM cand
+           |JOIN shs s1 ON s1.doc_id = cand.d1 JOIN shs s2 ON s2.doc_id = cand.d2)""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // SimHash fingerprints (16-bit, majority vote per bit over word
     // hashes) — computed entirely in array HOFs, zero shuffle per doc.
     "dedup_simhash" -> QueryDef(

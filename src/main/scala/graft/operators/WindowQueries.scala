@@ -89,6 +89,26 @@ object WindowQueries {
              |FROM events ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // first/last_value with an explicit full-partition frame (default
+    // frames stop at CURRENT ROW for last_value — the classic trap).
+    "win_first_last" -> QueryDef(
+      (spark, dir) => {
+        val w = perUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            first(col("event_type")).over(w).as("first_et"),
+            last(col("event_type")).over(w).as("last_et"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id,
+             |first_value(event_type) OVER w AS first_et,
+             |last_value(event_type) OVER w AS last_et
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     "win_ntile" -> QueryDef(
       (spark, dir) => {
         val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Structured Streaming twins of the `stream_*` batch queries
   * (SURVEY.md §5.2(4)): same event-time semantics, expressed with the
@@ -36,6 +37,40 @@ object StreamTwins {
       .agg(count(lit(1)).as("events_in_session"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("events_in_session"))
+
+  /** ReplacingMergeTree FINAL as TRUE streaming state (SURVEY §2.A7's
+    * `flatMapGroupsWithState latest-state` mapping): per-key custom state
+    * holds the highest-LSN version seen; every micro-batch emits the
+    * key's current row (Update mode), with DELETE as a tombstone flag —
+    * exactly the reference's continuously-maintained Replacing target.
+    *
+    * Input: a [[ChangeRelation]]-shaped stream over the fixture row
+    * (`k`,`v`); state scales as O(live keys), partitioned by key hash —
+    * the Spark-native form of pg2ch's per-table in-memory buffer merge.
+    * Cross-key ops (truncate) stay on the foreachBatch path
+    * ([[CdcApply.dropTruncated]]); per-key state cannot see them.
+    */
+  def replacingLatestStream(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .select(
+        coalesce(col("after.k"), col("before.k")).as("k"),
+        col("lsn"), col("op"), col("after.v").as("v"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, String, Boolean), (Long, Long, String, Boolean)](
+        GroupStateTimeout.NoTimeout) { case (k, it, state) =>
+          val prev = state.getOption.getOrElse((Long.MinValue, null: String, false))
+          val latest = it.foldLeft(prev) {
+            case (acc @ (accLsn, _, _), (_, lsn, op, v)) =>
+              if (lsn > accLsn) (lsn, v, op == ChangeRelation.OpDelete) else acc
+          }
+          state.update(latest)
+          (k, latest._1, latest._2, latest._3)
+        }
+      .toDF("k", "lsn", "v", "deleted")
+  }
 
   /** Watermark-dropped late rows ≡ stream_late_data's `late` column: rows
     * arriving more than `watermark` behind the max seen ts never reach the

@@ -55,6 +55,47 @@ class StreamTwinsSpec extends SparkSpec {
     assert(batch === Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("mapGroupsWithState replacing twin converges to batch applyReplacing FINAL") {
+    implicit val sqlCtx = spark.sqlContext
+    // golden change feed as JSON lines, split across two micro-batches;
+    // key 1 gets updated across the batch boundary, key 2 is deleted.
+    val b1 = Seq(
+      """{"lsn":1,"op":"I","table":"t","after":{"k":1,"v":"a"}}""",
+      """{"lsn":2,"op":"U","table":"t","before":{"k":1,"v":"a"},"after":{"k":1,"v":"b"}}""",
+      """{"lsn":3,"op":"I","table":"t","after":{"k":2,"v":"x"}}""")
+    val b2 = Seq(
+      """{"lsn":4,"op":"U","table":"t","before":{"k":1,"v":"b"},"after":{"k":1,"v":"c"}}""",
+      """{"lsn":5,"op":"D","table":"t","before":{"k":2,"v":"x"}}""")
+    val mem = MemoryStream[String]
+    val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Boolean)]
+    val q = StreamTwins.replacingLatestStream(
+        ChangeFeed.fromJsonLines(mem.toDF().toDF("value"), ChangeRelation.testRow))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        updates ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+        ()
+      }
+      .start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // streaming FINAL: per key, the highest-lsn emission, minus tombstones
+    val finalState = updates.groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).toMap.values
+      .filterNot(_._4).map(u => (u._1, u._3)).toSet
+    // batch FINAL over the same five changes
+    val allChanges = ChangeFeed.fromJsonLines(
+      (b1 ++ b2).toDF("value"), ChangeRelation.testRow)
+    val batchState = CdcApply.applyReplacing(allChanges, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(finalState === batchState)
+    assert(finalState === Set((1L, "c")))
+    // the cross-batch state actually carried: batch 2's emission for key 1
+    // must reflect lsn 4 even though lsn 1-2 arrived in batch 1
+    assert(updates.filter(u => u._1 == 1L && u._2 == 4L).nonEmpty)
+  }
+
   test("watermark drops the 61-minute-late row") {
     val rows = runStream(Seq(fixture, Seq(sentinel), Seq(lateRow), Seq.empty))(
       StreamTwins.tumblingCounts(_, watermark = "1 hour"))
