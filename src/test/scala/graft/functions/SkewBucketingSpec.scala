@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Salted joins must equal their plain twins row-for-row; bucketed
+  * co-located joins must plan with zero shuffle Exchange.
+  */
+class SkewBucketingSpec extends SparkSpec {
+
+  test("saltedJoin == plain join on a real fact-dim pair") {
+    val orders = graft.core.t(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.core.t(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted(Ordering.Tuple2[Long, String])
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", salts = 8)
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted(Ordering.Tuple2[Long, String])
+    assert(salted.length === plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salt is deterministic and spreads a hot key across sub-partitions") {
+    import spark.implicits._
+    // one hot key, 1000 distinct payloads
+    val hot = (0 until 1000).map(i => (42L, i.toLong)).toDF("k", "payload")
+    val salted = hot.withColumn("s", Skew.salt(8, col("payload")))
+    val spread = salted.groupBy("s").count().collect().map(_.getLong(1))
+    assert(spread.length === 8, "all 8 salt values used")
+    assert(spread.max < 1000 / 2, "no salt bucket holds the majority")
+    // re-evaluation yields identical salts (retry safety)
+    val a = salted.collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val b = hot.withColumn("s", Skew.salt(8, col("payload")))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(a === b)
+  }
+
+  test("bucketed tables join with zero shuffle Exchange") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(
+        graft.core.t(spark, sf001, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_bkt", buckets = 8, key = "o_custkey")
+      Bucketing.writeBucketed(
+        graft.core.t(spark, sf001, "customer").select("c_custkey", "c_mktsegment"),
+        "customer_bkt", buckets = 8, key = "c_custkey")
+      val j = Bucketing.colocatedJoin(spark, "orders_bkt", "customer_bkt",
+        "o_custkey", "c_custkey")
+      assert(j.count() > 0)
+      assert(Bucketing.isShuffleFree(j),
+        s"expected exchange-free plan, got:\n${j.queryExecution.executedPlan}")
+      // control: the same join over the raw (un-bucketed) parquet DOES shuffle
+      val raw = graft.core.t(spark, sf001, "orders")
+        .join(graft.core.t(spark, sf001, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      raw.count()
+      assert(!Bucketing.isShuffleFree(raw), "control join should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
