@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -58,5 +59,51 @@ object MultimodalQueries {
              |unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB)) / 256.0) + 1 AS BIGINT))) AS frame_idx
              |FROM documents)
              |WHERE frame_idx % 4 = 0 ORDER BY asset_id, frame_idx LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Multimodal -> ANN integration: stub feature extraction (the batch
+    // shape a real vision/audio encoder emits — one fixed-dim float array
+    // per asset) feeding the brute-force cosine top-k path. The whole
+    // lane — binary column -> feature array -> similarity search — is
+    // oracle-checked end-to-end even with the encoder stubbed.
+    "multimodal_feature_ann" -> QueryDef(
+      (spark, dir) => {
+        graft.plans.DotProductD.register(spark)
+        def gdot(a: String, b: String) = expr(s"graft_dot($a, $b)")
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "text")
+        val feats = graft.multimodal.Multimodal.stubFeatures(assets)
+          .select(col("asset_id"), col("features"))
+        val probes = feats.filter(col("asset_id") < 5)
+          .select(col("asset_id").as("probe"), col("features").as("pv"),
+            sqrt(gdot("features", "features")).as("pn"))
+        val cands = feats
+          .select(col("asset_id").as("cand"), col("features").as("cv"),
+            sqrt(gdot("features", "features")).as("cn"))
+        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
+        broadcast(probes).join(cands, col("probe") =!= col("cand"))
+          .withColumn("sim", pround(gdot("pv", "cv") / (col("pn") * col("cn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"), col("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some {
+        // the exact stubFeatures arithmetic (md5-chunk / 65535 -> REAL),
+        // widened to DOUBLE[] for the same sequential cosine fold
+        val lanes = (0 until 16).map { i =>
+          s"CAST(CAST('0x' || substr(md5(text), ${(i % 7) * 4 + 1}, 4) AS BIGINT) / 65535.0 AS REAL)"
+        }.mkString(", ")
+        val cos =
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        val cosR = proundSql(cos, 6)
+        s"""WITH f AS (SELECT doc_id AS asset_id,
+           |CAST(list_value($lanes) AS DOUBLE[]) AS v FROM documents)
+           |SELECT probe, cand, sim FROM (
+           |SELECT a.asset_id AS probe, b.asset_id AS cand, $cosR AS sim,
+           |row_number() OVER (PARTITION BY a.asset_id ORDER BY $cosR DESC, b.asset_id) AS rn
+           |FROM f a JOIN f b ON a.asset_id < 5 AND b.asset_id <> a.asset_id)
+           |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
