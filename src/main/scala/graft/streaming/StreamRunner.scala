@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The reference's main loop as one library entry point (SURVEY.md §3.2,
+  * §3.4): configure tables + engines, start replication, get continuously
+  * maintained targets.
+  *
+  * pg2ch: config file lists `tables.<t>.{main_table, engine, buffer_size,
+  * merge_threshold}`; `replicator.Run()` tails the slot, routes decoded
+  * rows to per-table engines, buffers, flushes, persists LSN
+  * (`cmd/pg2ch/main.go`, `pkg/replicator` [recall:high] — SURVEY §0: paths
+  * from public-repo knowledge, /root/reference is empty).
+  *
+  * Spark mapping: one streaming query PER TABLE (the reference's
+  * single-writer-per-table invariant), each reading the shared WAL feed
+  * directory, filtering its own relation, and landing the raw change log
+  * through [[BufferedSink]]'s two-phase batchId-idempotent commit. The
+  * target table semantics (Replacing FINAL / Collapsing net / append) are
+  * applied AT READ TIME over the landed log — exactly ClickHouse's
+  * merge-on-read model — via [[readFinal]]. Checkpoint offsets are the
+  * persisted LSN; restart resumes exactly-once (StreamLifecycleSpec).
+  */
+object StreamRunner {
+
+  /** Per-table replication config — the Spark-native form of the
+    * reference's `tables.<name>` block.
+    */
+  final case class TableConfig(
+      name: String,
+      engine: String, // MergeTree | ReplacingMergeTree | CollapsingMergeTree
+      keyColumns: Seq[String],
+      rowSchema: StructType)
+
+  final case class RunnerConfig(
+      inputDir: String, // JSON-lines WAL feed directory (readStream.text)
+      outputDir: String, // sink root; one subdir per table
+      checkpointDir: String,
+      tables: Seq[TableConfig])
+
+  /** Start one streaming query per configured table. */
+  def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] =
+    cfg.tables.map { tc =>
+      val sink = new BufferedSink(s"${cfg.outputDir}/${tc.name}")
+      ChangeFeed.fromJsonLines(spark.readStream.text(cfg.inputDir), tc.rowSchema)
+        .filter(col("table") === tc.name)
+        .writeStream
+        .queryName(s"graft_replicate_${tc.name}")
+        .option("checkpointLocation", s"${cfg.checkpointDir}/${tc.name}")
+        .foreachBatch(sink.forEachBatch _)
+        .start()
+    }
+
+  /** The landed change log for a table (all committed batches). */
+  def changeLog(spark: SparkSession, cfg: RunnerConfig, table: String): DataFrame =
+    spark.read
+      .schema(ChangeRelation.schema(
+        cfg.tables.find(_.name == table).get.rowSchema))
+      .parquet(s"${cfg.outputDir}/$table/batch=*")
+
+  /** Read-side FINAL — the reference's target-table semantics applied
+    * over the landed log (truncate-aware via CdcApply.dropTruncated,
+    * which every apply composes).
+    */
+  def readFinal(spark: SparkSession, cfg: RunnerConfig, table: String): DataFrame = {
+    val tc = cfg.tables.find(_.name == table)
+      .getOrElse(throw new IllegalArgumentException(s"unconfigured table: $table"))
+    val log = changeLog(spark, cfg, table)
+    tc.engine match {
+      case "ReplacingMergeTree" => CdcApply.applyReplacing(log, tc.keyColumns)
+      case "CollapsingMergeTree" => CdcApply.collapse(CdcApply.toSignedRows(log))
+      case "MergeTree" => CdcApply.applyAppend(log)
+      case other => throw new IllegalArgumentException(s"unknown engine: $other")
+    }
+  }
+}
