@@ -127,5 +127,28 @@ object AggQueries {
              |CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk,
              |p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail
              |FROM part) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Exact interpolated percentiles: both engines compute
+    // rank = p·(n−1) over the sorted values and linearly interpolate
+    // (Spark `percentile`, DuckDB `quantile_cont`) — same IEEE ops, then
+    // pround. A sort-based aggregate: at scale prefer approx_percentile
+    // (sketch, partial-agg) unless exactness is contractual.
+    "agg_median_quartiles" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(pround(expr("percentile(value, 0.5)"), 2).as("median_v"),
+            pround(expr("percentile(value, 0.25)"), 2).as("q1_v"),
+            pround(expr("percentile(value, 0.9)"), 2).as("p90_v"),
+            cnt("cnt"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type,
+             |${proundSql("quantile_cont(value, 0.5)", 2)} AS median_v,
+             |${proundSql("quantile_cont(value, 0.25)", 2)} AS q1_v,
+             |${proundSql("quantile_cont(value, 0.9)", 2)} AS p90_v,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -77,6 +77,23 @@ class StreamLifecycleSpec extends SparkSpec {
     assert(state.toSet === Set((3L, "zz")))
   }
 
+  test("malformed WAL lines are dropped by policy, not poison pills") {
+    val lines = Seq(
+      jline(1, "I", 1, "a"),
+      """{"this is not json""",
+      """{"lsn":null,"op":"I","table":"t"}""", // null lsn → filtered
+      jline(2, "I", 2, "b"))
+    val df = ChangeFeed.fromJsonLines(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value"),
+      ChangeRelation.testRow)
+    assert(df.select("lsn").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // strict mode keeps the nulls visible for fail-fast policies
+    val strict = ChangeFeed.fromJsonLines(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value"),
+      ChangeRelation.testRow, dropMalformed = false)
+    assert(strict.count() === 4L)
+  }
+
   test("mid-stream crash replay: redelivered batch does not duplicate rows") {
     val out = Files.createTempDirectory("graft_replay_out").toString
     val sink = new BufferedSink(out)
