@@ -88,6 +88,27 @@ object TextQueries {
              |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // BPE-ish subword tokenization via a GPT-2-style pre-tokenizer regex
+    // (letter runs / digit runs / punctuation runs, each with optional
+    // leading space), counted per doc. Both engines extract with the same
+    // pattern; the corpus alphabet (lowercase ASCII + space) keeps the
+    // Java-regex ↔ RE2 semantics identical.
+    "text_bpe_tokens" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)"))
+              .cast("long").as("n_bpe"),
+            size(split(col("text"), " ")).cast("long").as("n_ws"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)) AS BIGINT) AS n_bpe,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+             |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Quality scoring: length norm + stopword ratio (punctuation ratio is
     // degenerate on this corpus — synthetic text has none).
     "text_quality_score" -> QueryDef(
