@@ -52,6 +52,41 @@ object Multimodal {
       .withColumn("n_frames", (length(col("bytes")) / 256 + 1).cast("int"))
   }
 
+  /** Pluggable per-partition decode — where a REAL codec drops in. Typed
+    * Dataset `mapPartitions` over (asset_id, modality, bytes): the codec
+    * runs inside the partition iterator (no shuffle, no driver round-trip,
+    * batch-amortized codec init is the caller's closure state). The stub
+    * twin for tests is `(b, m) => DecodedMeta(...)` derived from `b`;
+    * production passes the real image/audio decoder here unchanged.
+    */
+  def decodeWith(df: DataFrame)(codec: (Array[Byte], String) => DecodedMeta): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col("modality"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, m, b) =>
+        val d = codec(b, m)
+        (id, m, d.width, d.height, d.durationMs, d.nFrames)
+      })
+      .toDF("asset_id", "modality", "width", "height", "duration_ms", "n_frames")
+  }
+
+  /** Aspect-preserving resize of decoded dimensions: fit within
+    * (maxW, maxH). Pure integer arithmetic (long multiply, floor divide)
+    * so the result is deterministic on every engine; zero dims are
+    * clamped to 1 first (the stub decode's mod-1024 can emit 0).
+    */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = greatest(col("width").cast("long"), lit(1L))
+    val h = greatest(col("height").cast("long"), lit(1L))
+    val wide = w * maxH >= h * maxW // w/h >= maxW/maxH: width binds
+    df
+      .withColumn("out_width",
+        greatest(when(wide, lit(maxW)).otherwise(floor(w * maxH / h)), lit(1L)).cast("int"))
+      .withColumn("out_height",
+        greatest(when(wide, floor(h * maxW / w)).otherwise(lit(maxH)), lit(1L)).cast("int"))
+  }
+
   /** Build an asset table from any source with an id + payload column —
     * used by tests to synthesize binary assets from `documents.text`.
     */

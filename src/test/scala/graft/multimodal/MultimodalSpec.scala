@@ -52,4 +52,47 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeReal(Array[Byte](1, 2), "image")
     }
   }
+
+  test("decodeWith runs an injected codec per-partition, no shuffle") {
+    // fake codec: metadata from payload length — what a real decoder's
+    // plumbing looks like, minus the media library
+    val decoded = Multimodal.decodeWith(assets.limit(50)) { (bytes, modality) =>
+      Multimodal.DecodedMeta(bytes.length, bytes.length / 2, bytes.length * 10L,
+        bytes.length / 256 + 1)
+    }
+    val rows = decoded.collect()
+    assert(rows.length === 50)
+    assert(decoded.schema.fieldNames.toSeq ===
+      Seq("asset_id", "modality", "width", "height", "duration_ms", "n_frames"))
+    // width == payload length == n_chars for this ASCII corpus
+    val joined = decoded.join(
+      graft.core.t(spark, sf001, "documents").select(col("doc_id").as("asset_id"), col("n_chars")),
+      "asset_id").filter(col("width") =!= col("n_chars"))
+    assert(joined.count() === 0)
+    // plan stays shuffle-free up to the decode (Generator/map only)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+  }
+
+  test("resizeMeta fits within bounds and preserves aspect ratio") {
+    val decoded = Multimodal.stubDecodeCols(assets.limit(100))
+    val resized = Multimodal.resizeMeta(decoded, maxW = 256, maxH = 128)
+    val bad = resized.filter(
+      col("out_width") > 256 || col("out_height") > 128 ||
+        col("out_width") < 1 || col("out_height") < 1)
+    assert(bad.count() === 0)
+    // one side always binds exactly
+    val binding = resized.filter(col("out_width") === 256 || col("out_height") === 128)
+    assert(binding.count() === resized.count())
+    // exact agreement with a reference implementation of the fit formula
+    val rows = resized.select("width", "height", "out_width", "out_height").collect()
+    rows.foreach { r =>
+      val w = math.max(r.getInt(0).toLong, 1L)
+      val h = math.max(r.getInt(1).toLong, 1L)
+      val (ew, eh) =
+        if (w * 128 >= h * 256) (256L, math.max(h * 256 / w, 1L))
+        else (math.max(w * 128 / h, 1L), 128L)
+      assert((r.getInt(2).toLong, r.getInt(3).toLong) === ((ew, eh)),
+        s"w=$w h=$h")
+    }
+  }
 }
