@@ -30,6 +30,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer are structurally wrong under salting: the small
+    // side is replicated `salts`×, so its unmatched rows would surface
+    // once per salt. Every left-shaped join is safe (each big row carries
+    // exactly one salt and every salt replica of a small key exists).
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support $joinType (small side is replicated)")
     val saltCols = big.columns.filter(_ != key).map(col _)
     val b = big.withColumn("__salt", salt(salts, saltCols.toSeq: _*))
     val s = small

@@ -150,5 +150,29 @@ object AggQueries {
              |${proundSql("quantile_cont(value, 0.9)", 2)} AS p90_v,
              |CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Pivot/reshape: wide per-user value sums over the 5 known event
+    // types. Spark `pivot` with an EXPLICIT value list stays a single
+    // partial+final agg (no extra distinct-values job, deterministic
+    // column order); the oracle expresses the identical reshape as
+    // conditional aggregation.
+    "agg_pivot_events" -> QueryDef(
+      (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(spark, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(round(sum(dec(col("value"), 14, 2)), 2).cast("double"))
+          .orderBy(col("user_id"))
+          .limit(200)
+      },
+      Some {
+        val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+          s"CAST(round(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS $t"
+        }.mkString(", ")
+        s"""SELECT user_id, $cols FROM events
+           |GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
