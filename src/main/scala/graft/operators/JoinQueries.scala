@@ -95,6 +95,37 @@ object JoinQueries {
              |WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              |ORDER BY c_custkey LIMIT 100""".stripMargin.replace("\n", " "))),
 
+    // FULL OUTER: both sides keep unmatched keys. Built over two derived
+    // per-user aggregates with genuinely exclusive keys on each side
+    // (users with only errors / only signups). Scale: SMJ on user_id —
+    // full outer cannot broadcast (both sides must surface unmatched
+    // rows), so the single key shuffle IS the optimal plan.
+    "join_full_outer" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        def side(typ: String, alias: String) =
+          ev.filter(col("event_type") === typ)
+            .groupBy(col("user_id").as(s"${alias}_uid"))
+            .agg(cnt(alias))
+        side("error", "errors")
+          .join(side("signup", "signups"),
+            col("errors_uid") === col("signups_uid"), "full_outer")
+          .select(
+            coalesce(col("errors_uid"), col("signups_uid")).as("user_id"),
+            coalesce(col("errors"), lit(0L)).as("errors"),
+            coalesce(col("signups"), lit(0L)).as("signups"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS errors
+             |FROM events WHERE event_type = 'error' GROUP BY user_id),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS signups
+             |FROM events WHERE event_type = 'signup' GROUP BY user_id)
+             |SELECT coalesce(e.user_id, s.user_id) AS user_id,
+             |coalesce(e.errors, 0) AS errors, coalesce(s.signups, 0) AS signups
+             |FROM e FULL JOIN s ON e.user_id = s.user_id
+             |ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Equi-join with a theta residual: Catalyst keys the shuffle on the
     // equi part and evaluates the range predicate as a post-join filter —
     // never a cartesian, so it scales as a normal key-partitioned join.

@@ -89,6 +89,28 @@ object WindowQueries {
              |FROM events ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Relative-rank windows: percent_rank = (rank−1)/(n−1) and cume_dist
+    // = rows≤current/n — both one IEEE division, pround(6)'d. Partitioned
+    // by nationkey: one hash shuffle, per-partition sort.
+    "win_percent_rank" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(spark, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+            pround(percent_rank().over(w), 6).as("prk"),
+            pround(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("nationkey"), col("prk"), col("c_custkey"))
+          .limit(300)
+      },
+      Some(s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+             |${proundSql("percent_rank() OVER w", 6)} AS prk,
+             |${proundSql("cume_dist() OVER w", 6)} AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY nationkey, prk, c_custkey LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // first/last_value with an explicit full-partition frame (default
     // frames stop at CURRENT ROW for last_value — the classic trap).
     "win_first_last" -> QueryDef(
