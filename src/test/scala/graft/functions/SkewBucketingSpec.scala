@@ -40,6 +40,20 @@ class SkewBucketingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("saltedJoin rejects join types the salt replication would corrupt") {
+    import spark.implicits._
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val small = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 4, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 4, joinType = "right")
+    }
+    // left-shaped types pass the guard
+    assert(Skew.saltedJoin(big, small, "k", 4, joinType = "left_semi").count() === 1L)
+  }
+
   test("bucketed tables join with zero shuffle Exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

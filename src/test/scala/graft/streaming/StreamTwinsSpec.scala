@@ -96,6 +96,33 @@ class StreamTwinsSpec extends SparkSpec {
     assert(updates.filter(u => u._1 == 1L && u._2 == 4L).nonEmpty)
   }
 
+  test("file-source streaming twin over the REAL events table matches the batch query") {
+    // the reference's steady-state loop over driver testdata: readStream
+    // on the events parquet -> event-time tumbling agg, compared against
+    // the declared batch query's result on the same rows.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    // the file stream source wants a DIRECTORY it can watch for arrivals
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_feed")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamTwins.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("twin_real")
+      .outputMode("complete") // bounded input: emit all windows, final tick
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twin_real")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.Registry.all.toMap.apply("stream_tumbling_window")
+      .fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("watermark drops the 61-minute-late row") {
     val rows = runStream(Seq(fixture, Seq(sentinel), Seq(lateRow), Seq.empty))(
       StreamTwins.tumblingCounts(_, watermark = "1 hour"))
