@@ -120,6 +120,52 @@ object ScanQueries {
              |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "C"),
 
+    // Second string tier: pad/translate/reverse/split_part — all codegen'd
+    // built-ins with byte-identical semantics in both engines.
+    "str_funcs2" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "part")
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("lp"),
+            rpad(col("p_brand"), 12, ".").as("rp"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+            reverse(substring(col("p_name"), 1, 8)).as("rev"),
+            expr("split_part(p_name, ' ', 2)").as("w2"))
+          .orderBy(col("p_partkey"))
+          .limit(200)
+      },
+      Some("""SELECT p_partkey, lpad(p_brand, 12, '*') AS lp,
+             |rpad(p_brand, 12, '.') AS rp,
+             |translate(p_name, 'aeiou', 'AEIOU') AS tr,
+             |reverse(substr(p_name, 1, 8)) AS rev,
+             |split_part(p_name, ' ', 2) AS w2
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Second date tier: interval arithmetic, month-end clamping, ISO
+    // day-of-week (Spark weekday is Monday=0; DuckDB isodow is Monday=1).
+    "date_funcs2" -> QueryDef(
+      (spark, dir) => {
+        val d = col("o_orderdate").cast("date")
+        t(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_add(d, 30).as("d30"),
+            add_months(d, 3).as("m3"),
+            last_day(d).as("eom"),
+            (weekday(d) + 1).cast("long").as("isodow"))
+          .orderBy(col("o_orderkey"))
+          .limit(200)
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30,
+             |CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS m3,
+             |last_day(CAST(o_orderdate AS DATE)) AS eom,
+             |CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS isodow
+             |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     "math_funcs" -> QueryDef(
       (spark, dir) => {
         val p = col("p_retailprice")
