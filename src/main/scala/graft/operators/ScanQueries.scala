@@ -223,6 +223,53 @@ object ScanQueries {
              |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // JSON generation + extraction round-trip: serialize row fields with
+    // to_json, extract them back. Comparing EXTRACTED values (not the
+    // JSON text) keeps the check independent of each engine's
+    // serialization formatting.
+    "json_roundtrip" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .withColumn("j", to_json(struct(col("event_id"), col("event_type"))))
+          .select(col("event_id"),
+            get_json_object(col("j"), "$.event_id").cast("long").as("rt_id"),
+            get_json_object(col("j"), "$.event_type").as("rt_type"))
+          .orderBy(col("event_id"))
+          .limit(200)
+      },
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(j, '$.event_id') AS BIGINT) AS rt_id,
+             |json_extract_string(j, '$.event_type') AS rt_type
+             |FROM (SELECT event_id,
+             |to_json(struct_pack(event_id := event_id, event_type := event_type)) AS j
+             |FROM events) ORDER BY event_id LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Second array tier: min/max, slicing, reverse, sort — element access
+    // is 1-based in both engines; floats widen to DOUBLE before pround.
+    "array_funcs2" -> QueryDef(
+      (spark, dir) => {
+        def d(c: org.apache.spark.sql.Column) = pround(c.cast("double"), 4)
+        t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            d(array_min(col("embedding"))).as("mn"),
+            d(array_max(col("embedding"))).as("mx"),
+            size(slice(col("embedding"), 1, 3)).cast("long").as("s3"),
+            d(element_at(reverse(col("embedding")), 1)).as("last_e"),
+            d(element_at(array_sort(col("embedding")), 2)).as("sorted2"))
+          .orderBy(col("vec_id"))
+          .limit(200)
+      },
+      Some(s"""SELECT vec_id,
+             |${proundSql("CAST(list_min(embedding) AS DOUBLE)", 4)} AS mn,
+             |${proundSql("CAST(list_max(embedding) AS DOUBLE)", 4)} AS mx,
+             |CAST(len(embedding[1:3]) AS BIGINT) AS s3,
+             |${proundSql("CAST(list_reverse(embedding)[1] AS DOUBLE)", 4)} AS last_e,
+             |${proundSql("CAST(list_sort(embedding)[2] AS DOUBLE)", 4)} AS sorted2
+             |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     "sort_multi_key_limit" -> QueryDef(
       (spark, dir) => {
         t(spark, dir, "lineitem")
