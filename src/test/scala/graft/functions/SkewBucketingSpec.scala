@@ -54,6 +54,37 @@ class SkewBucketingSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, small, "k", 4, joinType = "left_semi").count() === 1L)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    import spark.implicits._
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink thresholds so the synthetic hot key qualifies as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~100k rows vs a uniform remainder
+      val big = spark.range(100000).select(
+        when(col("id") % 10 === 0, 1L).otherwise(col("id")).as("k"),
+        concat(lit("payload_padding_padding_"), col("id")).as("v"))
+      val small = spark.range(200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = big.join(small, "k")
+      // execute THIS queryExecution so AQE finalizes it (count() would
+      // plan a separate execution and leave j's plan isFinalPlan=false)
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in plan:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero shuffle Exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
