@@ -309,5 +309,45 @@ object ScanQueries {
              |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS union_n,
              |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS intersect_n,
              |CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS BIGINT) AS except_n""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): duplicates
+    // count, so these are NOT the distinct variants above — Spark's
+    // exceptAll/intersectAll ≡ SQL ALL forms.
+    "set_ops_all" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val a = ev.filter(col("event_type") === "view").select("user_id")
+        val b = ev.filter(col("event_type") === "click").select("user_id")
+        a.exceptAll(b).agg(cnt("except_all_n"))
+          .crossJoin(a.intersectAll(b).agg(cnt("intersect_all_n")))
+          .crossJoin(a.unionAll(b).agg(cnt("union_all_n")))
+      },
+      Some("""SELECT
+             |CAST((SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'view' EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'click')) AS BIGINT) AS except_all_n,
+             |CAST((SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'view' INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'click')) AS BIGINT) AS intersect_all_n,
+             |CAST((SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'view' UNION ALL SELECT user_id FROM events WHERE event_type = 'click')) AS BIGINT) AS union_all_n""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Correlated scalar subquery through the spark.sql TEXT entry path —
+    // the SQL parser + Catalyst decorrelation (rewritten to an aggregate
+    // + outer join, never a per-row loop; §4.2).
+    "subquery_correlated" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+        t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+        spark.sql(
+          """SELECT c_custkey,
+            |  CAST((SELECT count(*) FROM orders_v o
+            |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+            |  (SELECT max(o_totalprice) FROM orders_v o
+            |   WHERE o.o_custkey = c.c_custkey) IS NOT NULL AS has_orders
+            |FROM customer_v c
+            |ORDER BY c_custkey LIMIT 200""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |CAST((SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+             |(SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) IS NOT NULL AS has_orders
+             |FROM customer c ORDER BY c_custkey LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
