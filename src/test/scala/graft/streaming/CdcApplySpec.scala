@@ -162,6 +162,43 @@ class CdcApplySpec extends SparkSpec {
     })
   }
 
+  test("property: truncate-bearing sequences == model that resets at each T") {
+    // ops with ~10% truncates; model: T clears all accumulated state
+    val genOpsT: Gen[List[(Long, String, Long, String)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 9), Gen.alphaStr.map(_.take(3))))
+        .map { raw =>
+          var live = Set.empty[Long]
+          raw.zipWithIndex.map { case ((key, kind, v), i) =>
+            val lsn = i + 1L
+            if (kind == 9) { live = Set.empty; (lsn, "T", 0L, "") }
+            else if (!live.contains(key)) { live += key; (lsn, "I", key, v) }
+            else if (kind == 0) { live -= key; (lsn, "D", key, v) }
+            else (lsn, "U", key, v)
+          }
+        }
+    check(Prop.forAllNoShrink(genOpsT) { ops =>
+      // build change rows, tracking before-values; model resets on T
+      var last = Map.empty[Long, String]
+      val rows = ops.map { case (lsn, op, k, v) =>
+        val before = last.get(k)
+        op match {
+          case "T" => last = Map.empty
+          case "D" => last -= k
+          case _ => last += k -> v
+        }
+        (lsn, op,
+          if (op == "T") None else before.map(b => (k, b)),
+          if (op == "T" || op == "D") None else Some((k, v)))
+      }
+      val df = changes(rows)
+      val replaced = CdcApply.applyReplacing(df, Seq("k"))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val collapsed = CdcApply.collapse(CdcApply.toSignedRows(df))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      replaced == last && collapsed == last
+    })
+  }
+
   test("property: replaying a prefix at-or-below the frontier is a no-op") {
     check(Prop.forAllNoShrink(genOps, Gen.choose(0, 40)) { (ops, cut) =>
       val df = toDf(ops)
