@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * All folds are sequential in array order (deterministic); everything is
   * higher-order functions, never UDFs, so the hot loop stays in codegen.
+  *
+  * Cache lifetime: `lshTopK`/`lshTopKMulti` persist() intermediates that
+  * the returned (lazy) plan reads more than once. The CALLER owns those
+  * cached blocks: materialize the result, then `spark.catalog.clearCache()`
+  * (or unpersist selectively) — the sweep harnesses (Verify, Bench, the
+  * determinism suite) do exactly that after each query, so caches never
+  * accumulate across a 70+-query run. MEMORY_AND_DISK spills rather than
+  * OOMs, but an unbounded leak is still a leak.
   */
 object Similarity {
 

@@ -37,6 +37,17 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support $joinType (small side is replicated)")
+    // a key-only big side has nothing to salt on: xxhash64() with zero
+    // args fails analysis, and any constant salt would leave the hot key
+    // unsplit anyway. Fail loudly; callers with key-only relations should
+    // dedupe (the join is then key∈small membership) or add a payload.
+    // Note also: hot-key rows with IDENTICAL payloads all hash to the same
+    // salt — content salting spreads a hot key only as widely as its
+    // payloads differ (exact duplicate rows stay together by design: a
+    // deterministic salt must map equal rows equally under task retry).
+    require(big.columns.exists(_ != key),
+      s"saltedJoin needs at least one non-key column on the big side to derive " +
+        s"a deterministic salt (got only '$key'); dedupe or add a payload column")
     val saltCols = big.columns.filter(_ != key).map(col _)
     val b = big.withColumn("__salt", salt(salts, saltCols.toSeq: _*))
     val s = small

@@ -103,11 +103,15 @@ object CdcQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
     // A9: truncate frontier — the declared-surface twin of
-    // CdcApply.dropTruncated. 'error' events play the role of pgoutput `T`
-    // markers: per user, the last error's LSN is the truncate point and
-    // only later events survive. Same broadcast-frontier shape as the
-    // streaming apply: the frontier aggregate is tiny (one row per key
-    // with any truncate), the event stream itself never shuffles for it.
+    // CdcApply.dropTruncated, with the frontier keyed by USER here (one
+    // row per user with any error) rather than by table. That makes this
+    // a frontier-semi-join pattern, not the broadcast-sized per-TABLE
+    // frontier of the streaming apply: at 100 TB a per-user frontier
+    // grows with the user population, so the broadcast hint below is
+    // right only while the error-user set is dimension-sized — past
+    // that, drop the hint and let it shuffle on user_id (both sides
+    // already key on it). CdcApply.dropTruncated keeps the true
+    // broadcast shape (frontier ≤ #tables).
     "cdc_truncate_frontier" -> QueryDef(
       (spark, dir) => {
         val ev = t(spark, dir, "events")

@@ -54,6 +54,10 @@ object StreamTwins {
     val spark = changes.sparkSession
     import spark.implicits._
     changes
+      // enforce the documented precondition instead of assuming it: a 'T'
+      // row has null k on BOTH sides, and encoding that null into the
+      // non-nullable Long key would kill the streaming query at runtime.
+      .filter(col("op") =!= ChangeRelation.OpTruncate)
       .select(
         coalesce(col("after.k"), col("before.k")).as("k"),
         col("lsn"), col("op"), col("after.v").as("v"))

@@ -13,7 +13,10 @@ class DeterminismSpec extends SparkSpec {
       def run(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try qd.fn(spark, sf001).collect().map(_.toString).toSeq
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.catalog.clearCache() // per-query persists die with the query
+        }
       }
       assert(run("4") === run("13"), s"$name output depends on partitioning")
     }
