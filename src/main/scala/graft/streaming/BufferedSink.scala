@@ -1,30 +1,63 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-/** Two-phase, exactly-once micro-batch sink — the Spark-native form of the
-  * reference's buffer-table flush pipeline (SURVEY.md §2.A10–A13).
+/** Two-phase, exactly-once micro-batch sink with buffer→main compaction —
+  * the Spark-native form of the reference's buffer-table flush pipeline
+  * (SURVEY.md §2.A10–A13).
   *
   * pg2ch buffers rows in memory, flushes them into a ClickHouse staging
-  * ("buffer") table, and every `merge_threshold` flushes promotes them into
-  * the main table in `row_id` order, truncating the buffer; the replication
-  * slot is only acked after the flush succeeds, and restart replays are
-  * dropped via the persisted LSN (`pkg/tableengines/generic.go`
-  * FlushToMainTable, `pkg/consumer` standby-status [recall:med] — SURVEY §0
-  * caveat applies).
+  * ("buffer") table with an explicit `row_id`, and every `merge_threshold`
+  * flushes promotes them into the main table in `row_id` order, truncating
+  * the buffer; the replication slot is only acked after the flush
+  * succeeds, and restart replays are dropped via the persisted LSN
+  * (`pkg/tableengines/generic.go` FlushToMainTable, `pkg/consumer`
+  * standby-status [recall:med] — SURVEY §0 caveat applies).
   *
   * Spark mapping: `foreachBatch` hands us (batch, batchId); we stage the
   * batch to `_staging/<batchId>`, atomically rename into the committed
   * area, and record the batchId in a manifest. A redelivered batchId
   * (checkpoint replay after crash) is a no-op — the manifest is the
-  * equivalent of the reference's persisted LSN. ClickHouse itself is not
-  * in this environment, so the writer targets a filesystem table layout;
-  * the TSV wire encoding lives in graft.functions.TsvCodec.
+  * equivalent of the reference's persisted LSN.
+  *
+  * Compaction (A11's second half): with `mergeThreshold > 0`, once that
+  * many committed batch dirs are live they are merged — sorted by the
+  * explicit `__row_id` stamped at write time (batchId-major, intra-batch
+  * arrival order minor; `monotonically_increasing_id` is NOT stable, so we
+  * never use it) — into one `main/seg-<maxBatchId>` segment, and the
+  * merged batch dirs are deleted. Without compaction a long-running
+  * stream lands one directory per micro-batch forever and every read
+  * re-opens all of them — unbounded small-file growth, the failure every
+  * real long-running replication hits.
+  *
+  * Crash safety: the set of batch ids a segment covers is written INSIDE
+  * the staged segment (`_batches`, an underscore file parquet readers
+  * ignore) before the atomic move, so segment data + coverage commit
+  * together. The live set is always derived as committed − covered; a
+  * crash after the move but before the batch-dir deletes only leaves
+  * garbage dirs that the next compaction (or read) ignores and later
+  * retires. ClickHouse itself is not in this environment, so the writer
+  * targets a filesystem table layout; the TSV wire encoding lives in
+  * graft.functions.TsvCodec.
+  *
+  * @param mergeThreshold compact every N committed batches; 0 = never
+  *        (the raw landing behavior).
+  * @param orderCols intra-batch arrival-order key for `__row_id` (the WAL
+  *        feed's `lsn` by default). The per-batch row_number over it is a
+  *        single-task sort bounded by the micro-batch size — the same
+  *        bound as the reference's in-memory buffer.
   */
-final class BufferedSink(tableDir: String) {
+final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
+                         orderCols: Seq[String] = Seq("lsn")) {
 
   private val committed = Paths.get(tableDir, "_committed_batches")
+  private val mainDir = Paths.get(tableDir, "main")
 
   def committedBatches(): Set[Long] =
     if (Files.exists(committed))
@@ -32,14 +65,45 @@ final class BufferedSink(tableDir: String) {
         .filter(_.nonEmpty).map(_.toLong).toSet
     else Set.empty
 
-  /** Idempotent micro-batch write: stage → atomic move → manifest append.
+  /** Batch ids already merged into main segments (from seg metadata —
+    * the authoritative record; it commits atomically with the data).
+    */
+  def compactedBatches(): Set[Long] =
+    segDirs().flatMap { seg =>
+      Files.readAllLines(seg.resolve("_batches")).toArray(Array.empty[String])
+        .filter(_.nonEmpty).map(_.toLong)
+    }.toSet
+
+  /** Committed but not yet compacted (their `batch=<id>` dirs are live). */
+  def liveBatches(): Set[Long] = committedBatches() -- compactedBatches()
+
+  private def segDirs(): Seq[Path] =
+    if (Files.isDirectory(mainDir))
+      Files.list(mainDir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-"))
+        .toSeq.sortBy(_.getFileName.toString)
+    else Seq.empty
+
+  /** Idempotent micro-batch write: stage → atomic move → manifest append,
+    * then compaction when the live-batch count reaches the threshold.
     * Safe to call again with the same batchId (crash-replay path).
     */
   def writeBatch(batch: DataFrame, batchId: Long): Boolean = {
     if (committedBatches().contains(batchId)) return false
     val staging = Paths.get(tableDir, "_staging", batchId.toString)
     val target = Paths.get(tableDir, s"batch=$batchId")
-    batch.write.mode("overwrite").parquet(staging.toString)
+    // explicit arrival-order row_id (SURVEY §1.1 aux columns): batchId in
+    // the high 32 bits, the intra-batch rank in the low 32.
+    // fall back to all columns when the configured order key is absent
+    // (generic batches): still a deterministic total order attempt, so a
+    // replayed batch stamps identical row_ids.
+    val effOrder =
+      if (orderCols.forall(batch.columns.contains)) orderCols
+      else batch.columns.toSeq
+    val w = Window.orderBy(effOrder.map(col): _*)
+    val ordered = batch.withColumn("__row_id",
+      (lit(batchId) * lit(1L << 32) + row_number().over(w)).cast("long"))
+    ordered.write.mode("overwrite").parquet(staging.toString)
     Files.createDirectories(target.getParent)
     if (Files.exists(target)) { // crashed between move and manifest: keep it
       deleteRecursively(staging)
@@ -50,9 +114,87 @@ final class BufferedSink(tableDir: String) {
     // append ONE line per batch (single short write ≈ atomic on a local
     // fs): a full rewrite would be O(batches²) I/O over a long stream and a
     // crash mid-rewrite could truncate previously committed ids.
-    Files.write(committed, s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    Files.write(committed, s"$batchId\n".getBytes(UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (mergeThreshold > 0) maybeCompact(batch.sparkSession)
     true
+  }
+
+  /** Compact when ≥ mergeThreshold live batches exist. Also retires any
+    * batch dir a previous crash left behind after its segment committed.
+    */
+  def maybeCompact(spark: SparkSession): Unit = {
+    retireCoveredDirs()
+    val live = liveBatches()
+    if (live.size >= mergeThreshold && live.nonEmpty) compact(spark, live)
+  }
+
+  /** Merge the given committed batches into one main segment in __row_id
+    * order — the reference's `INSERT INTO main SELECT … FROM buffer ORDER
+    * BY row_id; TRUNCATE buffer`. Idempotent: a replayed segment move
+    * keeps the existing committed segment.
+    */
+  private def compact(spark: SparkSession, batches: Set[Long]): Unit = {
+    val segId = batches.max
+    val staging = Paths.get(tableDir, "_staging", s"seg-$segId")
+    val target = mainDir.resolve(s"seg-$segId")
+    if (!Files.exists(target)) {
+      val dirs = batches.toSeq.sorted.map(b => s"$tableDir/batch=$b")
+      spark.read.parquet(dirs: _*)
+        .sort(col("__row_id"))
+        .write.mode("overwrite").parquet(staging.toString)
+      // coverage metadata INSIDE the staged segment: data + the record of
+      // what it replaces become visible in the same atomic move.
+      Files.write(staging.resolve("_batches"),
+        batches.toSeq.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+      Files.createDirectories(mainDir)
+      try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRecursively(staging) // lost a race to a concurrent replay
+      }
+    }
+    retireCoveredDirs()
+  }
+
+  /** Delete any live batch dir whose id a committed segment covers —
+    * normal post-compaction cleanup AND lazy crash repair.
+    */
+  private def retireCoveredDirs(): Unit =
+    compactedBatches().foreach { b =>
+      deleteRecursively(Paths.get(tableDir, s"batch=$b"))
+    }
+
+  /** Number of live batch dirs on disk (bounded by mergeThreshold when
+    * compaction is on — the test handle for "file growth is bounded").
+    */
+  def liveBatchDirCount(): Int =
+    if (Files.isDirectory(Paths.get(tableDir)))
+      Files.list(Paths.get(tableDir)).iterator().asScala
+        .count(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("batch="))
+    else 0
+
+  /** Everything committed: main segments ∪ live batch dirs, `__row_id`
+    * included (total arrival order across the whole landed log). Pass the
+    * change-relation schema to project/type the CDC columns exactly; the
+    * `__row_id` column rides along either way.
+    */
+  def readCommitted(spark: SparkSession, schema: StructType = null): DataFrame = {
+    val segs = segDirs().map(_.toString)
+    val live = liveBatches().toSeq.sorted.map(b => s"$tableDir/batch=$b")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    val dirs = segs ++ live
+    val reader = if (schema == null) spark.read else {
+      val withRowId = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("__row_id",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      spark.read.schema(withRowId)
+    }
+    if (dirs.isEmpty) {
+      require(schema != null, "empty sink and no schema to shape an empty result")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+ org.apache.spark.sql.types.StructField("__row_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    } else reader.parquet(dirs: _*)
   }
 
   /** foreachBatch adapter: `stream.writeStream.foreachBatch(sink.forEachBatch _)`. */

@@ -39,12 +39,17 @@ object StreamRunner {
       inputDir: String, // JSON-lines WAL feed directory (readStream.text)
       outputDir: String, // sink root; one subdir per table
       checkpointDir: String,
-      tables: Seq[TableConfig])
+      tables: Seq[TableConfig],
+      // A11: promote buffer batches into main/ every N flushes (0 = never)
+      mergeThreshold: Int = 0)
+
+  private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink =
+    new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
 
   /** Start one streaming query per configured table. */
   def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] =
     cfg.tables.map { tc =>
-      val sink = new BufferedSink(s"${cfg.outputDir}/${tc.name}")
+      val sink = sinkFor(cfg, tc.name)
       ChangeFeed.fromJsonLines(spark.readStream.text(cfg.inputDir), tc.rowSchema)
         .filter(col("table") === tc.name)
         .writeStream
@@ -54,12 +59,14 @@ object StreamRunner {
         .start()
     }
 
-  /** The landed change log for a table (all committed batches). */
+  /** The landed change log for a table: main segments ∪ live buffer
+    * batches — identical rows whether or not compaction has run.
+    */
   def changeLog(spark: SparkSession, cfg: RunnerConfig, table: String): DataFrame =
-    spark.read
-      .schema(ChangeRelation.schema(
+    sinkFor(cfg, table)
+      .readCommitted(spark, ChangeRelation.schema(
         cfg.tables.find(_.name == table).get.rowSchema))
-      .parquet(s"${cfg.outputDir}/$table/batch=*")
+      .drop("__row_id")
 
   /** Read-side FINAL — the reference's target-table semantics applied
     * over the landed log (truncate-aware via CdcApply.dropTruncated,

@@ -19,9 +19,84 @@ class BufferedSinkSpec extends SparkSpec {
     // crash-replay: same batch redelivered with different (stale) content
     assert(!sink.writeBatch(Seq(99L).toDF("id"), batchId = 1))
 
-    val all = spark.read.parquet(s"$dir/batch=*").as[Long].collect().sorted
+    val all = spark.read.parquet(s"$dir/batch=*")
+      .select("id").as[Long].collect().sorted
     assert(all.toSeq === Seq(1L, 2L, 3L))
     assert(sink.committedBatches() === Set(0L, 1L))
+  }
+
+  test("compaction bounds live batch dirs and preserves rows + arrival order") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val sink = new BufferedSink(dir, mergeThreshold = 3)
+    val perBatch = 4
+    var maxLive = 0
+    (0 until 7).foreach { b =>
+      val lsns = (b * perBatch + 1).toLong to ((b + 1) * perBatch).toLong
+      assert(sink.writeBatch(lsns.toDF("lsn"), b.toLong))
+      maxLive = math.max(maxLive, sink.liveBatchDirCount())
+    }
+    // bounded file growth: the threshold caps live dirs (a compaction
+    // fires the moment the count reaches it)
+    assert(maxLive <= 3, s"live batch dirs hit $maxLive > threshold")
+    assert(sink.liveBatchDirCount() <= 3)
+    // 7 batches with threshold 3 → at least two main segments exist
+    assert(sink.compactedBatches().size >= 6)
+
+    // every row exactly once, and __row_id sorts them back into the exact
+    // arrival order (batchId major, intra-batch lsn minor)
+    val rows = sink.readCommitted(spark)
+      .orderBy("__row_id").select("lsn").as[Long].collect()
+    assert(rows.toSeq === (1L to (7L * perBatch)))
+
+    // a batchId whose dir was retired by compaction is STILL deduped on
+    // replay — the committed manifest outlives the buffer dirs
+    assert(!sink.writeBatch(Seq(999L).toDF("lsn"), 0L))
+  }
+
+  test("crash between segment commit and batch-dir retirement self-repairs") {
+    val dir = Files.createTempDirectory("graft_crash").toString
+    val raw = new BufferedSink(dir) // landing only, no compaction
+    assert(raw.writeBatch(Seq(1L, 2L).toDF("lsn"), 0L))
+    assert(raw.writeBatch(Seq(3L).toDF("lsn"), 1L))
+
+    // preserve a copy of batch=0 to resurrect after compaction — the
+    // state a crash leaves when the segment move landed but the covered
+    // dirs were not yet deleted
+    val saved = Files.createTempDirectory("graft_saved")
+    copyTree(java.nio.file.Paths.get(dir, "batch=0"), saved.resolve("batch=0"))
+
+    val compacting = new BufferedSink(dir, mergeThreshold = 2)
+    compacting.maybeCompact(spark)
+    assert(compacting.liveBatchDirCount() === 0)
+    copyTree(saved.resolve("batch=0"), java.nio.file.Paths.get(dir, "batch=0"))
+
+    // the resurrected dir is covered by the segment metadata: reads must
+    // NOT double-count it
+    val lsns = compacting.readCommitted(spark).select("lsn").as[Long].collect().sorted
+    assert(lsns.toSeq === Seq(1L, 2L, 3L))
+    // and the next compaction opportunity retires the garbage dir
+    compacting.maybeCompact(spark)
+    assert(compacting.liveBatchDirCount() === 0)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "batch=0")))
+  }
+
+  test("replaying the segment move is idempotent (seg already committed)") {
+    val dir = Files.createTempDirectory("graft_segreplay").toString
+    val sink = new BufferedSink(dir, mergeThreshold = 2)
+    assert(sink.writeBatch(Seq(1L).toDF("lsn"), 0L))
+    assert(sink.writeBatch(Seq(2L).toDF("lsn"), 1L)) // triggers compaction
+    val before = sink.readCommitted(spark).select("lsn").as[Long].collect().sorted
+    sink.maybeCompact(spark) // nothing live; must not disturb the segment
+    val after = sink.readCommitted(spark).select("lsn").as[Long].collect().sorted
+    assert(before.toSeq === after.toSeq)
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    Files.walk(from).forEach { p =>
+      val dest = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else { Files.createDirectories(dest.getParent); Files.copy(p, dest) }
+    }
   }
 
   test("foreachBatch adapter drives a real streaming query exactly-once") {

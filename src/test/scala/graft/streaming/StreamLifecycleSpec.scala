@@ -77,6 +77,52 @@ class StreamLifecycleSpec extends SparkSpec {
     assert(state.toSet === Set((3L, "zz")))
   }
 
+  test("A11 compaction twin: merged main table == raw landed log, files bounded") {
+    val in = Files.createTempDirectory("graft_cmp_in")
+    def cfg(threshold: Int) = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = Files.createTempDirectory(s"graft_cmp_out$threshold").toString,
+      checkpointDir = Files.createTempDirectory(s"graft_cmp_ckpt$threshold").toString,
+      tables = Seq(StreamRunner.TableConfig(
+        "t", "ReplacingMergeTree", Seq("k"), ChangeRelation.testRow)),
+      mergeThreshold = threshold)
+    val compacted = cfg(2)
+    val raw = cfg(0)
+
+    def runBoth(): Unit = Seq(compacted, raw).foreach { c =>
+      val qs = StreamRunner.run(spark, c)
+      try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    }
+
+    // three passes with checkpointed restarts between them → ≥3 batches
+    writeFeed(in, "wal_000.json", Seq(
+      jline(1, "I", 1, "a"), jline(2, "U", 1, "b"), jline(3, "I", 2, "x")))
+    runBoth()
+    writeFeed(in, "wal_001.json", Seq(
+      jline(4, "D", 2, ""), jline(5, "I", 3, "z")))
+    runBoth()
+    writeFeed(in, "wal_002.json", Seq(
+      jline(6, "U", 3, "zz"), jline(7, "I", 4, "w")))
+    runBoth()
+
+    // identical change logs and identical FINAL state either way
+    def logRows(c: StreamRunner.RunnerConfig) =
+      StreamRunner.changeLog(spark, c, "t").select("lsn")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(logRows(compacted) === logRows(raw))
+    assert(logRows(compacted) === (1L to 7L))
+    def finalState(c: StreamRunner.RunnerConfig) =
+      StreamRunner.readFinal(spark, c, "t").select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(finalState(compacted) === finalState(raw))
+    assert(finalState(compacted) === Set((1L, "b"), (3L, "zz"), (4L, "w")))
+
+    // bounded buffer growth on the compacted side; unbounded on raw
+    val sink = new BufferedSink(s"${compacted.outputDir}/t", 2)
+    assert(sink.liveBatchDirCount() < sink.committedBatches().size)
+    assert(sink.liveBatchDirCount() <= 2)
+  }
+
   test("malformed WAL lines are dropped by policy, not poison pills") {
     val lines = Seq(
       jline(1, "I", 1, "a"),
