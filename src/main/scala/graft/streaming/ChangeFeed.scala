@@ -27,4 +27,67 @@ object ChangeFeed {
     if (dropMalformed) decoded.filter(col("lsn").isNotNull && col("op").isNotNull)
     else decoded
   }
+
+  /** Decode a `value: Binary` pgoutput-shaped frame feed (the reference's
+    * actual wire format — [[PgOutput]]) into the same [[ChangeRelation]]
+    * as [[fromJsonLines]], with the same poison-pill policy.
+    *
+    * The protocol is stateful — `R` (relation) frames define relid→table
+    * for subsequent tuple frames. Spark-native handling: when `relations`
+    * is empty the mapping is derived FROM the feed (latest `R` per relid,
+    * a tiny aggregate broadcast back over the tuple rows — the decode
+    * itself never shuffles the change stream). Deriving it needs the `R`
+    * frames visible in the same DataFrame, i.e. the batch path; a
+    * streaming query passes the static `relations` registry instead
+    * (pg2ch likewise keeps the live relation map outside the WAL loop).
+    *
+    * Tuple cells are PG text-format values cast positionally to
+    * `rowSchema`'s types by Catalyst; `n`/`u` cells are null.
+    */
+  def fromBinaryFrames(raw: DataFrame, rowSchema: StructType,
+                       dropMalformed: Boolean = true,
+                       relations: Map[Int, String] = Map.empty): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val frames = raw.select(col("value")).as[Array[Byte]].map(PgOutput.parse)
+
+    // relid → table name: static registry, or derived from R frames.
+    val rels =
+      if (relations.nonEmpty) relations.toSeq.toDF("relId", "relName")
+      else frames.filter(f => f.tag == "R")
+        .map(f => (f.relId, f.lsn.getOrElse(0L), f.relName))
+        .toDF("relId", "rlsn", "relName")
+        .groupBy("relId")
+        .agg(expr("max_by(relName, rlsn)").as("relName"))
+
+    // tuple/truncate frames → raw change rows (B/C framing and R frames
+    // carry no row data). Malformed frames surface with null op/lsn.
+    val rows = frames.flatMap { f =>
+      f.tag match {
+        case "I" | "U" | "D" =>
+          Seq((f.lsn, f.tag, f.relId, Option(f.before), Option(f.after)))
+        case "T" =>
+          f.relIds.map(r => (f.lsn, "T", r,
+            None: Option[Seq[String]], None: Option[Seq[String]]))
+        case "B" | "C" | "R" => Seq.empty
+        case _ => // malformed
+          Seq((None: Option[Long], null: String, -1,
+            None: Option[Seq[String]], None: Option[Seq[String]]))
+      }
+    }.toDF("lsn", "op", "relId", "bcells", "acells")
+
+    def side(cells: String): org.apache.spark.sql.Column =
+      when(col(cells).isNotNull, struct(rowSchema.fields.zipWithIndex.map {
+        case (f, i) => element_at(col(cells), i + 1).cast(f.dataType).as(f.name)
+      }: _*))
+
+    val decoded = rows
+      .join(broadcast(rels), rows("relId") === rels("relId"), "left")
+      .select(col("lsn"), col("op"), col("relName").as("table"),
+        side("bcells").as("before"), side("acells").as("after"))
+    if (dropMalformed)
+      decoded.filter(col("lsn").isNotNull && col("op").isNotNull &&
+        col("table").isNotNull)
+    else decoded
+  }
 }
