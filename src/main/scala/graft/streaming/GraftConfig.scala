@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import org.apache.spark.sql.types.StructType
+
+/** Config-file entry point — pg2ch is driven by a YAML file
+  * (`tables.<t>.{engine, key_columns, buffer_size, merge_threshold}` plus
+  * the inactivity flush timeout; `pkg/config` [recall:med] — SURVEY.md §0
+  * caveat, §3.4 lifecycle mapping), and a user of the reference boots the
+  * whole replication from that file. This loader parses the same shape
+  * into [[StreamRunner.RunnerConfig]].
+  *
+  * The environment has no YAML dependency (offline resolver), so this is
+  * a deliberately strict parser for exactly the pg2ch config shape — flat
+  * `key: value` scalars, one `tables:` block of named sub-blocks, `[a,b]`
+  * lists, `"…"` quoting, `#` comments — not a general YAML engine. Table
+  * row schemas are Spark DDL strings (`columns: "k BIGINT, v STRING"`),
+  * playing the role PG's catalog plays for the reference.
+  *
+  * ```yaml
+  * input_dir: /feeds/wal
+  * output_dir: /tables
+  * checkpoint_dir: /ckpt
+  * inactivity_flush_timeout: 5s
+  * merge_threshold: 3
+  * tables:
+  *   users:
+  *     engine: ReplacingMergeTree
+  *     key_columns: [k]
+  *     columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+  *     buffer_size: 1000
+  * ```
+  */
+object GraftConfig {
+
+  def load(path: String): StreamRunner.RunnerConfig =
+    parse(Files.readString(Paths.get(path)))
+
+  def parse(text: String): StreamRunner.RunnerConfig = {
+    val top = mutable.Map.empty[String, String]
+    val tables = mutable.LinkedHashMap.empty[String, mutable.Map[String, String]]
+    var inTables = false
+    var tableIndent = -1
+    var current: mutable.Map[String, String] = null
+
+    text.linesIterator.foreach { raw =>
+      val indent = raw.takeWhile(_ == ' ').length
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val (key, value) = splitKV(line)
+        if (indent == 0) {
+          if (key == "tables" && value.isEmpty) { inTables = true; tableIndent = -1 }
+          else { inTables = false; current = null; top(key) = value }
+        } else if (inTables && value.isEmpty && (tableIndent < 0 || indent <= tableIndent)) {
+          tableIndent = indent
+          current = mutable.Map.empty[String, String]
+          tables(key) = current
+        } else {
+          require(current != null, s"config attribute outside a table block: $line")
+          current(key) = value
+        }
+      }
+    }
+
+    def req(m: collection.Map[String, String], k: String, ctx: String): String =
+      m.getOrElse(k, throw new IllegalArgumentException(s"config: missing '$k' in $ctx"))
+
+    val tcs = tables.map { case (name, attrs) =>
+      StreamRunner.TableConfig(
+        name = name,
+        engine = req(attrs, "engine", s"table $name"),
+        keyColumns = list(attrs.getOrElse("key_columns", "[]")),
+        rowSchema = StructType.fromDDL(req(attrs, "columns", s"table $name")),
+        bufferSize = attrs.get("buffer_size").map(_.toInt).getOrElse(0))
+    }.toSeq
+    require(tcs.nonEmpty, "config: no tables declared")
+
+    StreamRunner.RunnerConfig(
+      inputDir = req(top, "input_dir", "top level"),
+      outputDir = req(top, "output_dir", "top level"),
+      checkpointDir = req(top, "checkpoint_dir", "top level"),
+      tables = tcs,
+      mergeThreshold = top.get("merge_threshold").map(_.toInt).getOrElse(0),
+      inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs))
+  }
+
+  /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */
+  def durationMs(s: String): Long = {
+    val m = raw"(\d+)\s*(ms|s|m|h)".r
+    s.trim match {
+      case m(n, "ms") => n.toLong
+      case m(n, "s") => n.toLong * 1000L
+      case m(n, "m") => n.toLong * 60000L
+      case m(n, "h") => n.toLong * 3600000L
+      case other => throw new IllegalArgumentException(s"bad duration: '$other'")
+    }
+  }
+
+  private def splitKV(line: String): (String, String) = {
+    val i = line.indexOf(':')
+    require(i > 0, s"bad config line (expected 'key: value'): $line")
+    (line.take(i).trim, unquote(line.drop(i + 1).trim))
+  }
+
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\"")) {
+      v.substring(1, v.length - 1)
+    } else v
+
+  private def list(v: String): Seq[String] =
+    if (v.startsWith("[") && v.endsWith("]")) {
+      v.substring(1, v.length - 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    } else if (v.isEmpty) Seq.empty
+    else Seq(v)
+}

@@ -28,12 +28,19 @@ object StreamRunner {
 
   /** Per-table replication config — the Spark-native form of the
     * reference's `tables.<name>` block.
+    *
+    * `bufferSize` is pg2ch's per-table flush threshold (rows buffered
+    * before a flush). Structured Streaming batches by trigger + source
+    * chunking rather than row count, so it maps onto the file source's
+    * `maxFilesPerTrigger` batching knob (>0 → that many feed files per
+    * micro-batch) — advisory, not a hard row bound.
     */
   final case class TableConfig(
       name: String,
       engine: String, // MergeTree | ReplacingMergeTree | CollapsingMergeTree
       keyColumns: Seq[String],
-      rowSchema: StructType)
+      rowSchema: StructType,
+      bufferSize: Int = 0)
 
   final case class RunnerConfig(
       inputDir: String, // JSON-lines WAL feed directory (readStream.text)
@@ -41,7 +48,10 @@ object StreamRunner {
       checkpointDir: String,
       tables: Seq[TableConfig],
       // A11: promote buffer batches into main/ every N flushes (0 = never)
-      mergeThreshold: Int = 0)
+      mergeThreshold: Int = 0,
+      // pg2ch's inactivity_flush_timeout → Trigger.ProcessingTime: fire a
+      // micro-batch on this cadence even when the feed idles (SURVEY §3.4)
+      inactivityFlushMs: Option[Long] = None)
 
   private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink =
     new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
@@ -50,13 +60,17 @@ object StreamRunner {
   def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] =
     cfg.tables.map { tc =>
       val sink = sinkFor(cfg, tc.name)
-      ChangeFeed.fromJsonLines(spark.readStream.text(cfg.inputDir), tc.rowSchema)
+      val reader = spark.readStream
+      if (tc.bufferSize > 0) reader.option("maxFilesPerTrigger", tc.bufferSize)
+      val writer = ChangeFeed.fromJsonLines(reader.text(cfg.inputDir), tc.rowSchema)
         .filter(col("table") === tc.name)
         .writeStream
         .queryName(s"graft_replicate_${tc.name}")
         .option("checkpointLocation", s"${cfg.checkpointDir}/${tc.name}")
         .foreachBatch(sink.forEachBatch _)
-        .start()
+      cfg.inactivityFlushMs.foreach(ms =>
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
+      writer.start()
     }
 
   /** The landed change log for a table: main segments ∪ live buffer

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Config-file entry point (VERDICT r02 "What's missing" #3): the full
+  * replication boots from a pg2ch-shaped config file, and the inactivity
+  * flush timeout reaches the streaming query as Trigger.ProcessingTime.
+  */
+class GraftConfigSpec extends SparkSpec {
+
+  private def j(lsn: Long, op: String, table: String, k: Long, v: String): String = {
+    val after = if (op == "I" || op == "U") s""","after":{"k":$k,"v":"$v"}""" else ""
+    val before = if (op == "U" || op == "D") s""","before":{"k":$k,"v":"old"}""" else ""
+    s"""{"lsn":$lsn,"op":"$op","table":"$table"$before$after}"""
+  }
+
+  private def writeFeed(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def configText(in: String, out: String, ckpt: String): String =
+    s"""# graft replication config (pg2ch-shaped)
+       |input_dir: $in
+       |output_dir: $out
+       |checkpoint_dir: $ckpt
+       |inactivity_flush_timeout: 250ms
+       |merge_threshold: 2
+       |tables:
+       |  users:
+       |    engine: ReplacingMergeTree
+       |    key_columns: [k]
+       |    columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+       |    buffer_size: 10
+       |  audit:
+       |    engine: MergeTree
+       |    key_columns: [k]
+       |    columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+       |""".stripMargin
+
+  test("config file parses into the full runner shape") {
+    val cfgFile = Files.createTempFile("graft_cfg", ".yml")
+    Files.writeString(cfgFile, configText("/in", "/out", "/ckpt"))
+    val cfg = GraftConfig.load(cfgFile.toString)
+    assert(cfg.inputDir === "/in")
+    assert(cfg.mergeThreshold === 2)
+    assert(cfg.inactivityFlushMs === Some(250L))
+    assert(cfg.tables.map(_.name) === Seq("users", "audit"))
+    val users = cfg.tables.head
+    assert(users.engine === "ReplacingMergeTree")
+    assert(users.keyColumns === Seq("k"))
+    assert(users.bufferSize === 10)
+    assert(users.rowSchema.fieldNames.toSeq === ChangeRelation.testRow.fieldNames.toSeq)
+    assert(users.rowSchema.map(_.dataType) === ChangeRelation.testRow.map(_.dataType))
+  }
+
+  test("boot the replication from the config file; trigger is wired") {
+    val in = Files.createTempDirectory("graft_cfg_in")
+    val out = Files.createTempDirectory("graft_cfg_out").toString
+    val ckpt = Files.createTempDirectory("graft_cfg_ckpt").toString
+    val cfgFile = Files.createTempFile("graft_cfg", ".yml")
+    Files.writeString(cfgFile, configText(in.toString, out, ckpt))
+    val cfg = GraftConfig.load(cfgFile.toString)
+
+    writeFeed(in, "wal_000.json", Seq(
+      j(1, "I", "users", 1, "a"), j(2, "U", "users", 1, "b"),
+      j(3, "I", "audit", 100, "log-1")))
+
+    val queries = StreamRunner.run(spark, cfg)
+    try {
+      // the inactivity timeout must reach the query as ProcessingTime —
+      // assert on the running StreamExecution, not just our config object
+      queries.foreach { q =>
+        val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery
+        assert(exec.trigger === Trigger.ProcessingTime(250L))
+      }
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+
+    val users = StreamRunner.readFinal(spark, cfg, "users")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(users.toSet === Set((1L, "b")))
+    val audit = StreamRunner.readFinal(spark, cfg, "audit")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(audit.toSet === Set((100L, "log-1")))
+  }
+
+  test("malformed configs fail with a named missing key") {
+    val noEngine =
+      """input_dir: /in
+        |output_dir: /out
+        |checkpoint_dir: /ckpt
+        |tables:
+        |  t:
+        |    columns: "k BIGINT"
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfig.parse(noEngine))
+    assert(e.getMessage.contains("engine"))
+    val noTables = "input_dir: /in\noutput_dir: /out\ncheckpoint_dir: /ckpt\n"
+    val e2 = intercept[IllegalArgumentException](GraftConfig.parse(noTables))
+    assert(e2.getMessage.contains("no tables"))
+  }
+
+  test("durations parse across units") {
+    assert(GraftConfig.durationMs("500ms") === 500L)
+    assert(GraftConfig.durationMs("5s") === 5000L)
+    assert(GraftConfig.durationMs("2m") === 120000L)
+    assert(GraftConfig.durationMs("1h") === 3600000L)
+    intercept[IllegalArgumentException](GraftConfig.durationMs("fast"))
+  }
+}
