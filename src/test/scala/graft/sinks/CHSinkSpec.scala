@@ -47,6 +47,103 @@ class CHSinkSpec extends SparkSpec {
     assert(readBack(dir, "t") === rows.map { case (k, v) => k -> Option(v) }.toMap)
   }
 
+  /** Embedded stand-in for ClickHouse's HTTP insert surface: accepts
+    * `POST /?query=INSERT INTO <t> FORMAT TabSeparated`, stores each block
+    * keyed by (table, batch, partition) — LAST WRITE WINS, which is the
+    * insert-block dedup contract replicated CH tables give pg2ch.
+    */
+  private final class StubCH {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val blocks = new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), String]()
+    val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = java.net.URLDecoder.decode(
+          Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
+        val table = q.stripPrefix("query=INSERT INTO ").takeWhile(_ != ' ')
+        val batch = ex.getRequestHeaders.getFirst("X-Graft-Batch").toLong
+        val part = ex.getRequestHeaders.getFirst("X-Graft-Partition").toInt
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        blocks.put((table, batch, part), body)
+        posts.incrementAndGet()
+        ex.sendResponseHeaders(200, -1L)
+        ex.close()
+      }
+    })
+    server.start()
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def lines(table: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      blocks.asScala.collect { case ((t, _, _), body) if t == table =>
+        body.split("\n", -1).filter(_.nonEmpty).toSeq
+      }.flatten.toSeq
+    }
+  }
+
+  private val nasty: Seq[(Long, String)] = Seq(
+    1L -> "plain", 2L -> "tab\there", 3L -> "nl\nhere",
+    4L -> "back\\slash", 5L -> "\\N", 6L -> "", 7L -> null)
+
+  test("HTTP sink ships byte-identical TSV lines to the filesystem sink") {
+    val ch = new StubCH
+    try {
+      val fsDir = Files.createTempDirectory("graft_http_fs").toString
+      val fs = new FsCHSink(fsDir)
+      val http = new HttpCHSink(ch.endpoint,
+        Files.createTempDirectory("graft_http_state").toString)
+      val df = nasty.toDF("id", "payload")
+      assert(fs.insert(df, "t", 0))
+      assert(http.insert(df, "t", 0))
+      val fsLines = spark.read.text(s"$fsDir/t/batch=0")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(ch.lines("t").sorted === fsLines)
+    } finally ch.stop()
+  }
+
+  test("replayed batchId over HTTP is a no-op (client manifest layer)") {
+    val ch = new StubCH
+    try {
+      val http = new HttpCHSink(ch.endpoint,
+        Files.createTempDirectory("graft_http_replay").toString)
+      val df = nasty.toDF("id", "payload")
+      assert(http.insert(df, "t", 7))
+      val shipped = ch.posts.get()
+      assert(!http.insert(Seq((99L, "stale")).toDF("id", "payload"), "t", 7))
+      assert(ch.posts.get() === shipped, "replay must not POST again")
+      assert(http.committedBatches("t") === Set(7L))
+    } finally ch.stop()
+  }
+
+  test("crash before manifest: re-ship is absorbed by server block dedup") {
+    val ch = new StubCH
+    try {
+      val df = nasty.toDF("id", "payload").repartition(2)
+      // first ship, then a 'crashed' client with a FRESH manifest re-ships
+      // the same batch — the (table, batch, partition) keys collide and
+      // the server keeps exactly one copy of every block
+      val s1 = new HttpCHSink(ch.endpoint,
+        Files.createTempDirectory("graft_http_s1").toString)
+      assert(s1.insert(df, "t", 3))
+      val once = ch.lines("t").sorted
+      val s2 = new HttpCHSink(ch.endpoint,
+        Files.createTempDirectory("graft_http_s2").toString)
+      assert(s2.insert(df, "t", 3))
+      assert(ch.lines("t").sorted === once, "re-shipped blocks must dedup")
+      assert(once.size === nasty.size)
+    } finally ch.stop()
+  }
+
+  test("a failing ClickHouse endpoint fails the batch loudly") {
+    val http = new HttpCHSink("http://127.0.0.1:1",
+      Files.createTempDirectory("graft_http_down").toString)
+    intercept[org.apache.spark.SparkException] {
+      http.insert(nasty.toDF("id", "payload"), "t", 0)
+    }
+    assert(http.committedBatches("t") === Set.empty, "no manifest on failure")
+  }
+
   test("property: arbitrary strings roundtrip through the sink files") {
     val genCell: Gen[String] = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar, 2 -> Gen.oneOf('\t', '\n', '\\'),
