@@ -38,20 +38,46 @@ object MinHash {
 
   /** End-to-end candidate-pair generation: docs(idCol, textCol) →
     * (id1, id2) distinct pairs sharing ≥1 LSH band.
+    *
+    * `maxBandSize` is the hot-band guard: a band bucket of B docs emits
+    * B·(B−1)/2 pairs, so ONE bucket of thousands of near-identical
+    * documents (boilerplate, templated spam — routine in web corpora)
+    * goes quadratic and dominates the whole job. Buckets above the cap
+    * are skipped entirely — the standard mega-bucket policy for LSH
+    * dedup: such buckets are near-certain duplicate CLIQUES, and their
+    * membership is already established by far cheaper exact-hash dedup;
+    * what LSH exists to find is the long tail. The oversized-key set is
+    * tiny by construction (≤ corpus/cap keys), so the guard is one
+    * broadcast anti-join — the band stream never reshuffles for it.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                     numHashes: Int = 16, bands: Int = 4,
+                     maxBandSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
-    val keyed = docs
+    val keyed0 = docs
       .withColumn("__sh", shingles(col(textCol)))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", signature(col("__sh"), numHashes))
       .select(col(idCol).as("id"), explode(bandKeys(col("__sig"), bands, rows)).as("band"))
+    val keyed = capBands(keyed0, "band", maxBandSize)
     keyed.as("a")
       .join(keyed.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
   }
+
+  /** Drop every row whose `bandCol` bucket exceeds `maxBandSize` (see
+    * [[candidatePairs]]). No-op at Int.MaxValue.
+    */
+  def capBands(keyed: DataFrame, bandCol: String, maxBandSize: Int): DataFrame =
+    if (maxBandSize == Int.MaxValue) keyed
+    else {
+      val oversized = keyed.groupBy(bandCol)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBandSize)
+        .select(bandCol)
+      keyed.join(broadcast(oversized), Seq(bandCol), "left_anti")
+    }
 
   /** Exact Jaccard over distinct shingle sets (candidate verification). */
   def jaccard(a: Column, b: Column): Column = {

@@ -247,7 +247,13 @@ object TextQueries {
         // corpus scale that is two full scans instead of one.
         val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = bands.as("a"); val b = bands.as("b")
+        // hot-band guard (graft.functions.MinHash.capBands): a bucket of B
+        // docs emits B²/2 pairs, so one mega-bucket of boilerplate goes
+        // quadratic; buckets over 100 are skipped (max observed bucket at
+        // sf0.1 is 11 — the cap never binds at test scale, it exists for
+        // the 100 TB corpus).
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val a = capped.as("a"); val b = capped.as("b")
         a.join(b, col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
@@ -265,9 +271,11 @@ object TextQueries {
            |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
            |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
            |mh AS (SELECT doc_id, $mhCols FROM sh),
-           |bands AS ($bandSelects)
+           |bands AS ($bandSelects),
+           |bandsc AS (SELECT doc_id, k FROM (SELECT doc_id, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100)
            |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM (
-           |SELECT DISTINCT a.doc_id, b.doc_id FROM bands a JOIN bands b
+           |SELECT DISTINCT a.doc_id, b.doc_id FROM bandsc a JOIN bandsc b
            |ON a.k = b.k AND a.doc_id < b.doc_id)""".stripMargin.replace("\n", " ")
       },
       tier = "E"),
@@ -298,8 +306,10 @@ object TextQueries {
         }
         val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = bands.as("a")
-          .join(bands.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        // hot-band guard, same policy as dedup_minhash_lsh above
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val cand = capped.as("a")
+          .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
         // SHUFFLE_HASH pins a shuffled hash join (both sides partitioned
@@ -332,7 +342,9 @@ object TextQueries {
            |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
            |mh AS (SELECT doc_id, $mhCols FROM sh),
            |bands AS ($bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+           |bandsc AS (SELECT doc_id, k FROM (SELECT doc_id, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bandsc a JOIN bandsc b
            |ON a.k = b.k AND a.doc_id < b.doc_id)
            |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
            |CAST(sum(CASE WHEN ja >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs

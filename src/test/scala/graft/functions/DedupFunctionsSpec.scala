@@ -22,6 +22,43 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
   }
 
+  test("hot-band cap: recall unchanged above the max bucket, quadratic cliques dropped") {
+    // fixture corpus + a 30-doc clique of identical boilerplate — the
+    // mega-bucket failure mode the cap exists for
+    val clique = (100L until 130L).map(i =>
+      (i, "identical boilerplate header repeated on every single page"))
+    val corpus = docs.union(clique.toDF("doc_id", "text"))
+
+    val uncapped = MinHash.candidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap ABOVE every bucket size (clique of 30 → bucket 30) is a no-op:
+    // candidate recall is unchanged on the fixture corpus
+    val capHigh = MinHash.candidatePairs(corpus, "doc_id", "text", maxBandSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capHigh === uncapped, "non-binding cap must not change candidates")
+
+    // a binding cap removes exactly the clique's quadratic pair burst and
+    // nothing else (the fixture's organic pairs all sit in buckets ≤ 3)
+    val capped = MinHash.candidatePairs(corpus, "doc_id", "text", maxBandSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cliquePairs = uncapped.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(cliquePairs.size === 30 * 29 / 2, "clique collides in every band")
+    assert(capped === uncapped -- cliquePairs,
+      "cap must drop only the over-cap clique bucket")
+  }
+
+  test("capBands leaves no bucket above the cap") {
+    val keyed = (0L until 40L).map(i => (i, if (i < 35) "hot" else s"cold$i"))
+      .toDF("id", "band")
+    Seq(1, 5, 34, 35, 100).foreach { cap =>
+      val sizes = MinHash.capBands(keyed, "band", cap)
+        .groupBy("band").count().select("count").collect().map(_.getLong(0))
+      assert(sizes.forall(_ <= cap), s"bucket above cap=$cap survived")
+    }
+    // Int.MaxValue short-circuits to the input plan
+    assert(MinHash.capBands(keyed, "band", Int.MaxValue).count() === 40L)
+  }
+
   test("identical docs have identical signatures; jaccard verifies candidates") {
     val sigs = docs.withColumn("sig", MinHash.signature(MinHash.shingles(col("text")), 16))
       .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
