@@ -90,4 +90,15 @@ object ChangeFeed {
         col("table").isNotNull)
     else decoded
   }
+
+  /** [[fromBinaryFrames]] over a base64 text feed — the file-directory
+    * delivery of the binary wire format (a text line per frame survives
+    * the line-oriented file stream source; a Kafka-shaped feed would hand
+    * `fromBinaryFrames` its raw binary `value` column directly).
+    */
+  def fromBase64Frames(raw: DataFrame, rowSchema: StructType,
+                       dropMalformed: Boolean = true,
+                       relations: Map[Int, String] = Map.empty): DataFrame =
+    fromBinaryFrames(raw.select(unbase64(col("value")).as("value")),
+      rowSchema, dropMalformed, relations)
 }

@@ -72,7 +72,8 @@ object GraftConfig {
         engine = req(attrs, "engine", s"table $name"),
         keyColumns = list(attrs.getOrElse("key_columns", "[]")),
         rowSchema = StructType.fromDDL(req(attrs, "columns", s"table $name")),
-        bufferSize = attrs.get("buffer_size").map(_.toInt).getOrElse(0))
+        bufferSize = attrs.get("buffer_size").map(_.toInt).getOrElse(0),
+        relId = attrs.get("relid").map(_.toInt).getOrElse(-1))
     }.toSeq
     require(tcs.nonEmpty, "config: no tables declared")
 
@@ -82,7 +83,8 @@ object GraftConfig {
       checkpointDir = req(top, "checkpoint_dir", "top level"),
       tables = tcs,
       mergeThreshold = top.get("merge_threshold").map(_.toInt).getOrElse(0),
-      inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs))
+      inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs),
+      feedFormat = top.getOrElse("feed_format", "json"))
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

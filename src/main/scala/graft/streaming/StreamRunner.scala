@@ -40,7 +40,11 @@ object StreamRunner {
       engine: String, // MergeTree | ReplacingMergeTree | CollapsingMergeTree
       keyColumns: Seq[String],
       rowSchema: StructType,
-      bufferSize: Int = 0)
+      bufferSize: Int = 0,
+      // pgoutput relation OID for binary feeds — the static relid→table
+      // registry a streaming decode needs (the batch path can derive it
+      // from the feed's R frames instead; see ChangeFeed.fromBinaryFrames)
+      relId: Int = -1)
 
   final case class RunnerConfig(
       inputDir: String, // JSON-lines WAL feed directory (readStream.text)
@@ -51,7 +55,10 @@ object StreamRunner {
       mergeThreshold: Int = 0,
       // pg2ch's inactivity_flush_timeout → Trigger.ProcessingTime: fire a
       // micro-batch on this cadence even when the feed idles (SURVEY §3.4)
-      inactivityFlushMs: Option[Long] = None)
+      inactivityFlushMs: Option[Long] = None,
+      // "json" (JSON-lines stand-in) | "pgoutput" (binary frames, base64
+      // text lines per frame — the reference's actual wire shape, A3)
+      feedFormat: String = "json")
 
   private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink =
     new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
@@ -62,7 +69,20 @@ object StreamRunner {
       val sink = sinkFor(cfg, tc.name)
       val reader = spark.readStream
       if (tc.bufferSize > 0) reader.option("maxFilesPerTrigger", tc.bufferSize)
-      val writer = ChangeFeed.fromJsonLines(reader.text(cfg.inputDir), tc.rowSchema)
+      val decoded = cfg.feedFormat match {
+        case "json" =>
+          ChangeFeed.fromJsonLines(reader.text(cfg.inputDir), tc.rowSchema)
+        case "pgoutput" =>
+          val rels = cfg.tables.filter(_.relId >= 0)
+            .map(t => t.relId -> t.name).toMap
+          require(rels.nonEmpty,
+            "pgoutput feed needs relid set on the configured tables")
+          ChangeFeed.fromBase64Frames(reader.text(cfg.inputDir), tc.rowSchema,
+            relations = rels)
+        case other =>
+          throw new IllegalArgumentException(s"unknown feed_format: $other")
+      }
+      val writer = decoded
         .filter(col("table") === tc.name)
         .writeStream
         .queryName(s"graft_replicate_${tc.name}")

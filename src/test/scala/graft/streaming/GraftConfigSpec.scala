@@ -90,6 +90,44 @@ class GraftConfigSpec extends SparkSpec {
     assert(audit.toSet === Set((100L, "log-1")))
   }
 
+  test("binary pgoutput feed boots from config with per-table relids") {
+    val in = Files.createTempDirectory("graft_bin_in")
+    val out = Files.createTempDirectory("graft_bin_out").toString
+    val ckpt = Files.createTempDirectory("graft_bin_ckpt").toString
+    val cfgFile = Files.createTempFile("graft_bin_cfg", ".yml")
+    Files.writeString(cfgFile,
+      s"""input_dir: ${in.toString}
+         |output_dir: $out
+         |checkpoint_dir: $ckpt
+         |feed_format: pgoutput
+         |tables:
+         |  users:
+         |    engine: ReplacingMergeTree
+         |    key_columns: [k]
+         |    columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+         |    relid: 42
+         |""".stripMargin)
+    val cfg = GraftConfig.load(cfgFile.toString)
+    assert(cfg.feedFormat === "pgoutput")
+    assert(cfg.tables.head.relId === 42)
+
+    // one base64 text line per binary frame
+    val b64 = java.util.Base64.getEncoder
+    val frames = Seq(
+      PgOutput.encodeInsert(1, 42, Seq("1", "a", null)),
+      PgOutput.encodeUpdate(2, 42, Seq("1", "a", null), Seq("1", "b", null)),
+      PgOutput.encodeInsert(3, 42, Seq("2", "x", "9.99")))
+      .map(b64.encodeToString)
+    writeFeed(in, "wal_000.b64", frames)
+
+    val queries = StreamRunner.run(spark, cfg)
+    try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+
+    val users = StreamRunner.readFinal(spark, cfg, "users")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(users.toSet === Set((1L, "b"), (2L, "x")))
+  }
+
   test("malformed configs fail with a named missing key") {
     val noEngine =
       """input_dir: /in
