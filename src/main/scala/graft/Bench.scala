@@ -20,10 +20,12 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
       // drop any per-query persist() blocks so caches never accumulate
-      // across the sweep (each query is billed for its own materialization).
+      // across the sweep — OUTSIDE the timed window (each query is billed
+      // for its own materialization, not for the cleanup).
       spark.catalog.clearCache()
-      Result(name, (System.nanoTime() - t0) / 1e9, err)
+      Result(name, sec, err)
     }
 
   private def jstr(s: String): String =
