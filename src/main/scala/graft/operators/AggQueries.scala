@@ -174,5 +174,32 @@ object AggQueries {
         s"""SELECT user_id, $cols FROM events
            |GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Conversion funnel (view → later purchase, ordered by event_id) —
+    // the classic event-analytics shape. Two chained hash aggregates,
+    // both partial+final: per-user conditional minima first (shuffle
+    // carries 2 longs per user), then one global row. No window, no
+    // per-user sort — at 100 TB the whole funnel is two map-side-combined
+    // exchanges.
+    "agg_event_funnel" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("event_id"))).as("fv"),
+            min(when(col("event_type") === "purchase", col("event_id"))).as("fp"))
+          .agg(
+            count(col("fv")).cast("long").as("viewers"),
+            count(col("fp")).cast("long").as("purchasers"),
+            sum(when(col("fv") < col("fp"), 1L).otherwise(0L)).cast("long").as("converted"))
+      },
+      Some("""SELECT CAST(count(fv) AS BIGINT) AS viewers,
+             |CAST(count(fp) AS BIGINT) AS purchasers,
+             |CAST(sum(CASE WHEN fv < fp THEN 1 ELSE 0 END) AS BIGINT) AS converted
+             |FROM (SELECT user_id,
+             |min(CASE WHEN event_type = 'view' THEN event_id END) AS fv,
+             |min(CASE WHEN event_type = 'purchase' THEN event_id END) AS fp
+             |FROM events GROUP BY user_id)""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

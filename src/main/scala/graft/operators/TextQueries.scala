@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -36,6 +37,75 @@ object TextQueries {
   private def simhashDuck: String = (0 until 16).map { b =>
     s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
   }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Shared MinHash→LSH→exact-Jaccard pipeline behind the verified dedup
+    * queries: returns (shingled docs, candidate pairs with `ja`). Scale
+    * notes live on `dedup_minhash_verified` below.
+    */
+  private def verifiedPipeline(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+    val withMh = (0 until 8).foldLeft(
+      base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
+      d.withColumn(s"mh$i",
+        expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+    }
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    }
+    val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-band guard, same policy as dedup_minhash_lsh
+    val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+    val cand = capped.as("a")
+      .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // SHUFFLE_HASH pins a shuffled hash join (both sides partitioned by
+    // the doc_id key; candidate side builds) — no sort, and no planner
+    // fallback to broadcasting the unbounded candidate side.
+    val withS1 = cand.hint("shuffle_hash")
+      .join(shs, col("d1") === col("doc_id"))
+      .select(col("d1"), col("d2"), col("s").as("s1"))
+    val pairs = withS1.hint("shuffle_hash")
+      .join(shs, col("d2") === col("doc_id"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
+      .withColumn("ja", pround(col("inter")
+        / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+    (base, pairs)
+  }
+
+  /** Oracle twin of [[verifiedPipeline]]: shared CTE prefix ending in a
+    * `pairs(d1, d2, ja)` relation (no trailing SELECT — callers append).
+    */
+  private val verifiedCtes: String = {
+    val mhCols = (0 until 8).map { i =>
+      s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+    }.mkString(" UNION ALL ")
+    val ja = proundSql("""CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+      | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)
+    s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+       |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM sh),
+       |bands AS ($bandSelects),
+       |bandsc AS (SELECT doc_id, k FROM (SELECT doc_id, k,
+       |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bandsc a JOIN bandsc b
+       |ON a.k = b.k AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT cand.d1, cand.d2, $ja AS ja FROM cand
+       |JOIN shs s1 ON s1.doc_id = cand.d1 JOIN shs s2 ON s2.doc_id = cand.d2)""".stripMargin.replace("\n", " ")
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -289,68 +359,60 @@ object TextQueries {
     // to the driver is the OOM scale-killer VERDICT r02 flagged).
     "dedup_minhash_verified" -> QueryDef(
       (spark, dir) => {
-        val base = t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 3)
-          .withColumn("shingles",
-            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
-        val withMh = (0 until 8).foldLeft(
-          base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
-          d.withColumn(s"mh$i",
-            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
-        }
-        val bandCols = (0 until 4).map { b =>
-          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
-        }
-        val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // hot-band guard, same policy as dedup_minhash_lsh above
-        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
-        val cand = capped.as("a")
-          .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        // SHUFFLE_HASH pins a shuffled hash join (both sides partitioned
-        // by the doc_id key; candidate side builds) — no sort, and no
-        // planner fallback to broadcasting the unbounded candidate side.
-        val withS1 = cand.hint("shuffle_hash")
-          .join(shs, col("d1") === col("doc_id"))
-          .select(col("d1"), col("d2"), col("s").as("s1"))
-        val pairs = withS1.hint("shuffle_hash")
-          .join(shs, col("d2") === col("doc_id"))
-          .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
-          .withColumn("ja", pround(col("inter")
-            / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+        val (_, pairs) = verifiedPipeline(spark, dir)
         pairs.agg(cnt("candidate_pairs"),
           sum(when(col("ja") >= 0.5, 1L).otherwise(0L)).cast("long").as("verified_pairs"))
       },
-      Some {
-        val mhCols = (0 until 8).map { i =>
-          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
-        }.mkString(", ")
-        val bandSelects = (0 until 4).map { b =>
-          s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
-        }.mkString(" UNION ALL ")
-        val ja = proundSql("""CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
-          | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)
-        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-           |WHERE len(string_split(text, ' ')) >= 3),
-           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
-           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
-           |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-           |mh AS (SELECT doc_id, $mhCols FROM sh),
-           |bands AS ($bandSelects),
-           |bandsc AS (SELECT doc_id, k FROM (SELECT doc_id, k,
-           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bandsc a JOIN bandsc b
-           |ON a.k = b.k AND a.doc_id < b.doc_id)
+      Some(s"""$verifiedCtes
            |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
            |CAST(sum(CASE WHEN ja >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
-           |FROM (SELECT $ja AS ja FROM cand
-           |JOIN shs s1 ON s1.doc_id = cand.d1 JOIN shs s2 ON s2.doc_id = cand.d2)""".stripMargin.replace("\n", " ")
+           |FROM pairs""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // The ACTIONABLE end of the dedup pipeline: verified near-dup pairs
+    // (ja ≥ 0.5) become a keep/drop decision — greedy keep-lowest-id
+    // (every doc appearing as the higher id of a verified pair drops).
+    // Scale shape: the dropped set is bounded by near-dup density and the
+    // decision join hash-shuffles on doc_id — corpus never broadcast.
+    // Defined over the shingled corpus (≥3 words), like the pipeline.
+    "dedup_keep_list" -> QueryDef(
+      (spark, dir) => {
+        val (base, pairs) = verifiedPipeline(spark, dir)
+        val dropped = pairs.filter(col("ja") >= 0.5).select(col("d2")).distinct()
+        base.select(col("doc_id"), col("lang"))
+          .join(dropped.hint("shuffle_hash"), col("doc_id") === col("d2"), "left")
+          .groupBy("lang")
+          .agg(cnt("docs"),
+            sum(when(col("d2").isNull, 1L).otherwise(0L)).cast("long").as("kept"))
+          .orderBy(col("lang"))
       },
+      Some(s"""$verifiedCtes,
+           |ver AS (SELECT DISTINCT d2 FROM pairs WHERE ja >= 0.5)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(CASE WHEN ver.d2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           |FROM docs LEFT JOIN ver ON docs.doc_id = ver.d2
+           |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Character-trigram frequency profile — the TRAINING side of n-gram
+    // language-ID (text_lang_id consumes such profiles). Explode emits
+    // 3-char grams; the shuffle carries grams + partial counts only.
+    "text_char_ngrams" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .filter(col("lang") === "en" && length(col("text")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")).as("g"))
+          .groupBy("g")
+          .agg(cnt("cnt"))
+          .orderBy(col("cnt").desc, col("g"))
+          .limit(20)
+      },
+      Some("""SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |SELECT unnest(list_transform(range(1, length(text) - 1),
+             |i -> substr(text, i, 3))) AS g
+             |FROM documents WHERE lang = 'en' AND length(text) >= 3)
+             |GROUP BY g ORDER BY cnt DESC, g LIMIT 20""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
     // SimHash fingerprints (16-bit, majority vote per bit over word
