@@ -98,6 +98,55 @@ class PgOutputSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("property: arbitrary frames roundtrip encode→parse exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCell: Gen[String] = Gen.oneOf(
+      Gen.const(null: String),
+      Gen.listOf(Gen.frequency(6 -> Gen.alphaNumChar,
+        1 -> Gen.oneOf('\t', '\n', '\\', 'é', '中'))).map(_.mkString))
+    val genTuple: Gen[Seq[String]] = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, genCell).map(_.toSeq))
+    val genFrame: Gen[(Long, Int, String, Seq[String], Seq[String])] = for {
+      lsn <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      relId <- Gen.chooseNum(1, 100000)
+      op <- Gen.oneOf("I", "U", "D")
+      before <- genTuple
+      after <- genTuple
+    } yield (lsn, relId, op, before, after)
+    val prop = Prop.forAllNoShrink(genFrame) { case (lsn, relId, op, before, after) =>
+      val bytes = op match {
+        case "I" => PgOutput.encodeInsert(lsn, relId, after)
+        case "U" => PgOutput.encodeUpdate(lsn, relId, before, after)
+        case "D" => PgOutput.encodeDelete(lsn, relId, before)
+      }
+      val f = PgOutput.parse(bytes)
+      f.tag == op && f.lsn.contains(lsn) && f.relId == relId &&
+        (op match {
+          case "I" => f.after == after && f.before == null
+          case "U" => f.after == after && f.before == before
+          case "D" => f.before == before && f.after == null
+        })
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: corrupted frames never throw, they parse as malformed or valid") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genBytes: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+      // a valid frame with one flipped byte — near-valid corruption
+      Gen.chooseNum(0, 30).map { i =>
+        val b = PgOutput.encodeInsert(7, 42, Seq("1", "abc", null))
+        if (i < b.length) b.updated(i, (b(i) ^ 0x5a).toByte) else b
+      })
+    val prop = Prop.forAllNoShrink(genBytes) { bytes =>
+      PgOutput.parse(bytes) != null // total: never throws
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tuple values cast positionally to the declared row types") {
     val bin = binDf(Seq(PgOutput.encodeInsert(1, Rel, Seq("7", "s", "12.34"))))
     val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
