@@ -84,7 +84,8 @@ object GraftConfig {
       tables = tcs,
       mergeThreshold = top.get("merge_threshold").map(_.toInt).getOrElse(0),
       inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs),
-      feedFormat = top.getOrElse("feed_format", "json"))
+      feedFormat = top.getOrElse("feed_format", "json"),
+      clickhouseUrl = top.get("clickhouse_url"))
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -58,7 +58,11 @@ object StreamRunner {
       inactivityFlushMs: Option[Long] = None,
       // "json" (JSON-lines stand-in) | "pgoutput" (binary frames, base64
       // text lines per frame — the reference's actual wire shape, A3)
-      feedFormat: String = "json")
+      feedFormat: String = "json",
+      // ClickHouse HTTP endpoint: when set, every landed batch is ALSO
+      // shipped engine-encoded over INSERT … FORMAT TabSeparated (A10's
+      // wire half; same batchId idempotency as the landing)
+      clickhouseUrl: Option[String] = None)
 
   private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink =
     new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
@@ -82,16 +86,55 @@ object StreamRunner {
         case other =>
           throw new IllegalArgumentException(s"unknown feed_format: $other")
       }
+      val chSink = cfg.clickhouseUrl.map(url =>
+        new graft.sinks.HttpCHSink(url, s"${cfg.outputDir}/_ch_state"))
       val writer = decoded
         .filter(col("table") === tc.name)
         .writeStream
         .queryName(s"graft_replicate_${tc.name}")
         .option("checkpointLocation", s"${cfg.checkpointDir}/${tc.name}")
-        .foreachBatch(sink.forEachBatch _)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          sink.writeBatch(batch, batchId)
+          // ship AFTER the landing commits: both layers are idempotent on
+          // batchId, so a crash between them replays into two no-ops
+          chSink.foreach(_.insert(encodeForCH(tc, batch), tc.name, batchId))
+          ()
+        }
       cfg.inactivityFlushMs.foreach(ms =>
         writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
       writer.start()
     }
+
+  /** Engine wire encoding for the ClickHouse buffer table — the aux
+    * columns pg2ch attaches before shipping (SURVEY §1.1): Replacing rows
+    * carry `ver = LSN` plus a `deleted` flag (ReplacingMergeTree(ver,
+    * is_deleted) form, so DELETE ships the old tuple as a tombstone);
+    * Collapsing ships the signed ±1 row pairs; plain MergeTree appends
+    * inserts only. Truncate markers never ship — pg2ch truncates the CH
+    * tables on receipt instead, and the landed log already frontier-drops.
+    */
+  def encodeForCH(tc: TableConfig, changes: DataFrame): DataFrame = {
+    val rowCols = tc.rowSchema.fieldNames.toSeq
+    tc.engine match {
+      case "ReplacingMergeTree" =>
+        val live = changes.filter(col("op") =!= ChangeRelation.OpTruncate)
+        val upserts = live
+          .filter(col("op") =!= ChangeRelation.OpDelete)
+          .select(rowCols.map(c => col(s"after.$c")) ++
+            Seq(col("lsn").as("ver"), lit(0).as("deleted")): _*)
+        val tombstones = live
+          .filter(col("op") === ChangeRelation.OpDelete)
+          .select(rowCols.map(c => col(s"before.$c")) ++
+            Seq(col("lsn").as("ver"), lit(1).as("deleted")): _*)
+        upserts.unionByName(tombstones)
+      case "CollapsingMergeTree" =>
+        CdcApply.toSignedRows(changes)
+          .select(rowCols.map(c => col(s"row.$c")) :+ col("sign"): _*)
+      case "MergeTree" =>
+        CdcApply.applyAppend(changes)
+      case other => throw new IllegalArgumentException(s"unknown engine: $other")
+    }
+  }
 
   /** The landed change log for a table: main segments ∪ live buffer
     * batches — identical rows whether or not compaction has run.

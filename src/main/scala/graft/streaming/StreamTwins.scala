@@ -76,6 +76,44 @@ object StreamTwins {
       .toDF("k", "lsn", "v", "deleted")
   }
 
+  /** CollapsingMergeTree as TRUE streaming state — the third engine's
+    * twin, completing the trio with [[replacingLatestStream]] (A6 append
+    * is plain append mode). Per ROW-VALUE key, custom state holds the
+    * running sign sum: insert +1, update (old −1, new +1), delete −1;
+    * every micro-batch emits the key's current net (Update mode). Rows
+    * whose net collapses to 0 are ClickHouse's merged-away pairs; net 1
+    * rows are the live table. Truncates stay on the foreachBatch path
+    * (same documented contract as the replacing twin — enforced here).
+    *
+    * State scales as O(live distinct row values), partitioned by row
+    * hash; the signed expansion is stateless and shuffle-free.
+    */
+  def collapsingNetStream(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .filter(col("op") =!= ChangeRelation.OpTruncate)
+      .select(col("op"),
+        col("before.k").as("bk"), col("before.v").as("bv"),
+        col("after.k").as("ak"), col("after.v").as("av"))
+      .as[(String, Option[Long], Option[String], Option[Long], Option[String])]
+      .flatMap {
+        case (ChangeRelation.OpInsert, _, _, ak, av) => Seq(((ak.get, av), 1))
+        case (ChangeRelation.OpUpdate, bk, bv, ak, av) =>
+          Seq(((bk.get, bv), -1), ((ak.get, av), 1))
+        case (ChangeRelation.OpDelete, bk, bv, _, _) => Seq(((bk.get, bv), -1))
+        case _ => Seq.empty
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[Int, (Long, Option[String], Int)](
+        GroupStateTimeout.NoTimeout) { case (key, it, state) =>
+          val net = state.getOption.getOrElse(0) + it.map(_._2).sum
+          state.update(net)
+          (key._1, key._2, net)
+        }
+      .toDF("k", "v", "net")
+  }
+
   /** Watermark-dropped late rows ≡ stream_late_data's `late` column: rows
     * arriving more than `watermark` behind the max seen ts never reach the
     * aggregate, so `sum(cnt)` over this stream counts only on-time rows.

@@ -57,4 +57,45 @@ class StreamRunnerSpec extends SparkSpec {
     assert(StreamRunner.changeLog(spark, cfg, "users").count() === 4L)
     assert(StreamRunner.changeLog(spark, cfg, "audit").count() === 2L)
   }
+
+  test("clickhouse_url ships engine-encoded rows alongside the landed log") {
+    val ch = new graft.sinks.StubCH
+    try {
+      val in = Files.createTempDirectory("graft_ch_in")
+      val cfg = StreamRunner.RunnerConfig(
+        inputDir = in.toString,
+        outputDir = Files.createTempDirectory("graft_ch_out").toString,
+        checkpointDir = Files.createTempDirectory("graft_ch_ckpt").toString,
+        tables = Seq(
+          StreamRunner.TableConfig("users", "ReplacingMergeTree", Seq("k"),
+            ChangeRelation.testRow),
+          StreamRunner.TableConfig("ledger", "CollapsingMergeTree", Seq("k"),
+            ChangeRelation.testRow)),
+        clickhouseUrl = Some(ch.endpoint))
+
+      writeFeed(in, "wal_000.json", Seq(
+        j(1, "I", "users", 1, "a"), j(2, "U", "users", 1, "b"),
+        j(3, "D", "users", 2, ""),
+        j(4, "I", "ledger", 10, "x"), j(5, "U", "ledger", 10, "y")))
+
+      val queries = StreamRunner.run(spark, cfg)
+      try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+
+      // Replacing wire rows: k \t v \t amt \t ver \t deleted
+      val users = ch.lines("users").map(_.split("\t", -1)).map(c =>
+        (c(0), c(1), c(3), c(4))).toSet
+      assert(users === Set(
+        ("1", "a", "1", "0"), ("1", "b", "2", "0"), // upserts, ver = lsn
+        ("2", "old", "3", "1"))) // DELETE ships the old tuple as tombstone
+
+      // Collapsing wire rows: k \t v \t amt \t sign — update = (-1, +1) pair
+      val ledger = ch.lines("ledger").map(_.split("\t", -1)).map(c =>
+        (c(0), c(1), c(3))).toSet
+      assert(ledger === Set(
+        ("10", "x", "1"), ("10", "old", "-1"), ("10", "y", "1")))
+
+      // the landed parquet log is unaffected by the tee
+      assert(StreamRunner.changeLog(spark, cfg, "users").count() === 3L)
+    } finally ch.stop()
+  }
 }

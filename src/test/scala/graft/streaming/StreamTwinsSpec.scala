@@ -96,6 +96,44 @@ class StreamTwinsSpec extends SparkSpec {
     assert(updates.filter(u => u._1 == 1L && u._2 == 4L).nonEmpty)
   }
 
+  test("mapGroupsWithState collapsing twin converges to batch collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    // insert+delete collapses away; insert+update nets to the new value;
+    // the churn for key 1 crosses the micro-batch boundary.
+    val b1 = Seq(
+      """{"lsn":1,"op":"I","table":"t","after":{"k":1,"v":"a"}}""",
+      """{"lsn":2,"op":"I","table":"t","after":{"k":2,"v":"x"}}""")
+    val b2 = Seq(
+      """{"lsn":3,"op":"U","table":"t","before":{"k":1,"v":"a"},"after":{"k":1,"v":"b"}}""",
+      """{"lsn":4,"op":"D","table":"t","before":{"k":2,"v":"x"}}""")
+    val mem = MemoryStream[String]
+    val nets = scala.collection.mutable.Map.empty[(Long, Option[String]), Int]
+    val q = StreamTwins.collapsingNetStream(
+        ChangeFeed.fromJsonLines(mem.toDF().toDF("value"), ChangeRelation.testRow))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          nets((r.getLong(0), Option(r.getString(1)))) = r.getInt(2))
+        ()
+      }
+      .start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // streaming survivors: rows whose final net != 0
+    val streamed = nets.collect { case ((k, v), net) if net != 0 => (k, v.orNull) }.toSet
+    // batch twin over the same four changes
+    val allChanges = ChangeFeed.fromJsonLines(
+      (b1 ++ b2).toDF("value"), ChangeRelation.testRow)
+    val batch = CdcApply.collapse(CdcApply.toSignedRows(allChanges))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, "b"))) // 1 netted to v=b; 2 collapsed away
+    // the collapsed-away history really netted to zero, not "never seen"
+    assert(nets((1L, Some("a"))) === 0)
+    assert(nets((2L, Some("x"))) === 0)
+  }
+
   test("file-source streaming twin over the REAL events table matches the batch query") {
     // the reference's steady-state loop over driver testdata: readStream
     // on the events parquet -> event-time tumbling agg, compared against
