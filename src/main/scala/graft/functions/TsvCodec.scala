@@ -44,4 +44,45 @@ object TsvCodec {
   /** Encode a full row of cells as one escaped TSV line. */
   def tsvLine(cells: Seq[Column]): Column =
     concat_ws("\t", cells.map(escape): _*)
+
+  /** ClickHouse wire rendering of one typed cell — the PG→CH value
+    * conversion pg2ch performs before TSV encoding (SURVEY.md §1.2):
+    * booleans ship as UInt8 `1`/`0` (CH has no true/false in
+    * TabSeparated), timestamps as `yyyy-MM-dd HH:mm:ss` (DateTime wire
+    * form, seconds precision), dates as `yyyy-MM-dd`; everything else is
+    * its SQL string cast. NULL handling stays in [[escape]] (`\N`).
+    */
+  def wireCell(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => when(c.isNull, lit(null: String))
+        .otherwise(when(c, lit("1")).otherwise(lit("0")))
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DateType => date_format(c, "yyyy-MM-dd")
+      case ArrayType(et, _) =>
+        // CH array literal: [1,2,3]; strings/dates single-quoted with
+        // \-escaping; nulls inside arrays are the NULL keyword
+        val rendered: Column = et match {
+          case StringType => transform(c, x => chQuote(x))
+          case BooleanType =>
+            transform(c, x => when(x, lit("1")).otherwise(lit("0")))
+          case TimestampType =>
+            transform(c, x => chQuote(date_format(x, "yyyy-MM-dd HH:mm:ss")))
+          case DateType => transform(c, x => chQuote(date_format(x, "yyyy-MM-dd")))
+          case _ => transform(c, _.cast("string"))
+        }
+        when(c.isNull, lit(null: String)).otherwise(
+          concat(lit("["), array_join(rendered, ",", "NULL"), lit("]")))
+      case _ => c.cast("string")
+    }
+  }
+
+  /** Single-quoted CH string literal: `\` and `'` escaped. */
+  private def chQuote(c: Column): Column =
+    when(c.isNull, lit(null: String)).otherwise(concat(lit("'"),
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("'"), lit("\\'")), lit("'")))
+
+  /** Schema-aware TSV line for a whole row — what the CH sinks ship. */
+  def tsvLineFor(df: org.apache.spark.sql.DataFrame): Column =
+    tsvLine(df.schema.fields.toSeq.map(f => wireCell(col(f.name), f.dataType)))
 }

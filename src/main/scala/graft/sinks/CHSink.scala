@@ -2,7 +2,6 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 import graft.functions.TsvCodec
 
 /** ClickHouse-shaped sink (SURVEY.md §7.1 M4) — the "custom sink" half of
@@ -56,7 +55,7 @@ final class FsCHSink(rootDir: String) extends CHSink {
     if (committedBatches(table).contains(batchId)) return false
     val staging = Paths.get(rootDir, table, "_staging", batchId.toString)
     val target = Paths.get(rootDir, table, s"batch=$batchId")
-    val line = TsvCodec.tsvLine(batch.columns.toSeq.map(col))
+    val line = TsvCodec.tsvLineFor(batch)
     batch.select(line.as("value")).write.mode("overwrite").text(staging.toString)
     Files.createDirectories(target.getParent)
     if (Files.exists(target)) { // crashed between move and manifest: keep it

@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 import graft.functions.TsvCodec
 
 /** HTTP ClickHouse sink — the wire half the reference actually ships over:
@@ -45,7 +44,7 @@ final class HttpCHSink(endpoint: String, stateDir: String) extends CHSink {
 
   override def insert(batch: DataFrame, table: String, batchId: Long): Boolean = {
     if (committedBatches(table).contains(batchId)) return false
-    val line = TsvCodec.tsvLine(batch.columns.toSeq.map(col))
+    val line = TsvCodec.tsvLineFor(batch)
     val url = endpoint // capture primitives, not `this`, into the closure
     val tbl = table
     val bid = batchId
