@@ -52,9 +52,14 @@ import org.apache.spark.sql.types.StructType
   *        feed's `lsn` by default). The per-batch row_number over it is a
   *        single-task sort bounded by the micro-batch size — the same
   *        bound as the reference's in-memory buffer.
+  * @param segmentMerge engine-aware row reduction applied to each
+  *        segment's rows as it compacts (ClickHouse's background
+  *        part-merge analog — [[CdcApply.mergeSlice]]); identity by
+  *        default (pg2ch copies buffer rows verbatim).
   */
 final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
-                         orderCols: Seq[String] = Seq("lsn")) {
+                         orderCols: Seq[String] = Seq("lsn"),
+                         segmentMerge: DataFrame => DataFrame = identity) {
 
   private val committed = Paths.get(tableDir, "_committed_batches")
   private val mainDir = Paths.get(tableDir, "main")
@@ -140,7 +145,7 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     val target = mainDir.resolve(s"seg-$segId")
     if (!Files.exists(target)) {
       val dirs = batches.toSeq.sorted.map(b => s"$tableDir/batch=$b")
-      spark.read.parquet(dirs: _*)
+      segmentMerge(spark.read.parquet(dirs: _*))
         .sort(col("__row_id"))
         .write.mode("overwrite").parquet(staging.toString)
       // coverage metadata INSIDE the staged segment: data + the record of

@@ -90,6 +90,37 @@ object CdcApply {
       .filter(col("net") =!= 0)
       .select(col("row.*"))
 
+  /** Within-segment merge — ClickHouse's background part-merge analog:
+    * when buffer batches compact into a main segment, a ReplacingMergeTree
+    * table's segment can drop every change row superseded by a same-key,
+    * higher-LSN change IN THE SAME slice (CH merges parts by applying the
+    * engine inside the part; read-side FINAL across parts is still
+    * needed, exactly like [[applyReplacing]] here). Truncate markers all
+    * survive, and a dropped row is by construction never a key's global
+    * maximum, so `readFinal` is bit-identical — the merge only bounds log
+    * growth to O(live keys + churn since last compaction) instead of
+    * O(all history). Non-replacing engines return the slice unchanged:
+    * append needs every row, and collapsing pair-cancellation is only
+    * sound between truncate boundaries — not worth the subtlety here.
+    */
+  def mergeSlice(slice: DataFrame, engine: String, keyCols: Seq[String]): DataFrame =
+    engine match {
+      case "ReplacingMergeTree" =>
+        val truncates = slice.filter(col("op") === ChangeRelation.OpTruncate)
+        val keyed = slice.filter(col("op") =!= ChangeRelation.OpTruncate)
+          .withColumns(keyCols.map(k => s"__key_$k" ->
+            coalesce(col(s"after.$k"), col(s"before.$k"))).toMap)
+        val w = Window
+          .partitionBy(keyCols.map(k => col(s"__key_$k")): _*)
+          .orderBy(col("lsn").desc)
+        keyed
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop(keyCols.map(k => s"__key_$k") :+ "__rn": _*)
+          .unionByName(truncates)
+      case _ => slice
+    }
+
   /** A12 restart dedup: drop redelivered changes at-or-below the persisted
     * per-table LSN frontier. Idempotent replay = filter + apply.
     */

@@ -24,12 +24,16 @@ import org.apache.spark.sql.types.StructType
   * checkpoint_dir: /ckpt
   * inactivity_flush_timeout: 5s
   * merge_threshold: 3
+  * merge_on_compact: true          # CH part-merge analog (optional)
+  * feed_format: pgoutput           # json (default) | pgoutput
+  * clickhouse_url: http://ch:8123  # ship TSV inserts too (optional)
   * tables:
   *   users:
   *     engine: ReplacingMergeTree
   *     key_columns: [k]
   *     columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
   *     buffer_size: 1000
+  *     relid: 42                   # pgoutput relation OID (binary feeds)
   * ```
   */
 object GraftConfig {
@@ -85,7 +89,8 @@ object GraftConfig {
       mergeThreshold = top.get("merge_threshold").map(_.toInt).getOrElse(0),
       inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs),
       feedFormat = top.getOrElse("feed_format", "json"),
-      clickhouseUrl = top.get("clickhouse_url"))
+      clickhouseUrl = top.get("clickhouse_url"),
+      mergeOnCompact = top.get("merge_on_compact").exists(_.toBoolean))
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

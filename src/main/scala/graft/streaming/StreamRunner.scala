@@ -62,10 +62,23 @@ object StreamRunner {
       // ClickHouse HTTP endpoint: when set, every landed batch is ALSO
       // shipped engine-encoded over INSERT … FORMAT TabSeparated (A10's
       // wire half; same batchId idempotency as the landing)
-      clickhouseUrl: Option[String] = None)
+      clickhouseUrl: Option[String] = None,
+      // CH background-merge analog: apply the table engine's row
+      // reduction inside each compacted segment (CdcApply.mergeSlice).
+      // Off by default — pg2ch copies buffer rows verbatim; ClickHouse's
+      // own merges do the reducing. readFinal is identical either way.
+      mergeOnCompact: Boolean = false)
 
-  private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink =
-    new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
+  private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
+    val segMerge: DataFrame => DataFrame =
+      if (cfg.mergeOnCompact)
+        cfg.tables.find(_.name == table)
+          .map(tc => CdcApply.mergeSlice(_: DataFrame, tc.engine, tc.keyColumns))
+          .getOrElse(identity[DataFrame] _)
+      else identity[DataFrame] _
+    new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold,
+      segmentMerge = segMerge)
+  }
 
   /** Start one streaming query per configured table. */
   def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] =

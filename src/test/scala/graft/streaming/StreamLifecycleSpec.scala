@@ -123,6 +123,52 @@ class StreamLifecycleSpec extends SparkSpec {
     assert(sink.liveBatchDirCount() <= 2)
   }
 
+  test("merge-on-compact (CH part-merge analog): smaller log, identical FINAL") {
+    val in = Files.createTempDirectory("graft_moc_in")
+    def cfg(merge: Boolean) = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = Files.createTempDirectory(s"graft_moc_out$merge").toString,
+      checkpointDir = Files.createTempDirectory(s"graft_moc_ckpt$merge").toString,
+      tables = Seq(StreamRunner.TableConfig(
+        "t", "ReplacingMergeTree", Seq("k"), ChangeRelation.testRow)),
+      mergeThreshold = 2, mergeOnCompact = merge)
+    val merged = cfg(true)
+    val raw = cfg(false)
+
+    def runBoth(): Unit = Seq(merged, raw).foreach { c =>
+      val qs = StreamRunner.run(spark, c)
+      try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    }
+
+    // heavy churn on key 1 (superseded rows are mergeable), a truncate,
+    // then more churn — three passes force ≥1 compaction on each side
+    writeFeed(in, "wal_000.json", Seq(
+      jline(1, "I", 1, "a"), jline(2, "U", 1, "b"), jline(3, "U", 1, "c")))
+    runBoth()
+    writeFeed(in, "wal_001.json", Seq(
+      jline(4, "T", 0, ""), jline(5, "I", 1, "post-t"), jline(6, "I", 2, "x")))
+    runBoth()
+    writeFeed(in, "wal_002.json", Seq(
+      jline(7, "U", 2, "y"), jline(8, "D", 1, "")))
+    runBoth()
+
+    def finalState(c: StreamRunner.RunnerConfig) =
+      StreamRunner.readFinal(spark, c, "t").select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // truncate wiped lsn 1-3; key 1 deleted at lsn 8; key 2 latest = y
+    assert(finalState(raw) === Set((2L, "y")))
+    assert(finalState(merged) === finalState(raw))
+
+    // the merged log is strictly smaller: within-segment superseded
+    // churn (lsn 1,2 behind 3) is gone, truncates all survive
+    val rawRows = StreamRunner.changeLog(spark, raw, "t").count()
+    val mergedRows = StreamRunner.changeLog(spark, merged, "t").count()
+    assert(rawRows === 8L)
+    assert(mergedRows < rawRows, s"merge dropped nothing ($mergedRows rows)")
+    assert(StreamRunner.changeLog(spark, merged, "t")
+      .filter(col("op") === "T").count() === 1L, "truncate markers survive")
+  }
+
   test("malformed WAL lines are dropped by policy, not poison pills") {
     val lines = Seq(
       jline(1, "I", 1, "a"),
