@@ -111,10 +111,18 @@ object GraftConfig {
     (line.take(i).trim, unquote(line.drop(i + 1).trim))
   }
 
+  /** Strip quotes; outside quotes, ` #` starts a trailing comment (a
+    * `#` inside a quoted value survives).
+    */
   private def unquote(v: String): String =
-    if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\"")) {
-      v.substring(1, v.length - 1)
-    } else v
+    if (v.startsWith("\"")) {
+      val close = v.indexOf('"', 1)
+      require(close > 0, s"unterminated quote in config value: $v")
+      v.substring(1, close)
+    } else {
+      val cut = v.indexOf(" #")
+      (if (cut >= 0) v.take(cut) else v).trim
+    }
 
   private def list(v: String): Seq[String] =
     if (v.startsWith("[") && v.endsWith("]")) {

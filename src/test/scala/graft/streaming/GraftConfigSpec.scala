@@ -144,6 +144,18 @@ class GraftConfigSpec extends SparkSpec {
     assert(e2.getMessage.contains("no tables"))
   }
 
+  test("the shipped example config parses and carries every knob") {
+    val cfg = GraftConfig.load("examples/replication.yml")
+    assert(cfg.tables.map(_.name) === Seq("users", "ledger", "audit"))
+    assert(cfg.tables.map(_.engine) ===
+      Seq("ReplacingMergeTree", "CollapsingMergeTree", "MergeTree"))
+    assert(cfg.mergeThreshold === 8)
+    assert(cfg.mergeOnCompact)
+    assert(cfg.inactivityFlushMs === Some(5000L))
+    assert(cfg.feedFormat === "json")
+    assert(cfg.tables.map(_.relId) === Seq(42, 43, 44))
+  }
+
   test("durations parse across units") {
     assert(GraftConfig.durationMs("500ms") === 500L)
     assert(GraftConfig.durationMs("5s") === 5000L)
