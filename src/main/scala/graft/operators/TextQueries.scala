@@ -29,14 +29,19 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "data", "value", "row")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  // 16-bit SimHash over word hashes: bit b is the majority vote of bit b
+  // w-bit SimHash over word hashes: bit b is the majority vote of bit b
   // across all word hashes. Generated from ONE loop for both engines.
-  private def simhashSpark: String = (0 until 16).map { b =>
+  // Width ≤ 60: the word hashes are 60-bit (15 hex digits of md5), so
+  // higher bits carry no signal — and 60 one-bits sum safely in a long.
+  private def simhashSparkW(w: Int): String = (0 until w).map { b =>
     s"(CASE WHEN 2 * size(filter(hs, h -> ((shiftright(h, $b) & 1) = 1))) > size(hs) THEN ${1L << b} ELSE 0 END)"
   }.mkString("cast(", " + ", " as bigint)")
-  private def simhashDuck: String = (0 until 16).map { b =>
+  private def simhashDuckW(w: Int): String = (0 until w).map { b =>
     s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
   }.mkString("CAST(", " + ", " AS BIGINT)")
+  // compact 16-bit form for the fingerprint query's declared output
+  private def simhashSpark: String = simhashSparkW(16)
+  private def simhashDuck: String = simhashDuckW(16)
 
   /** Shared MinHash→LSH→exact-Jaccard pipeline behind the verified dedup
     * queries: returns (shingled docs, candidate pairs with `ja`). Scale
@@ -429,6 +434,48 @@ object TextQueries {
               |SELECT doc_id, list_transform(string_split(text, ' '),
               |w -> ${hxDuck("w")}) AS hs FROM documents)
               |ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // SimHash pair-finding — the fingerprint's OTHER half (dedup_simhash
+    // above computes fingerprints; this finds the near-dup pairs). A
+    // 60-BIT simhash splits into 4 bands of 15 bits; docs sharing ANY
+    // band join, then exact hamming ≤ 3 verifies. Pigeonhole makes the
+    // band join EXACT at this radius (3 flips ruin ≤ 3 of 4 bands), and
+    // the 32768-value band key space keeps buckets near-singleton — a
+    // 16-bit fingerprint here would give 16 values per band and the
+    // join would degenerate toward all-pairs as the corpus grows.
+    "dedup_simhash_pairs" -> QueryDef(
+      (spark, dir) => {
+        val d = t(spark, dir, "documents")
+          .withColumn("hs", expr(s"transform(split(text, ' '), w -> ${hx("w")})"))
+          .select(col("doc_id"), expr(simhashSparkW(60)).as("sh"))
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("b"),
+            expr(s"shiftright(sh, ${15 * b}) & 32767").as("bits"))
+        }
+        val banded = d.select(col("doc_id"), col("sh"),
+          explode(array(bandCols: _*)).as("band"))
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            expr("bit_count(a.sh ^ b.sh)").cast("long").as("dist"))
+          .distinct()
+          .filter(col("dist") <= 3)
+          .orderBy(col("dist"), col("d1"), col("d2"))
+          .limit(300)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, ${simhashDuckW(60)} AS sh FROM (
+              |SELECT doc_id, list_transform(string_split(text, ' '),
+              |w -> ${hxDuck("w")}) AS hs FROM documents)),
+              |banded AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bits
+              |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b))
+              |SELECT d1, d2, dist FROM (
+              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+              |CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+              |FROM banded a JOIN banded b
+              |ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
+              |WHERE dist <= 3 ORDER BY dist, d1, d2 LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
     // n-gram Jaccard near-dup: probe docs vs same-lang candidates on
