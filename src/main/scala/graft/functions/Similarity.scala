@@ -20,24 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential double-fold dot product. */
+  /** Sequential double-fold dot product — the portable declarative form
+    * (usable with no session setup; higher-order fns are interpreted).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product (graft.plans.DotProductD) — bit-identical to
+    * [[dot]] (same left-to-right summation) but a tight primitive loop
+    * instead of an interpreted HOF walk; ~10x on probe×candidate joins.
+    * Needs the function registered on the session — the DataFrame entry
+    * points below do that themselves.
+    */
+  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  private def fastCosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
+
   /** Brute-force top-k: probes (small, broadcast) × candidates, window
     * row_number per probe. Exact; O(|probes| · |candidates|).
     */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.plans.DotProductD.register(probes.sparkSession)
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
       .join(candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
         col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("sim", fastCosine(col("pv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), col("sim"))
@@ -48,14 +62,16 @@ object Similarity {
     * bucketing is a map-side pass over the corpus. IVF works identically
     * with centroids + argmin distance instead of sign bits.
     */
-  def lshBuckets(vectors: DataFrame, hyperplanes: DataFrame): DataFrame =
+  def lshBuckets(vectors: DataFrame, hyperplanes: DataFrame): DataFrame = {
+    graft.plans.DotProductD.register(vectors.sparkSession)
     vectors
       .crossJoin(broadcast(hyperplanes.select(col("vec_id").as("hb"), col("embedding").as("hv"))))
       .withColumn("bit",
-        when(dot(col("embedding"), col("hv")) > 0, expr("shiftleft(1L, cast(hb as int))"))
+        when(fastDot(col("embedding"), col("hv")) > 0, expr("shiftleft(1L, cast(hb as int))"))
           .otherwise(0L))
       .groupBy("vec_id")
       .agg(sum(col("bit")).cast("long").as("bucket"), first(col("embedding")).as("embedding"))
+  }
 
   /** Bucketed ANN top-k: probes only search their own bucket. */
   def lshTopK(vectors: DataFrame, hyperplanes: DataFrame,
@@ -67,7 +83,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     broadcast(probes)
       .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("pv"), col("embedding")))
+      .withColumn("sim", fastCosine(col("pv"), col("embedding")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id").as("cand_id"), col("sim"))
@@ -108,7 +124,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     vecs.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .join(broadcast(withPv), "cand_id")
-      .withColumn("sim", cosine(col("pv"), col("cv")))
+      .withColumn("sim", fastCosine(col("pv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), col("sim"))

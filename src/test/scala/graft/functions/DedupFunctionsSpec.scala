@@ -93,6 +93,19 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(sims((0L, 2L)) === 1.0)
   }
 
+  test("fastDot is bit-identical to the declarative fold on real embeddings") {
+    graft.plans.DotProductD.register(spark)
+    val e = graft.core.t(spark, sf001, "embeddings")
+    val diff = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < 50 && col("b.vec_id") < 50)
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("slow"),
+        Similarity.fastDot(col("a.embedding"), col("b.embedding")).as("fast"))
+      .filter(col("slow") =!= col("fast")) // exact IEEE equality, no epsilon
+      .count()
+    assert(diff === 0L, "codegen dot must match the fold bit-for-bit")
+  }
+
   test("brute-force topk and lsh bucketing run on real embeddings") {
     val e = graft.core.t(spark, sf001, "embeddings")
     val bf = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 2).collect()
