@@ -97,4 +97,41 @@ object MinHash {
 
   /** Hamming distance between two simhashes (near-dup test: dist ≤ k). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: banded hamming join over [[simhash64]]
+    * fingerprints. The 64-bit fingerprint splits into 4 bands of 16 bits;
+    * docs sharing ANY band join, then exact hamming ≤ `maxHamming`
+    * verifies. Pigeonhole makes the band join EXACT for maxHamming ≤ 3
+    * (3 bit flips ruin at most 3 of the 4 bands).
+    *
+    * `maxBandSize` is the hot-bucket guard, same policy as
+    * [[candidatePairs]] — and MORE necessary here: identical documents
+    * share ALL four bands, so a mega-cluster of K copies emits ~4·K²/2
+    * join rows before distinct. Buckets over the cap are exact-dup
+    * cliques that hash-groupBy dedup establishes far cheaper; dropping
+    * them is one broadcast anti-join, never a reshuffle of the bands.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   maxBandSize: Int = Int.MaxValue): DataFrame = {
+    val bits = 16
+    val mask = (1L << bits) - 1
+    val d = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // shiftrightunsigned: band 3 covers the sign bit — an arithmetic shift
+    // would sign-extend and leak bit 63 into every high band key.
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = d.select(col("id"), col("sh"),
+      explode(array(bandCols: _*)).as("band"))
+    val capped = capBands(banded, "band", maxBandSize)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
 }

@@ -399,6 +399,44 @@ object TextQueries {
            |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // CLUSTER-correct dedup — the production semantics: near-dup
+    // similarity is not transitive (A~B, B~C without A~C), so keep/drop
+    // decides per connected COMPONENT of the verified-pair graph, keeping
+    // each cluster's min doc_id (dedup_keep_list above is the cheaper
+    // pairwise-greedy variant). Components via bounded min-id label
+    // propagation (functions.Graphs): per round, one hash join + partial
+    // agg over the (node, label) relation — 2 longs per node, the corpus
+    // never re-shuffles — and rounds = cluster diameter (shallow for
+    // near-dup graphs). Oracle: DuckDB recursive CTE transitive closure.
+    "dedup_cluster_components" -> QueryDef(
+      (spark, dir) => {
+        val (base, pairs) = verifiedPipeline(spark, dir)
+        val edges = pairs.filter(col("ja") >= 0.5).select(col("d1"), col("d2"))
+        val comp = graft.functions.Graphs.connectedComponents(edges, "d1", "d2")
+        base.select(col("doc_id"), col("lang"))
+          .join(comp.hint("shuffle_hash"), col("doc_id") === col("id"), "left")
+          .withColumn("keep",
+            when(col("id").isNull || col("component") === col("doc_id"), 1L)
+              .otherwise(0L))
+          .groupBy("lang")
+          .agg(cnt("docs"), sum(col("keep")).cast("long").as("kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""${verifiedCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |edges AS (SELECT d1, d2 FROM pairs WHERE ja >= 0.5),
+           |sym AS (SELECT d1 AS s, d2 AS d FROM edges UNION SELECT d2, d1 FROM edges),
+           |nodes AS (SELECT DISTINCT s AS id FROM sym),
+           |reach AS (SELECT id, id AS r FROM nodes
+           |UNION SELECT reach.id, sym.d AS r FROM reach JOIN sym ON reach.r = sym.s),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           |keepers AS (SELECT docs.doc_id, docs.lang,
+           |CASE WHEN comp.id IS NULL OR comp.component = docs.doc_id THEN 1 ELSE 0 END AS keep
+           |FROM docs LEFT JOIN comp ON docs.doc_id = comp.id)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(keep) AS BIGINT) AS kept
+           |FROM keepers GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Character-trigram frequency profile — the TRAINING side of n-gram
     // language-ID (text_lang_id consumes such profiles). Explode emits
     // 3-char grams; the shuffle carries grams + partial counts only.
@@ -455,8 +493,15 @@ object TextQueries {
         }
         val banded = d.select(col("doc_id"), col("sh"),
           explode(array(bandCols: _*)).as("band"))
-        banded.as("a")
-          .join(banded.as("b"),
+        // hot-band guard, same policy as the minhash family: IDENTICAL
+        // documents share all four bands, so one mega-cluster of K copies
+        // emits ~4·K²/2 join rows before distinct. Buckets over 100 are
+        // exact-dup cliques that dedup_exact_docs already establishes far
+        // cheaper; what the banded join exists to find is the long tail.
+        // One broadcast anti-join (MinHash.capBands) — no reshuffle.
+        val capped = graft.functions.MinHash.capBands(banded, "band", 100)
+        capped.as("a")
+          .join(capped.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
             expr("bit_count(a.sh ^ b.sh)").cast("long").as("dist"))
@@ -469,11 +514,13 @@ object TextQueries {
               |SELECT doc_id, list_transform(string_split(text, ' '),
               |w -> ${hxDuck("w")}) AS hs FROM documents)),
               |banded AS (SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bits
-              |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b))
+              |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+              |bandedc AS (SELECT doc_id, sh, b, bits FROM (SELECT doc_id, sh, b, bits,
+              |count(*) OVER (PARTITION BY b, bits) AS c FROM banded) WHERE c <= 100)
               |SELECT d1, d2, dist FROM (
               |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
               |CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
-              |FROM banded a JOIN banded b
+              |FROM bandedc a JOIN bandedc b
               |ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
               |WHERE dist <= 3 ORDER BY dist, d1, d2 LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),

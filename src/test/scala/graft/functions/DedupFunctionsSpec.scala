@@ -80,6 +80,30 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(dist(0, 1) < dist(0, 2))
   }
 
+  test("simhashPairs: banded join finds near-dups; hot-band cap bounds a mega-cluster") {
+    val pairs = MinHash.simhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), "exact dup is hamming 0 — must pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+
+    // mega-cluster: 150 identical docs share ALL four bands → ~4·K²/2 join
+    // rows uncapped. The cap drops those buckets entirely (they're exact-dup
+    // cliques, already established by hash dedup) and keeps the long tail.
+    val clique = (1000L until 1150L).map(i =>
+      (i, "identical boilerplate header repeated on every single page"))
+    val corpus = docs.union(clique.toDF("doc_id", "text"))
+    val capped = MinHash.simhashPairs(corpus, "doc_id", "text", maxBandSize = 100)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cappedPairs.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "over-cap clique buckets must be dropped")
+    assert(cappedPairs.contains((0L, 3L)), "long-tail pairs survive the cap")
+    // the bound the cap buys: band-join row count stays under cap²·bands
+    // instead of clique² (150·149/2 ≈ 11k pairs from the clique alone)
+    val uncapped = MinHash.simhashPairs(corpus, "doc_id", "text").count()
+    assert(uncapped >= 150L * 149 / 2, "uncapped mega-cluster goes quadratic")
+    assert(capped.count() < 100L, "capped join row count is bounded")
+  }
+
   test("cosine: orthogonal 0, identical 1, library matches manual fold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f))
