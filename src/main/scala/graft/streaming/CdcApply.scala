@@ -110,9 +110,17 @@ object CdcApply {
         val keyed = slice.filter(col("op") =!= ChangeRelation.OpTruncate)
           .withColumns(keyCols.map(k => s"__key_$k" ->
             coalesce(col(s"after.$k"), col(s"before.$k"))).toMap)
+        // deterministic tiebreak: equal-LSN changes to one key (snapshot
+        // rows land at lsn=0) would otherwise keep an arbitrary winner and
+        // compaction would not be bit-stable. __row_id is always present in
+        // a compaction slice (BufferedSink stamps it at write time); fall
+        // back to lsn-only for direct library calls on bare change logs.
+        val tiebreak =
+          if (slice.columns.contains("__row_id")) Seq(col("__row_id").desc)
+          else Seq.empty
         val w = Window
           .partitionBy(keyCols.map(k => col(s"__key_$k")): _*)
-          .orderBy(col("lsn").desc)
+          .orderBy(col("lsn").desc +: tiebreak: _*)
         keyed
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)

@@ -61,6 +61,9 @@ object StreamTwins {
       .select(
         coalesce(col("after.k"), col("before.k")).as("k"),
         col("lsn"), col("op"), col("after.v").as("v"))
+      // same guard as the collapsing twin: a non-truncate row with null
+      // structs on both sides would encode null into the non-nullable key
+      .filter(col("k").isNotNull)
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, String, Boolean), (Long, Long, String, Boolean)](
@@ -97,11 +100,16 @@ object StreamTwins {
         col("before.k").as("bk"), col("before.v").as("bv"),
         col("after.k").as("ak"), col("after.v").as("av"))
       .as[(String, Option[Long], Option[String], Option[Long], Option[String])]
+      // guarded extraction, never .get: a structurally valid change row
+      // with a null struct on its required side (op=I with no `after`)
+      // passes dropMalformed — an executor-side NoSuchElementException
+      // here would kill the whole streaming query, so such rows are
+      // dropped like any other malformed input instead.
       .flatMap {
-        case (ChangeRelation.OpInsert, _, _, ak, av) => Seq(((ak.get, av), 1))
-        case (ChangeRelation.OpUpdate, bk, bv, ak, av) =>
-          Seq(((bk.get, bv), -1), ((ak.get, av), 1))
-        case (ChangeRelation.OpDelete, bk, bv, _, _) => Seq(((bk.get, bv), -1))
+        case (ChangeRelation.OpInsert, _, _, Some(ak), av) => Seq(((ak, av), 1))
+        case (ChangeRelation.OpUpdate, Some(bk), bv, Some(ak), av) =>
+          Seq(((bk, bv), -1), ((ak, av), 1))
+        case (ChangeRelation.OpDelete, Some(bk), bv, _, _) => Seq(((bk, bv), -1))
         case _ => Seq.empty
       }
       .groupByKey(_._1)
