@@ -134,11 +134,22 @@ object PgOutput {
 
   // --------------------------------------------------------------- encode
 
+  /** Encode into a growable buffer: pgoutput text cells are TOAST-sized
+    * in real feeds (well past any fixed buffer), so on overflow the
+    * buffer doubles and the body is re-run — fixtures of any row size
+    * encode without a size precomputation pass.
+    */
   private def frame(lsn: Long, tag: Char)(body: ByteBuffer => Unit): Array[Byte] = {
-    val b = ByteBuffer.allocate(1 << 16)
-    b.putLong(lsn).put(tag.toByte)
-    body(b)
-    java.util.Arrays.copyOf(b.array(), b.position())
+    var cap = 1 << 16
+    while (true) {
+      val b = ByteBuffer.allocate(cap)
+      try {
+        b.putLong(lsn).put(tag.toByte)
+        body(b)
+        return java.util.Arrays.copyOf(b.array(), b.position())
+      } catch { case _: java.nio.BufferOverflowException => cap *= 2 }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def putStr16(b: ByteBuffer, s: String): Unit = {

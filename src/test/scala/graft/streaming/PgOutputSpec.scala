@@ -147,6 +147,68 @@ class PgOutputSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("mid-stream R redefinition: later tuples decode by NAME against the new column order") {
+    // first half: (k, v, amt); second half REORDERS to (amt, k, v).
+    // Name-based mapping must decode both correctly — positional decode
+    // would silently put "b" into k after the redefinition.
+    val bin = binDf(Seq(
+      PgOutput.encodeRelation(0, Rel, "t", Seq("k", "v", "amt")),
+      PgOutput.encodeInsert(1, Rel, Seq("1", "a", "1.00")),
+      PgOutput.encodeRelation(5, Rel, "t", Seq("amt", "k", "v")),
+      PgOutput.encodeInsert(6, Rel, Seq("2.00", "2", "b"))))
+    val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow)
+      .select("lsn", "after.k", "after.v", "after.amt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDecimal(3).toPlainString)).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, "a", "1.00"), (6L, 2L, "b", "2.00")))
+  }
+
+  test("mid-stream column ADD: old tuples null-fill, new tuples carry the column") {
+    val bin = binDf(Seq(
+      PgOutput.encodeRelation(0, Rel, "t", Seq("k", "v")),
+      PgOutput.encodeInsert(1, Rel, Seq("1", "a")), // 2 cells, pre-add
+      PgOutput.encodeRelation(5, Rel, "t", Seq("k", "v", "amt")),
+      PgOutput.encodeInsert(6, Rel, Seq("2", "b", "9.99")))) // 3 cells
+    val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow)
+      .select("lsn", "after.k", "after.amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.toPlainString))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, None), (6L, 2L, Some("9.99"))))
+  }
+
+  test("tuple arity disagreeing with the governing definition is poison, not misdecode") {
+    val bin = binDf(Seq(
+      PgOutput.encodeRelation(0, Rel, "t", Seq("k", "v", "amt")),
+      PgOutput.encodeInsert(1, Rel, Seq("1", "a", null)), // aligned
+      PgOutput.encodeInsert(2, Rel, Seq("2", "b")))) // 2 cells vs 3 cols
+    val dropped = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow)
+    assert(dropped.select("lsn").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val strict = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
+      dropMalformed = false)
+    assert(strict.filter("op IS NULL").count() === 1L)
+  }
+
+  test("cell-level corruption degrades to null (try_cast), not a dead stream") {
+    // ANSI mode is ON in Spark 4 — a strict cast of 'NaN-ish' text into
+    // BIGINT would throw CAST_INVALID_INPUT on an executor and kill the
+    // query; the decode must instead null the cell and keep the row.
+    val bin = binDf(Seq(
+      PgOutput.encodeInsert(1, Rel, Seq("not-a-number", "ok", "12.34"))))
+    val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
+      relations = Map(Rel -> "t"))
+    val r = out.select("after.k", "after.v", "after.amt").collect().head
+    assert(r.isNullAt(0), "uncastable BIGINT cell → null")
+    assert(r.getString(1) === "ok", "row survives with its good cells")
+    assert(r.getDecimal(2) === new java.math.BigDecimal("12.34"))
+  }
+
+  test("TOAST-sized cells: the encode buffer grows past 64 KiB and roundtrips") {
+    val big = "x" * (1 << 18) // 256 KiB cell — pgoutput ships these routinely
+    val bytes = PgOutput.encodeInsert(9, Rel, Seq("1", big, null))
+    val f = PgOutput.parse(bytes)
+    assert(f.tag === "I" && f.after(1) === big)
+  }
+
   test("tuple values cast positionally to the declared row types") {
     val bin = binDf(Seq(PgOutput.encodeInsert(1, Rel, Seq("7", "s", "12.34"))))
     val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
