@@ -22,9 +22,18 @@ import graft.functions.TsvCodec
 trait CHSink {
 
   /** Idempotently ship one micro-batch of rows into `table`.
+    *
+    * `truncateFirst` = the batch carries a pgoutput `T` event: the sink
+    * truncates the target table before inserting (pg2ch truncates the CH
+    * tables on receipt of a Truncate message — SURVEY §2.A9). Both the
+    * truncate and the insert sit under the same (table, batchId)
+    * idempotency: a replayed batch re-truncates then re-inserts, which
+    * converges to the identical end state.
+    *
     * @return false iff this (table, batchId) was already shipped (replay).
     */
-  def insert(batch: DataFrame, table: String, batchId: Long): Boolean
+  def insert(batch: DataFrame, table: String, batchId: Long,
+             truncateFirst: Boolean = false): Boolean
 
   /** foreachBatch adapter for a single-table stream:
     * `stream.writeStream.foreachBatch(sink.forEachBatch("t") _)`.
@@ -51,8 +60,12 @@ final class FsCHSink(rootDir: String) extends CHSink {
     else Set.empty
   }
 
-  override def insert(batch: DataFrame, table: String, batchId: Long): Boolean = {
+  override def insert(batch: DataFrame, table: String, batchId: Long,
+                      truncateFirst: Boolean = false): Boolean = {
     if (committedBatches(table).contains(batchId)) return false
+    // truncateFirst is a no-op here by design: the Fs sink lands the raw
+    // wire lines as an append-only log (a file-drop delivery, not a live
+    // mirror); truncate semantics apply at the consuming end.
     val staging = Paths.get(rootDir, table, "_staging", batchId.toString)
     val target = Paths.get(rootDir, table, s"batch=$batchId")
     val line = TsvCodec.tsvLineFor(batch)

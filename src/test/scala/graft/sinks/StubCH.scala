@@ -10,17 +10,25 @@ final class StubCH {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   val blocks = new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), String]()
   val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val truncates = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val q = java.net.URLDecoder.decode(
         Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
-      val table = q.stripPrefix("query=INSERT INTO ").takeWhile(_ != ' ')
-      val batch = ex.getRequestHeaders.getFirst("X-Graft-Batch").toLong
-      val part = ex.getRequestHeaders.getFirst("X-Graft-Partition").toInt
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      blocks.put((table, batch, part), body)
-      posts.incrementAndGet()
+      if (q.startsWith("query=TRUNCATE TABLE ")) {
+        val table = q.stripPrefix("query=TRUNCATE TABLE ").takeWhile(_ != ' ')
+        blocks.keySet.removeIf(k => k._1 == table)
+        truncates.add(table)
+        ex.getRequestBody.readAllBytes()
+      } else {
+        val table = q.stripPrefix("query=INSERT INTO ").takeWhile(_ != ' ')
+        val batch = ex.getRequestHeaders.getFirst("X-Graft-Batch").toLong
+        val part = ex.getRequestHeaders.getFirst("X-Graft-Partition").toInt
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        blocks.put((table, batch, part), body)
+        posts.incrementAndGet()
+      }
       ex.sendResponseHeaders(200, -1L)
       ex.close()
     }
