@@ -32,9 +32,16 @@ import org.apache.spark.sql.types.StructType
   *     engine: ReplacingMergeTree
   *     key_columns: [k]
   *     columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+  *     columns_map: [k:user_id, v:payload]  # target:feed-column rename/subset (optional)
   *     buffer_size: 1000
   *     relid: 42                   # pgoutput relation OID (binary feeds)
   * ```
+  *
+  * `columns_map` is pg2ch's `tables.<t>.columns` subset/rename
+  * [recall:med]: `columns:` declares the TARGET schema; each
+  * `target:source` entry reads the feed cell named `source` into the
+  * `target` column (default: the target's own name), and feed columns no
+  * target maps are dropped.
   */
 object GraftConfig {
 
@@ -77,7 +84,16 @@ object GraftConfig {
         keyColumns = list(attrs.getOrElse("key_columns", "[]")),
         rowSchema = StructType.fromDDL(req(attrs, "columns", s"table $name")),
         bufferSize = attrs.get("buffer_size").map(_.toInt).getOrElse(0),
-        relId = attrs.get("relid").map(_.toInt).getOrElse(-1))
+        relId = attrs.get("relid").map(_.toInt).getOrElse(-1),
+        columnsMap = attrs.get("columns_map")
+          .map(v => list(v).map(pair => {
+            val i = pair.indexOf(':')
+            require(i > 0 && i < pair.length - 1,
+              s"config: bad columns_map entry '$pair' in table $name " +
+                "(expected target:source)")
+            (pair.take(i).trim, pair.drop(i + 1).trim)
+          }).toMap)
+          .getOrElse(Map.empty))
     }.toSeq
     require(tcs.nonEmpty, "config: no tables declared")
 

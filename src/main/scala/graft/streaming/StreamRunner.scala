@@ -1,8 +1,9 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's main loop as one library entry point (SURVEY.md §3.2,
@@ -10,19 +11,29 @@ import org.apache.spark.sql.types.StructType
   * maintained targets.
   *
   * pg2ch: config file lists `tables.<t>.{main_table, engine, buffer_size,
-  * merge_threshold}`; `replicator.Run()` tails the slot, routes decoded
-  * rows to per-table engines, buffers, flushes, persists LSN
-  * (`cmd/pg2ch/main.go`, `pkg/replicator` [recall:high] — SURVEY §0: paths
-  * from public-repo knowledge, /root/reference is empty).
+  * merge_threshold}`; `replicator.Run()` tails the slot ONCE, decodes each
+  * message once, and routes the decoded row to its table's engine by
+  * relation OID (`cmd/pg2ch/main.go`, `pkg/replicator`/`pkg/consumer`
+  * [recall:high] — SURVEY §0: paths from public-repo knowledge,
+  * /root/reference is empty).
   *
-  * Spark mapping: one streaming query PER TABLE (the reference's
-  * single-writer-per-table invariant), each reading the shared WAL feed
-  * directory, filtering its own relation, and landing the raw change log
-  * through [[BufferedSink]]'s two-phase batchId-idempotent commit. The
-  * target table semantics (Replacing FINAL / Collapsing net / append) are
+  * Spark mapping — SINGLE-DECODE ROUTED TOPOLOGY: one streaming query
+  * reads the shared WAL feed; inside `foreachBatch` the micro-batch is
+  * decoded ONCE into the untyped change relation ([[ChangeFeed]] raw
+  * layer, persisted in memory), then routed to every configured table as
+  * a cheap typed projection + [[BufferedSink]] two-phase batchId-
+  * idempotent landing. N configured tables cost ONE feed read + decode
+  * per micro-batch, not N — at a 100-table feed the per-table-query
+  * alternative re-reads and re-decodes the same WAL 100×, which is the
+  * first thing a real deployment hits (VERDICT r03 item 1).
+  *
+  * Crash semantics are unchanged from the per-table shape: each
+  * (table, batchId) landing is independently idempotent, so a crash
+  * mid-route replays the batch and already-landed tables no-op — the
+  * same contract pg2ch gets from its persisted per-table LSN. The target
+  * table semantics (Replacing FINAL / Collapsing net / append) are
   * applied AT READ TIME over the landed log — exactly ClickHouse's
-  * merge-on-read model — via [[readFinal]]. Checkpoint offsets are the
-  * persisted LSN; restart resumes exactly-once (StreamLifecycleSpec).
+  * merge-on-read model — via [[readFinal]].
   */
 object StreamRunner {
 
@@ -32,8 +43,15 @@ object StreamRunner {
     * `bufferSize` is pg2ch's per-table flush threshold (rows buffered
     * before a flush). Structured Streaming batches by trigger + source
     * chunking rather than row count, so it maps onto the file source's
-    * `maxFilesPerTrigger` batching knob (>0 → that many feed files per
-    * micro-batch) — advisory, not a hard row bound.
+    * `maxFilesPerTrigger` batching knob — advisory, not a hard row bound;
+    * the routed (single-query) topology applies the SMALLEST configured
+    * value, since one shared query cannot batch per table.
+    *
+    * `columnsMap` is pg2ch's `tables.<t>.columns` subset/rename
+    * [recall:med]: target column name → feed column name. `rowSchema`
+    * describes the TARGET columns; each reads the feed cell named
+    * `columnsMap(target)` (default: its own name), and feed columns not
+    * mapped by any target are dropped.
     */
   final case class TableConfig(
       name: String,
@@ -42,9 +60,17 @@ object StreamRunner {
       rowSchema: StructType,
       bufferSize: Int = 0,
       // pgoutput relation OID for binary feeds — the static relid→table
-      // registry a streaming decode needs (the batch path can derive it
-      // from the feed's R frames instead; see ChangeFeed.fromBinaryFrames)
-      relId: Int = -1)
+      // registry a streaming decode needs before the feed's own R frames
+      // arrive (those supersede it; see ChangeFeed.rawFromFrames)
+      relId: Int = -1,
+      columnsMap: Map[String, String] = Map.empty) {
+
+    /** Feed-side column names, in target-field order (the static relation
+      * definition's column list for binary feeds).
+      */
+    def feedColumns: Seq[String] =
+      rowSchema.fieldNames.toSeq.map(n => columnsMap.getOrElse(n, n))
+  }
 
   final case class RunnerConfig(
       inputDir: String, // JSON-lines WAL feed directory (readStream.text)
@@ -61,7 +87,9 @@ object StreamRunner {
       feedFormat: String = "json",
       // ClickHouse HTTP endpoint: when set, every landed batch is ALSO
       // shipped engine-encoded over INSERT … FORMAT TabSeparated (A10's
-      // wire half; same batchId idempotency as the landing)
+      // wire half; same batchId idempotency as the landing), and a
+      // truncate event truncates the CH mirror first — pg2ch truncates
+      // the CH tables on receipt of a T message (SURVEY §2.A9).
       clickhouseUrl: Option[String] = None,
       // CH background-merge analog: apply the table engine's row
       // reduction inside each compacted segment (CdcApply.mergeSlice).
@@ -80,57 +108,100 @@ object StreamRunner {
       segmentMerge = segMerge)
   }
 
-  /** Start one streaming query per configured table. */
-  def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] =
-    cfg.tables.map { tc =>
-      val sink = sinkFor(cfg, tc.name)
-      val reader = spark.readStream
-      if (tc.bufferSize > 0) reader.option("maxFilesPerTrigger", tc.bufferSize)
-      val decoded = cfg.feedFormat match {
-        case "json" =>
-          ChangeFeed.fromJsonLines(reader.text(cfg.inputDir), tc.rowSchema)
+  /** Start replication: ONE streaming query for every configured table
+    * (returned as a single-element Seq — callers iterate regardless).
+    */
+  def run(spark: SparkSession, cfg: RunnerConfig): Seq[StreamingQuery] = {
+    val sinks = cfg.tables.map(tc => tc.name -> sinkFor(cfg, tc.name)).toMap
+    val chSink = cfg.clickhouseUrl.map(url =>
+      new graft.sinks.HttpCHSink(url, s"${cfg.outputDir}/_ch_state"))
+    val reader = spark.readStream
+    cfg.tables.map(_.bufferSize).filter(_ > 0).reduceOption(_ min _)
+      .foreach(n => reader.option("maxFilesPerTrigger", n))
+    val writer = reader.text(cfg.inputDir)
+      .writeStream
+      .queryName("graft_replicate")
+      .option("checkpointLocation", s"${cfg.checkpointDir}/_routed")
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        routeBatch(spark, cfg, sinks, chSink, rawBatch, batchId)
+      }
+    cfg.inactivityFlushMs.foreach(ms => writer.trigger(Trigger.ProcessingTime(ms)))
+    Seq(writer.start())
+  }
+
+  /** One micro-batch: decode once, route to every table's sink.
+    *
+    * The decoded relation is persisted for the duration of the route, so
+    * table 2..N replay an in-memory projection, never the parse. For
+    * binary feeds the feed's `R` frames are also landed in a relation
+    * cache (`_relations/` parquet — pg2ch's live relation map, which must
+    * survive across micro-batches because a subscription sends each
+    * table's R frame ONCE, not once per batch). Cache writes are
+    * append-only and replay-safe: definitions are LSN-versioned, so
+    * re-landing the same defs is a no-op at resolution time.
+    */
+  private def routeBatch(spark: SparkSession, cfg: RunnerConfig,
+                         sinks: Map[String, BufferedSink],
+                         chSink: Option[graft.sinks.HttpCHSink],
+                         rawBatch: DataFrame, batchId: Long): Unit = {
+    val cleanup = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    try {
+      val decoded = (cfg.feedFormat match {
+        case "json" => ChangeFeed.fromJsonLinesRaw(rawBatch)
         case "pgoutput" =>
-          val rels = cfg.tables.filter(_.relId >= 0)
-            .map(t => t.relId -> t.name).toMap
-          require(rels.nonEmpty,
-            "pgoutput feed needs relid set on the configured tables")
-          ChangeFeed.fromBase64Frames(reader.text(cfg.inputDir), tc.rowSchema,
-            relations = rels)
+          val frames = ChangeFeed.parseBase64Frames(rawBatch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cleanup += (() => { frames.unpersist(); () })
+          val cacheDir = s"${cfg.outputDir}/_relations"
+          val feedDefs = ChangeFeed.relationDefs(frames)
+          if (!feedDefs.isEmpty)
+            feedDefs.write.mode("append").parquet(cacheDir)
+          val cached =
+            if (Files.isDirectory(Paths.get(cacheDir)))
+              Some(spark.read.parquet(cacheDir))
+            else None
+          val static = ChangeFeed.staticDefs(spark,
+            cfg.tables.filter(_.relId >= 0)
+              .map(tc => (tc.relId, tc.name, tc.feedColumns)))
+          val extra = cached.fold(static)(_.unionByName(static))
+          ChangeFeed.rawFromFrames(frames, extra)
         case other =>
           throw new IllegalArgumentException(s"unknown feed_format: $other")
-      }
-      val chSink = cfg.clickhouseUrl.map(url =>
-        new graft.sinks.HttpCHSink(url, s"${cfg.outputDir}/_ch_state"))
-      val writer = decoded
-        .filter(col("table") === tc.name)
-        .writeStream
-        .queryName(s"graft_replicate_${tc.name}")
-        .option("checkpointLocation", s"${cfg.checkpointDir}/${tc.name}")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          sink.writeBatch(batch, batchId)
-          // ship AFTER the landing commits: both layers are idempotent on
-          // batchId, so a crash between them replays into two no-ops
-          chSink.foreach(_.insert(encodeForCH(tc, batch), tc.name, batchId))
-          ()
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cleanup += (() => { decoded.unpersist(); () })
+
+      cfg.tables.foreach { tc =>
+        val typedBatch = ChangeFeed.typed(
+          decoded.filter(col("table") === tc.name), tc.rowSchema, tc.columnsMap)
+        sinks(tc.name).writeBatch(typedBatch, batchId)
+        // ship AFTER the landing commits: both layers are idempotent on
+        // batchId, so a crash between them replays into two no-ops
+        chSink.foreach { ch =>
+          val hasTruncate = !typedBatch
+            .filter(col("op") === ChangeRelation.OpTruncate).isEmpty
+          ch.insert(encodeForCH(tc, typedBatch), tc.name, batchId,
+            truncateFirst = hasTruncate)
         }
-      cfg.inactivityFlushMs.foreach(ms =>
-        writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
-      writer.start()
-    }
+      }
+    } finally cleanup.foreach(_.apply())
+  }
 
   /** Engine wire encoding for the ClickHouse buffer table — the aux
     * columns pg2ch attaches before shipping (SURVEY §1.1): Replacing rows
     * carry `ver = LSN` plus a `deleted` flag (ReplacingMergeTree(ver,
     * is_deleted) form, so DELETE ships the old tuple as a tombstone);
     * Collapsing ships the signed ±1 row pairs; plain MergeTree appends
-    * inserts only. Truncate markers never ship — pg2ch truncates the CH
-    * tables on receipt instead, and the landed log already frontier-drops.
+    * inserts only. Truncate markers never ship as rows — the sink issues
+    * `TRUNCATE TABLE` on the CH side instead (see [[routeBatch]]) — and
+    * every branch drops same-batch pre-truncate changes
+    * ([[CdcApply.dropTruncated]]), so the mirror never retains rows the
+    * landed log has frontier-dropped.
     */
   def encodeForCH(tc: TableConfig, changes: DataFrame): DataFrame = {
     val rowCols = tc.rowSchema.fieldNames.toSeq
     tc.engine match {
       case "ReplacingMergeTree" =>
-        val live = changes.filter(col("op") =!= ChangeRelation.OpTruncate)
+        val live = CdcApply.dropTruncated(changes)
         val upserts = live
           .filter(col("op") =!= ChangeRelation.OpDelete)
           .select(rowCols.map(c => col(s"after.$c")) ++

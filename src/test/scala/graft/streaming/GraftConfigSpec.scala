@@ -128,6 +128,34 @@ class GraftConfigSpec extends SparkSpec {
     assert(users.toSet === Set((1L, "b"), (2L, "x")))
   }
 
+  test("columns_map parses as target:source pairs; bad entries fail loudly") {
+    val cfg = GraftConfig.parse(
+      """input_dir: /in
+        |output_dir: /out
+        |checkpoint_dir: /ckpt
+        |tables:
+        |  users:
+        |    engine: ReplacingMergeTree
+        |    key_columns: [k]
+        |    columns: "k BIGINT, v STRING"
+        |    columns_map: [k:user_id, v:payload]
+        |""".stripMargin)
+    assert(cfg.tables.head.columnsMap === Map("k" -> "user_id", "v" -> "payload"))
+    assert(cfg.tables.head.feedColumns === Seq("user_id", "payload"))
+
+    val bad = intercept[IllegalArgumentException](GraftConfig.parse(
+      """input_dir: /in
+        |output_dir: /out
+        |checkpoint_dir: /ckpt
+        |tables:
+        |  users:
+        |    engine: MergeTree
+        |    columns: "k BIGINT"
+        |    columns_map: [nocolon]
+        |""".stripMargin))
+    assert(bad.getMessage.contains("columns_map"))
+  }
+
   test("malformed configs fail with a named missing key") {
     val noEngine =
       """input_dir: /in

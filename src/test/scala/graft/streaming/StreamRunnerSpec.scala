@@ -20,6 +20,57 @@ class StreamRunnerSpec extends SparkSpec {
     Files.move(tmp, dir.resolve(name))
   }
 
+  test("single-decode topology: N tables run as ONE streaming query") {
+    val in = Files.createTempDirectory("graft_topo_in")
+    val cfg = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = Files.createTempDirectory("graft_topo_out").toString,
+      checkpointDir = Files.createTempDirectory("graft_topo_ckpt").toString,
+      tables = Seq(
+        StreamRunner.TableConfig("users", "ReplacingMergeTree", Seq("k"),
+          ChangeRelation.testRow),
+        StreamRunner.TableConfig("audit", "MergeTree", Seq("k"),
+          ChangeRelation.testRow),
+        StreamRunner.TableConfig("ledger", "CollapsingMergeTree", Seq("k"),
+          ChangeRelation.testRow)))
+    writeFeed(in, "wal_000.json", Seq(j(1, "I", "users", 1, "a")))
+    val before = spark.streams.active.length
+    val queries = StreamRunner.run(spark, cfg)
+    try {
+      // the pg2ch consumer shape: the feed is read+decoded ONCE for all
+      // configured tables, not once per table (VERDICT r03 item 1)
+      assert(queries.length === 1, "3 tables must share one streaming query")
+      assert(spark.streams.active.length === before + 1)
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    assert(StreamRunner.readFinal(spark, cfg, "users").count() === 1L)
+  }
+
+  test("columns_map: the feed's column names project/rename into the target schema") {
+    val in = Files.createTempDirectory("graft_map_in")
+    val cfg = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = Files.createTempDirectory("graft_map_out").toString,
+      checkpointDir = Files.createTempDirectory("graft_map_ckpt").toString,
+      tables = Seq(
+        StreamRunner.TableConfig("users", "ReplacingMergeTree", Seq("k"),
+          ChangeRelation.testRow,
+          // target k reads feed user_id, target v reads feed payload;
+          // amt maps to itself; feed column `extra` has no target → dropped
+          columnsMap = Map("k" -> "user_id", "v" -> "payload"))))
+    writeFeed(in, "wal_000.json", Seq(
+      """{"lsn":1,"op":"I","table":"users","after":{"user_id":7,"payload":"hi","amt":1.25,"extra":"x"}}""",
+      """{"lsn":2,"op":"U","table":"users","before":{"user_id":7,"payload":"hi"},"after":{"user_id":7,"payload":"renamed","amt":2.50,"extra":"y"}}"""))
+    val queries = StreamRunner.run(spark, cfg)
+    try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+    val out = StreamRunner.readFinal(spark, cfg, "users")
+    assert(out.columns.toSeq === Seq("k", "v", "amt"), "target schema, not feed schema")
+    val r = out.collect().head
+    assert(r.getLong(0) === 7L)
+    assert(r.getString(1) === "renamed")
+    assert(r.getDecimal(2) === new java.math.BigDecimal("2.50"))
+  }
+
   test("two tables, two engines, one feed: each target gets its own semantics") {
     val in = Files.createTempDirectory("graft_runner_in")
     val cfg = StreamRunner.RunnerConfig(
@@ -97,5 +148,75 @@ class StreamRunnerSpec extends SparkSpec {
       // the landed parquet log is unaffected by the tee
       assert(StreamRunner.changeLog(spark, cfg, "users").count() === 3L)
     } finally ch.stop()
+  }
+
+  test("a truncate event truncates the ClickHouse mirror, like pg2ch") {
+    val ch = new graft.sinks.StubCH
+    try {
+      val in = Files.createTempDirectory("graft_trunc_in")
+      val cfg = StreamRunner.RunnerConfig(
+        inputDir = in.toString,
+        outputDir = Files.createTempDirectory("graft_trunc_out").toString,
+        checkpointDir = Files.createTempDirectory("graft_trunc_ckpt").toString,
+        tables = Seq(StreamRunner.TableConfig("users", "ReplacingMergeTree",
+          Seq("k"), ChangeRelation.testRow)),
+        clickhouseUrl = Some(ch.endpoint))
+
+      val queries = StreamRunner.run(spark, cfg)
+      try {
+        // batch 1: two inserts ship to the mirror
+        writeFeed(in, "wal_000.json", Seq(
+          j(1, "I", "users", 1, "a"), j(2, "I", "users", 2, "b")))
+        queries.foreach(_.processAllAvailable())
+        assert(ch.lines("users").size === 2)
+
+        // batch 2: TRUNCATE, then one post-truncate insert. The mirror is
+        // truncated server-side (cross-batch wipe) and ships ONLY the
+        // post-truncate row (same-batch dropTruncated).
+        writeFeed(in, "wal_001.json", Seq(
+          s"""{"lsn":3,"op":"T","table":"users"}""",
+          j(4, "I", "users", 3, "c")))
+        queries.foreach(_.processAllAvailable())
+      } finally queries.foreach(_.stop())
+
+      assert(ch.truncates.contains("users"), "T must issue TRUNCATE TABLE")
+      val rows = ch.lines("users").map(_.split("\t", -1)(0)).toSet
+      assert(rows === Set("3"), s"mirror must hold only post-truncate rows, got $rows")
+      // and the landed log agrees with the mirror
+      val fin = StreamRunner.readFinal(spark, cfg, "users")
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(fin === Set(3L))
+    } finally ch.stop()
+  }
+
+  test("binary feed: R definitions cache across micro-batches (subscription sends R once)") {
+    val in = Files.createTempDirectory("graft_relcache_in")
+    val cfg = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = Files.createTempDirectory("graft_relcache_out").toString,
+      checkpointDir = Files.createTempDirectory("graft_relcache_ckpt").toString,
+      // NO static relid: routing depends entirely on the feed's R frames
+      tables = Seq(StreamRunner.TableConfig("users", "ReplacingMergeTree",
+        Seq("k"), ChangeRelation.testRow)),
+      feedFormat = "pgoutput")
+    val b64 = java.util.Base64.getEncoder
+
+    val queries = StreamRunner.run(spark, cfg)
+    try {
+      // batch 1 carries the R frame + one insert
+      writeFeed(in, "wal_000.b64", Seq(
+        PgOutput.encodeRelation(0, 42, "users", Seq("k", "v", "amt")),
+        PgOutput.encodeInsert(1, 42, Seq("1", "a", null))).map(b64.encodeToString))
+      queries.foreach(_.processAllAvailable())
+      // batch 2 has tuples ONLY — the cached definition must still route
+      writeFeed(in, "wal_001.b64", Seq(
+        PgOutput.encodeInsert(2, 42, Seq("2", "b", "9.99"))).map(b64.encodeToString))
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+
+    val out = StreamRunner.readFinal(spark, cfg, "users")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "b")),
+      "batch-2 tuples must decode via the cached R definition")
   }
 }
