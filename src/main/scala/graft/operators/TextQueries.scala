@@ -458,6 +458,115 @@ object TextQueries {
              |GROUP BY g ORDER BY cnt DESC, g LIMIT 20""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Deterministic stratified sampling — the training-data-mix operator:
+    // each source keeps a fixed percentage, membership decided by a
+    // portable 60-bit hash of the doc id. Reproducible across engines,
+    // runs, and partitionings (no RNG state, unlike rand()/TABLESAMPLE);
+    // at 100 TB the keep decision is a per-row codegen'd expression —
+    // zero shuffle before the tiny per-source summary agg.
+    "sample_stratified" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          // per-source keep rate 5..50% derived from the source id — the
+          // "mixing weights" a real pipeline reads from config
+          .withColumn("rate", expr("5 * (cast(substr(source, 4) as int) % 10 + 1)"))
+          .withColumn("keep", expr(s"${hx("cast(doc_id as string)")} % 100") < col("rate"))
+          .groupBy("source")
+          .agg(cnt("docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            max(col("rate")).cast("long").as("target_pct"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+              |CAST(sum(CASE WHEN ${hxDuck("CAST(doc_id AS VARCHAR)")} % 100
+              | < 5 * (CAST(substr(source, 4) AS INT) % 10 + 1) THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |CAST(max(5 * (CAST(substr(source, 4) AS INT) % 10 + 1)) AS BIGINT) AS target_pct
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Incremental dedup — the production INGEST shape: a delta of new
+    // documents dedups against the existing corpus WITHOUT re-pairing the
+    // corpus with itself. Exact dups by content digest join; near-dups by
+    // the minhash band join restricted to delta×existing (never
+    // delta×delta or existing×existing), verified with exact Jaccard.
+    // At 100 TB the corpus side is the build side of both joins and is
+    // touched once per ingest batch — the band key space and the
+    // hot-band cap bound the candidate volume exactly as in the full
+    // pipeline.
+    "dedup_incremental" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("is_new", col("doc_id") >= 250)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+          .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
+          d.withColumn(s"mh$i",
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+        }
+        val bandCols = (0 until 4).map { b =>
+          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+        }
+        val bands = withMh.select(col("doc_id"), col("is_new"),
+          explode(array(bandCols: _*)).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val cand = capped.filter(col("is_new")).as("a")
+          .join(capped.filter(!col("is_new")).as("b"), col("a.k") === col("b.k"))
+          .select(col("a.doc_id").as("dn"), col("b.doc_id").as("de"))
+          .distinct()
+        val shs = docs.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+        val near = cand.hint("shuffle_hash")
+          .join(shs, col("dn") === col("doc_id"))
+          .select(col("dn"), col("de"), col("s").as("s1"))
+          .hint("shuffle_hash")
+          .join(shs, col("de") === col("doc_id"))
+          .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
+          .filter(col("inter") / (size(col("s1")) + size(col("s")) - col("inter")) >= 0.5)
+          .select(col("dn")).distinct()
+        val exact = docs.filter(col("is_new"))
+          .select(col("doc_id").as("dn"), md5(col("text")).as("h"))
+          .join(docs.filter(!col("is_new")).select(md5(col("text")).as("h")).distinct(), "h")
+          .select(col("dn")).distinct()
+        docs.filter(col("is_new")).agg(cnt("delta_docs"))
+          .crossJoin(exact.agg(cnt("exact_dups")))
+          .crossJoin(near.agg(cnt("near_dups")))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, is_new, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        val ja = """CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", "")
+        s"""WITH docs AS (SELECT doc_id, doc_id >= 250 AS is_new, text,
+           |string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, is_new, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+           |mh AS (SELECT doc_id, is_new, $mhCols FROM sh),
+           |bands AS ($bandSelects),
+           |bandsc AS (SELECT doc_id, is_new, k FROM (SELECT doc_id, is_new, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+           |cand AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS de
+           |FROM bandsc a JOIN bandsc b ON a.k = b.k AND a.is_new AND NOT b.is_new),
+           |near AS (SELECT DISTINCT cand.dn FROM cand
+           |JOIN shs s1 ON s1.doc_id = cand.dn JOIN shs s2 ON s2.doc_id = cand.de
+           |WHERE $ja >= 0.5),
+           |ex AS (SELECT DISTINCT d.doc_id FROM docs d JOIN docs e
+           |ON d.is_new AND NOT e.is_new AND md5(d.text) = md5(e.text))
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs WHERE is_new) AS delta_docs,
+           |(SELECT CAST(count(*) AS BIGINT) FROM ex) AS exact_dups,
+           |(SELECT CAST(count(*) AS BIGINT) FROM near) AS near_dups""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // SimHash fingerprints (16-bit, majority vote per bit over word
     // hashes) — computed entirely in array HOFs, zero shuffle per doc.
     "dedup_simhash" -> QueryDef(
@@ -491,8 +600,14 @@ object TextQueries {
           struct(lit(b).as("b"),
             expr(s"shiftright(sh, ${15 * b}) & 32767").as("bits"))
         }
+        // persist: the fingerprint pass (md5 per word + 60-bit majority
+        // vote) is the expensive half and is read THREE times below — the
+        // cap aggregate and both self-join branches; without the persist
+        // it executes once per branch (the same fix the minhash family
+        // carries on its `bands` relation).
         val banded = d.select(col("doc_id"), col("sh"),
           explode(array(bandCols: _*)).as("band"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // hot-band guard, same policy as the minhash family: IDENTICAL
         // documents share all four bands, so one mega-cluster of K copies
         // emits ~4·K²/2 join rows before distinct. Buckets over 100 are
