@@ -85,7 +85,11 @@ object MinHash {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** 64-bit SimHash from word hashes: majority vote per bit. */
+  /** 64-bit SimHash from word hashes: majority vote per bit.
+    * Declarative reference form — 64 codegen'd `filter` passes. Portable
+    * to any Spark session; [[simhash64Fast]] is the single-pass codegen
+    * Expression producing the identical fingerprint.
+    */
   def simhash64(text: Column): Column = {
     val hs = transform(split(text, " "), w => xxhash64(w))
     val bits = (0 until 64).map { b =>
@@ -94,6 +98,15 @@ object MinHash {
     }
     bits.reduce(_ bitwiseOR _)
   }
+
+  /** [[simhash64]] through the single-pass codegen Expression
+    * ([[graft.plans.SimHash64D]]): one primitive loop per document
+    * instead of 64 array walks — bit-identical fingerprints. Needs
+    * `SimHash64D.register(spark)` on the session (the same contract as
+    * [[Similarity.fastDot]]).
+    */
+  def simhash64Fast(text: Column): Column =
+    call_function("graft_simhash64", transform(split(text, " "), w => xxhash64(w)))
 
   /** Hamming distance between two simhashes (near-dup test: dist ≤ k). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -116,7 +129,8 @@ object MinHash {
                    maxBandSize: Int = Int.MaxValue): DataFrame = {
     val bits = 16
     val mask = (1L << bits) - 1
-    val d = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    graft.plans.SimHash64D.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("id"), simhash64Fast(col(textCol)).as("sh"))
     // shiftrightunsigned: band 3 covers the sign bit — an arithmetic shift
     // would sign-extend and leak bit 63 into every high band key.
     val bandCols = (0 until 4).map { b =>

@@ -209,6 +209,48 @@ object TextQueries {
               |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Quality-threshold filtering — the curation step that CONSUMES the
+    // quality score: keep documents strictly above their language's
+    // median quality. The per-lang threshold relation is O(#langs) rows
+    // and broadcasts back over the corpus — the scored stream itself
+    // never shuffles. Exact `percentile` is the declared contract
+    // (sort-based, memory O(group)); at fact scale swap in
+    // approx_percentile — the same trade win_ntile documents.
+    // Both the score and the threshold are pround(4)ed BEFORE the
+    // comparison, so the keep decision is bit-identical across engines.
+    "text_quality_filter" -> QueryDef(
+      (spark, dir) => {
+        val stops = inList(Stopwords)
+        val score = s"0.5 * least(1.0, cast(n_chars as double) / 500.0) + " +
+          s"0.5 * (cast(size(filter(w, x -> x IN $stops)) as double) / cast(size(w) as double))"
+        val scored = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"),
+            expr(s"cast(${proundSql(score, 4)} as double)").as("q"))
+        val thresholds = scored.groupBy("lang")
+          .agg(pround(expr("percentile(q, 0.5)"), 4).as("thr"))
+        scored.join(broadcast(thresholds), "lang")
+          .groupBy("lang")
+          .agg(cnt("docs"),
+            sum(when(col("q") > col("thr"), 1L).otherwise(0L)).cast("long").as("kept"),
+            max(col("thr")).as("thr"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, lang, CAST(${proundSql(
+               """0.5 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0) +
+               |0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN """.stripMargin.replace("\n", " ")
+                 + inList(Stopwords) +
+               ")) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))", 4)} AS DOUBLE) AS q
+              |FROM documents),
+              |thr AS (SELECT lang, ${proundSql("quantile_cont(q, 0.5)", 4)} AS thr
+              |FROM scored GROUP BY lang)
+              |SELECT scored.lang, CAST(count(*) AS BIGINT) AS docs,
+              |CAST(sum(CASE WHEN q > thr THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              |max(thr) AS thr
+              |FROM scored JOIN thr ON scored.lang = thr.lang
+              |GROUP BY scored.lang ORDER BY scored.lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Language-ID: marker-word voting with a deterministic tie order. The
     // full character-trigram-profile variant is functions.TextAnalysis
     // (Spark-only, ScalaTest-checked); this pins the voting plumbing.

@@ -105,6 +105,8 @@ object DotProductD {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((DotProductD.ident, DotProductD.info, DotProductD.builder))
+    e.injectFunction((SimHash64D.ident, SimHash64D.info, SimHash64D.builder))
+  }
 }

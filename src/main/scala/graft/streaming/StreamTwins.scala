@@ -131,4 +131,25 @@ object StreamTwins {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** STREAMING exact dedup — the ingest-time twin of `dedup_exact_docs`:
+    * the first document with a given content digest passes, later copies
+    * drop, across micro-batch boundaries. State is the digest set inside
+    * the watermark horizon, hash-partitioned across executors and
+    * EVICTED as the watermark advances (`dropDuplicatesWithinWatermark`)
+    * — the unbounded-state trap of plain `dropDuplicates` is exactly
+    * what a forever-running ingest hits. The digest is 16 bytes per doc
+    * regardless of document size, so state is O(docs in horizon), not
+    * O(bytes); a production pipeline sizes the watermark to its
+    * redelivery window (duplicates recur within minutes, not days —
+    * cross-horizon dups are the batch pipeline's job).
+    *
+    * Input needs (`ts`, `text`, …); output is the deduplicated stream
+    * with the digest attached.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
 }

@@ -104,6 +104,22 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(capped.count() < 100L, "capped join row count is bounded")
   }
 
+  test("codegen simhash64 is bit-identical to the 64-filter declarative form on real docs") {
+    graft.plans.SimHash64D.register(spark)
+    val d = graft.core.t(spark, sf001, "documents")
+    val diff = d.select(
+        MinHash.simhash64(col("text")).as("slow"),
+        MinHash.simhash64Fast(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff === 0L, "single-pass expression must match the filter form bit-for-bit")
+    // the majority-vote law on a hand-checkable array: {7,7,8} → bits
+    // 0-2 carry 2/3 votes (set), bit 3 carries 1/3 (clear) → 7
+    val row = spark.sql(
+      "SELECT graft_simhash64(array(7L, 7L, 8L)) AS a").collect().head.getLong(0)
+    assert(row === 7L, "majority vote of {7,7,8} is 7")
+  }
+
   test("cosine: orthogonal 0, identical 1, library matches manual fold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f))

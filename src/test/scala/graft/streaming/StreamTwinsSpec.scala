@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * arriving 61 minutes late (beyond the 1h watermark).
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamTwinsSpec extends SparkSpec {
 
@@ -159,6 +160,26 @@ class StreamTwinsSpec extends SparkSpec {
       .fn(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed === batch)
+  }
+
+  test("streaming exact dedup: duplicate content drops across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamTwins.dedupStream(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    mem.addData(Seq(Doc(ts(0), 0, "alpha text"), Doc(ts(1), 1, "beta text")))
+    q.processAllAvailable()
+    // batch 2: doc 2 repeats doc 0's CONTENT (different id) inside the
+    // horizon → dropped by state carried across the batch boundary
+    mem.addData(Seq(Doc(ts(5), 2, "alpha text"), Doc(ts(6), 3, "gamma text")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L, 1L, 3L), "first copies pass, in-horizon dup drops")
+    // and the batch twin agrees on the distinct-content count
+    assert(out.size === 3)
   }
 
   test("watermark drops the 61-minute-late row") {
