@@ -152,7 +152,7 @@ object ChangeFeed {
         case "T" =>
           f.relIds.map(r => (f.lsn, "T", r,
             None: Option[Seq[String]], None: Option[Seq[String]]))
-        case "B" | "C" | "R" => Seq.empty
+        case "B" | "C" | "R" | "O" | "Y" => Seq.empty // framing/metadata
         case _ => // malformed
           Seq((None: Option[Long], null: String, -1,
             None: Option[Seq[String]], None: Option[Seq[String]]))

@@ -21,7 +21,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   frame   := lsn:int64 tag:byte body
   *   B       := finalLsn:int64 commitTsMicros:int64 xid:int32
   *   C       := flags:byte commitLsn:int64 endLsn:int64 tsMicros:int64
+  *   O       := originLsn:int64 name:str16            (replication origin)
   *   R       := relId:int32 name:str16 ncols:int16 (colName:str16)*
+  *   Y       := typeOid:int32 namespace:str16 name:str16   (type metadata)
   *   I       := relId:int32 'N' tuple
   *   U       := relId:int32 ['O' tuple] 'N' tuple
   *   D       := relId:int32 'O' tuple
@@ -30,6 +32,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   cell    := 'n' | 'u' | 't' len:int32 bytes
   *   str16   := len:int16 utf8-bytes
   * }}}
+  *
+  * `O` (origin) and `Y` (type) frames carry session metadata, no row
+  * data — pg2ch reads and skips them, and so does the decode here
+  * (they must PARSE, though: treating them as malformed would
+  * poison-pill legitimate frames of a real subscription).
   *
   * Values are PG text-format strings (what COPY/pgoutput put on the wire);
   * downstream casts them to the table's Spark types. `u` (TOAST-unchanged)
@@ -72,6 +79,10 @@ object PgOutput {
           Frame(Some(lsn), "B", -1, null, null, null, null, null)
         case 'C' => b.get(); b.getLong(); b.getLong(); b.getLong()
           Frame(Some(lsn), "C", -1, null, null, null, null, null)
+        case 'O' => b.getLong(); str16(b)
+          Frame(Some(lsn), "O", -1, null, null, null, null, null)
+        case 'Y' => b.getInt(); str16(b); str16(b)
+          Frame(Some(lsn), "Y", -1, null, null, null, null, null)
         case 'R' =>
           val relId = b.getInt()
           val name = str16(b)
@@ -171,6 +182,14 @@ object PgOutput {
 
   def encodeCommit(lsn: Long, tsMicros: Long): Array[Byte] =
     frame(lsn, 'C')(b => { b.put(0.toByte).putLong(lsn).putLong(lsn + 1).putLong(tsMicros); () })
+
+  def encodeOrigin(lsn: Long, originLsn: Long, name: String): Array[Byte] =
+    frame(lsn, 'O')(b => { b.putLong(originLsn); putStr16(b, name) })
+
+  def encodeType(lsn: Long, typeOid: Int, namespace: String, name: String): Array[Byte] =
+    frame(lsn, 'Y') { b =>
+      b.putInt(typeOid); putStr16(b, namespace); putStr16(b, name)
+    }
 
   def encodeRelation(lsn: Long, relId: Int, name: String, cols: Seq[String]): Array[Byte] =
     frame(lsn, 'R') { b =>

@@ -42,4 +42,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Window") === 0, "funnel must not use windows")
     assert(countOf(plan, "HashAggregate") >= 4, "two partial+final agg pairs")
   }
+
+  test("sample_stratified: the documents scan prunes the text column") {
+    // the keep decision touches only doc_id + source: a scan that drags
+    // the (dominant) text column through the pipeline reads the whole
+    // corpus to sample it — column pruning IS the scale property here
+    val plan = executedPlan("sample_stratified")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    assert(readSchemas.forall(!_.contains("text")),
+      s"text column not pruned from the sampling scan:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("text_quality_filter: thresholds broadcast; the scored corpus never shuffle-joins") {
+    val plan = executedPlan("text_quality_filter")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"per-lang threshold join must broadcast the O(#langs) side:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "scored corpus must not sort-merge against 5 threshold rows")
+  }
+
+  test("dedup_incremental: verification joins stay shuffled; no candidate broadcast") {
+    val plan = executedPlan("dedup_incremental")
+    assert(countOf(plan, "ShuffledHashJoin") >= 2,
+      s"delta-side verification joins lost their shuffle-hash pin:\n$plan")
+  }
 }

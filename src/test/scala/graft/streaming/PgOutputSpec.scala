@@ -147,6 +147,23 @@ class PgOutputSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("origin (O) and type (Y) metadata frames parse and are skipped, not poisoned") {
+    val bin = binDf(Seq(
+      PgOutput.encodeOrigin(0, originLsn = 123L, name = "origin_node"),
+      PgOutput.encodeType(0, typeOid = 1700, namespace = "pg_catalog", name = "numeric"),
+      PgOutput.encodeInsert(1, Rel, Seq("1", "a", null))))
+    assert(PgOutput.parse(PgOutput.encodeOrigin(0, 123L, "n")).tag === "O")
+    assert(PgOutput.parse(PgOutput.encodeType(0, 1700, "ns", "n")).tag === "Y")
+    // the decode keeps the real change row and drops no valid frames
+    val out = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
+      relations = Map(Rel -> "t"))
+    assert(out.select("lsn").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // strict mode: metadata frames contribute NO rows (valid ≠ malformed)
+    val strict = ChangeFeed.fromBinaryFrames(bin, ChangeRelation.testRow,
+      dropMalformed = false, relations = Map(Rel -> "t"))
+    assert(strict.count() === 1L)
+  }
+
   test("mid-stream R redefinition: later tuples decode by NAME against the new column order") {
     // first half: (k, v, amt); second half REORDERS to (amt, k, v).
     // Name-based mapping must decode both correctly — positional decode
