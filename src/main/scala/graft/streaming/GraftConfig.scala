@@ -34,6 +34,7 @@ import org.apache.spark.sql.types.StructType
   *     columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
   *     columns_map: [k:user_id, v:payload]  # target:feed-column rename/subset (optional)
   *     buffer_size: 1000
+  *     merge_threshold: 16         # per-table compaction override (optional)
   *     relid: 42                   # pgoutput relation OID (binary feeds)
   * ```
   *
@@ -85,6 +86,7 @@ object GraftConfig {
         rowSchema = StructType.fromDDL(req(attrs, "columns", s"table $name")),
         bufferSize = attrs.get("buffer_size").map(_.toInt).getOrElse(0),
         relId = attrs.get("relid").map(_.toInt).getOrElse(-1),
+        mergeThreshold = attrs.get("merge_threshold").map(_.toInt),
         columnsMap = attrs.get("columns_map")
           .map(v => list(v).map(pair => {
             val i = pair.indexOf(':')

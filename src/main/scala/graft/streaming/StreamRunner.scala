@@ -63,7 +63,10 @@ object StreamRunner {
       // registry a streaming decode needs before the feed's own R frames
       // arrive (those supersede it; see ChangeFeed.rawFromFrames)
       relId: Int = -1,
-      columnsMap: Map[String, String] = Map.empty) {
+      columnsMap: Map[String, String] = Map.empty,
+      // per-table compaction override (pg2ch configures merge_threshold
+      // per table); None → the runner-level default
+      mergeThreshold: Option[Int] = None) {
 
     /** Feed-side column names, in target-field order (the static relation
       * definition's column list for binary feeds).
@@ -98,13 +101,14 @@ object StreamRunner {
       mergeOnCompact: Boolean = false)
 
   private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
+    val tc = cfg.tables.find(_.name == table)
     val segMerge: DataFrame => DataFrame =
       if (cfg.mergeOnCompact)
-        cfg.tables.find(_.name == table)
-          .map(tc => CdcApply.mergeSlice(_: DataFrame, tc.engine, tc.keyColumns))
+        tc.map(t => CdcApply.mergeSlice(_: DataFrame, t.engine, t.keyColumns))
           .getOrElse(identity[DataFrame] _)
       else identity[DataFrame] _
-    new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold,
+    val threshold = tc.flatMap(_.mergeThreshold).getOrElse(cfg.mergeThreshold)
+    new BufferedSink(s"${cfg.outputDir}/$table", threshold,
       segmentMerge = segMerge)
   }
 

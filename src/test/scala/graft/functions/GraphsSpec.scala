@@ -32,6 +32,38 @@ class GraphsSpec extends SparkSpec {
     assert(c.size === 16)
   }
 
+  test("random 5000-edge graph matches a union-find reference exactly") {
+    // deterministic pseudo-random graph: 2000 nodes, 5000 edges drawn
+    // from a fixed LCG — mixed component sizes, cycles, chains
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound.toLong)
+    }
+    val edges = Seq.fill(5000)((next(2000), next(2000))).filter(e => e._1 != e._2)
+
+    // reference: classic union-find with path compression (test-side)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id per component: re-root every node, then group by root min
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    val expected = byRoot.values.flatMap { ns =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+
+    val got = comps(edges)
+    assert(got === expected, "distributed CC must agree with union-find on every node")
+    info(s"${nodes.size} nodes, ${edges.size} edges, ${byRoot.size} components")
+  }
+
   test("cluster-keep differs from pairwise-greedy where the graph is a star at the max id") {
     // edges (2,3) and (1,3): greedy drop-the-higher-of-each-pair keeps
     // {1, 2}; cluster semantics keeps only the component min {1}

@@ -142,6 +142,8 @@ class GraftConfigSpec extends SparkSpec {
         |""".stripMargin)
     assert(cfg.tables.head.columnsMap === Map("k" -> "user_id", "v" -> "payload"))
     assert(cfg.tables.head.feedColumns === Seq("user_id", "payload"))
+    assert(cfg.tables.head.mergeThreshold === None,
+      "absent per-table merge_threshold falls back to the runner default")
 
     val bad = intercept[IllegalArgumentException](GraftConfig.parse(
       """input_dir: /in

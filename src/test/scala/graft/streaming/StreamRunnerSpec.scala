@@ -220,6 +220,41 @@ class StreamRunnerSpec extends SparkSpec {
       "batch-2 tuples must decode via the cached R definition")
   }
 
+  test("per-table merge_threshold override: one table compacts, the other keeps raw batches") {
+    val in = Files.createTempDirectory("graft_pmt_in")
+    val out = Files.createTempDirectory("graft_pmt_out").toString
+    val cfg = StreamRunner.RunnerConfig(
+      inputDir = in.toString,
+      outputDir = out,
+      checkpointDir = Files.createTempDirectory("graft_pmt_ckpt").toString,
+      tables = Seq(
+        StreamRunner.TableConfig("users", "ReplacingMergeTree", Seq("k"),
+          ChangeRelation.testRow), // inherits the runner-level threshold 2
+        StreamRunner.TableConfig("audit", "MergeTree", Seq("k"),
+          ChangeRelation.testRow, mergeThreshold = Some(0))), // never compacts
+      mergeThreshold = 2)
+
+    def onePass(): Unit = {
+      val qs = StreamRunner.run(spark, cfg)
+      try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    }
+    (0 until 3).foreach { i =>
+      writeFeed(in, f"wal_$i%03d.json", Seq(
+        j(2L * i + 1, "I", "users", i, s"u$i"), j(2L * i + 2, "I", "audit", i, s"a$i")))
+      onePass()
+    }
+
+    val users = new BufferedSink(s"$out/users", 2)
+    val audit = new BufferedSink(s"$out/audit", 0)
+    assert(users.compactedBatches().nonEmpty, "users must compact at threshold 2")
+    assert(users.liveBatchDirCount() <= 2)
+    assert(audit.compactedBatches().isEmpty, "audit's override 0 must disable compaction")
+    assert(audit.liveBatchDirCount() === 3)
+    // identical read-side state either way
+    assert(StreamRunner.readFinal(spark, cfg, "users").count() === 3L)
+    assert(StreamRunner.readFinal(spark, cfg, "audit").count() === 3L)
+  }
+
   test("routed topology: checkpointed restarts stay exactly-once PER TABLE") {
     val in = Files.createTempDirectory("graft_xover_in")
     val cfg = StreamRunner.RunnerConfig(
