@@ -140,9 +140,11 @@ object StreamRunner {
     * binary feeds the feed's `R` frames are also landed in a relation
     * cache (`_relations/` parquet — pg2ch's live relation map, which must
     * survive across micro-batches because a subscription sends each
-    * table's R frame ONCE, not once per batch). Cache writes are
-    * append-only and replay-safe: definitions are LSN-versioned, so
-    * re-landing the same defs is a no-op at resolution time.
+    * table's R frame ONCE, not once per batch). The cache is a versioned
+    * full snapshot per R-bearing batch (see [[writeRelationCache]]) and
+    * replay-safe twice over: the version move is idempotent, and
+    * definitions are LSN-versioned so re-merging the same defs changes
+    * nothing at resolution time.
     */
   private def routeBatch(spark: SparkSession, cfg: RunnerConfig,
                          sinks: Map[String, BufferedSink],
@@ -156,14 +158,13 @@ object StreamRunner {
           val frames = ChangeFeed.parseBase64Frames(rawBatch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cleanup += (() => { frames.unpersist(); () })
-          val cacheDir = s"${cfg.outputDir}/_relations"
+          val cacheDir = Paths.get(cfg.outputDir, "_relations")
+          val cachedBefore = readRelationCache(spark, cacheDir)
           val feedDefs = ChangeFeed.relationDefs(frames)
           if (!feedDefs.isEmpty)
-            feedDefs.write.mode("append").parquet(cacheDir)
-          val cached =
-            if (Files.isDirectory(Paths.get(cacheDir)))
-              Some(spark.read.parquet(cacheDir))
-            else None
+            writeRelationCache(spark, cacheDir, batchId,
+              cachedBefore.fold(feedDefs)(_.unionByName(feedDefs)))
+          val cached = readRelationCache(spark, cacheDir)
           val static = ChangeFeed.staticDefs(spark,
             cfg.tables.filter(_.relId >= 0)
               .map(tc => (tc.relId, tc.name, tc.feedColumns)))
@@ -189,6 +190,60 @@ object StreamRunner {
       }
     } finally cleanup.foreach(_.apply())
   }
+
+  /** The R-definition cache is VERSIONED full snapshots, not an append
+    * log: each R-bearing batch writes the complete definition set to
+    * `_relations/v=<batchId>` (staged + atomic move — replay keeps the
+    * committed version) and retires older versions, so reads open ONE
+    * tiny parquet dir regardless of how many schema changes the feed has
+    * ever carried. An append-per-batch layout would re-open an
+    * ever-growing file list on every micro-batch — the same small-file
+    * failure BufferedSink's compaction exists to prevent.
+    */
+  private def readRelationCache(spark: SparkSession,
+                                cacheDir: java.nio.file.Path): Option[DataFrame] =
+    latestCacheVersion(cacheDir).map(v =>
+      spark.read.parquet(cacheDir.resolve(s"v=$v").toString))
+
+  private def latestCacheVersion(cacheDir: java.nio.file.Path): Option[Long] =
+    if (Files.isDirectory(cacheDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(cacheDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+        .maxOption
+    } else None
+
+  private def writeRelationCache(spark: SparkSession, cacheDir: java.nio.file.Path,
+                                 batchId: Long, defs: DataFrame): Unit = {
+    val target = cacheDir.resolve(s"v=$batchId")
+    if (!Files.exists(target)) {
+      val staging = cacheDir.resolve(s"_staging_v$batchId")
+      defs.distinct().coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      try Files.move(staging, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException => // lost a replay race
+        deleteRecursively(staging)
+      }
+    }
+    // retire superseded versions (lazy: a crash here just leaves one
+    // extra dir for the next write to retire)
+    latestCacheVersion(cacheDir).foreach { latest =>
+      import scala.jdk.CollectionConverters._
+      Files.list(cacheDir).iterator().asScala.toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v=") && n.stripPrefix("v=").toLong < latest
+        }
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
 
   /** Engine wire encoding for the ClickHouse buffer table — the aux
     * columns pg2ch attaches before shipping (SURVEY §1.1): Replacing rows

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 /** The full pg2ch shape: one shared WAL feed, two tables with DIFFERENT
   * engines replicated concurrently, engine-correct read-side state.
@@ -212,12 +212,25 @@ class StreamRunnerSpec extends SparkSpec {
       writeFeed(in, "wal_001.b64", Seq(
         PgOutput.encodeInsert(2, 42, Seq("2", "b", "9.99"))).map(b64.encodeToString))
       queries.foreach(_.processAllAvailable())
+      // batch 3 redefines the relation — the cache must roll forward AND
+      // stay ONE versioned snapshot dir, not an append log
+      writeFeed(in, "wal_002.b64", Seq(
+        PgOutput.encodeRelation(5, 42, "users", Seq("amt", "k", "v")),
+        PgOutput.encodeInsert(6, 42, Seq("7.77", "3", "c"))).map(b64.encodeToString))
+      queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
 
     val out = StreamRunner.readFinal(spark, cfg, "users")
       .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(out === Set((1L, "a"), (2L, "b")),
-      "batch-2 tuples must decode via the cached R definition")
+    assert(out === Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "tuples must decode via cached + redefined R definitions")
+
+    val cacheDirs = Files.list(Paths.get(cfg.outputDir, "_relations"))
+      .iterator()
+    val versions = scala.jdk.CollectionConverters.IteratorHasAsScala(cacheDirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq
+    assert(versions.size === 1,
+      s"cache must keep exactly the latest snapshot, got $versions")
   }
 
   test("per-table merge_threshold override: one table compacts, the other keeps raw batches") {
