@@ -50,8 +50,10 @@ object Replicator {
         lit(table).as("table"),
         lit(null).cast(tc.rowSchema).as("before"),
         col("after"))
-    new BufferedSink(s"${cfg.outputDir}/$table", cfg.mergeThreshold)
-      .writeBatch(changes, SnapshotBatchId)
+    // the SAME sink construction the stream uses (per-table threshold
+    // override + merge-on-compact), so snapshot batches obey the exact
+    // compaction config the streamed batches will
+    StreamRunner.sinkFor(cfg, table).writeBatch(changes, SnapshotBatchId)
   }
 
   /** pg2ch's `Run()`: snapshot every table, then start replication.

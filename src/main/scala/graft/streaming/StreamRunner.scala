@@ -100,7 +100,7 @@ object StreamRunner {
       // own merges do the reducing. readFinal is identical either way.
       mergeOnCompact: Boolean = false)
 
-  private def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
+  private[streaming] def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
     val tc = cfg.tables.find(_.name == table)
     val segMerge: DataFrame => DataFrame =
       if (cfg.mergeOnCompact)
