@@ -526,6 +526,139 @@ object TextQueries {
               |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Benchmark DECONTAMINATION — the training-data step that keeps eval
+    // sets out of the corpus: a document is contaminated if it shares ANY
+    // distinct 5-word shingle with the eval set (docs 0..9 stand in for
+    // the benchmark). Scale shape: the eval side is small BY DEFINITION
+    // (benchmarks are a few thousand docs), so its distinct-gram set
+    // broadcasts and the corpus stream is filtered by a broadcast
+    // LEFT SEMI join — the corpus text never shuffles; the only exchange
+    // carries the (doc_id, lang) hit list, bounded by contamination
+    // density, then the O(#langs) summary.
+    "text_contamination_ngram" -> QueryDef(
+      (spark, dir) => {
+        val grams = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+            "transform(sequence(1, size(w) - 4), j -> concat_ws(' ', slice(w, j, 5)))"))).as("gram"))
+        val evalGrams = grams.filter(col("doc_id") < 10).select("gram").distinct()
+        val hits = grams.filter(col("doc_id") >= 10)
+          .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+          .select("doc_id", "lang").distinct()
+          .groupBy("lang").agg(cnt("contaminated"))
+        t(spark, dir, "documents").filter(col("doc_id") >= 10)
+          .groupBy("lang").agg(cnt("docs"))
+          .join(broadcast(hits), Seq("lang"), "left")
+          .select(col("lang"), col("docs"),
+            coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+             |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4]))) AS gram FROM d),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+             |hit AS (SELECT DISTINCT g.doc_id, g.lang FROM g JOIN ev USING (gram) WHERE g.doc_id >= 10),
+             |hc AS (SELECT lang, CAST(count(*) AS BIGINT) AS contaminated FROM hit GROUP BY lang)
+             |SELECT d2.lang, CAST(count(*) AS BIGINT) AS docs,
+             |coalesce(max(hc.contaminated), 0) AS contaminated
+             |FROM documents d2 LEFT JOIN hc ON d2.lang = hc.lang
+             |WHERE d2.doc_id >= 10 GROUP BY d2.lang ORDER BY d2.lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Repetition-based quality signals (the Gopher-rule family): per doc,
+    // the most-frequent-bigram share of all bigrams and the duplicate-word
+    // fraction. Scale shape: ZERO shuffle — the naive form (explode grams
+    // → groupBy(doc, gram) → groupBy(doc)) shuffles one near-unique
+    // string key per bigram, millions of rows that partial agg cannot
+    // combine; instead the per-doc mode count is the max RUN LENGTH of
+    // the doc's SORTED bigram array (sort → boundary positions → max
+    // gap), all codegen'd HOFs map-side. The only exchange left is the
+    // final TakeOrdered. Benched 5.9 s → sub-second at sf0.1.
+    "text_repetition_stats" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("bg", expr(
+            "array_sort(transform(sequence(1, size(w) - 1), j -> concat_ws(' ', slice(w, j, 2))))"))
+          // run boundaries of the sorted array: position 1, every i where
+          // bg[i] differs from bg[i-1], and the one-past-end sentinel
+          .withColumn("bounds", expr(
+            """concat(array(1),
+              |filter(sequence(2, size(bg)), i -> element_at(bg, i) != element_at(bg, i - 1)),
+              |array(size(bg) + 1))""".stripMargin.replace("\n", " ")))
+          .withColumn("mx", expr(
+            "array_max(transform(sequence(1, size(bounds) - 1), j -> element_at(bounds, j + 1) - element_at(bounds, j)))"))
+          .select(col("doc_id"),
+            size(col("bg")).cast("long").as("n_bigrams"),
+            pround(col("mx").cast("double") / size(col("bg")).cast("double"), 4)
+              .as("top2g_frac"),
+            pround(lit(1.0) - size(array_distinct(col("w"))).cast("double")
+              / size(col("w")).cast("double"), 4).as("dup_word_frac"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 3),
+             |s AS (SELECT doc_id, w,
+             |list_sort(list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])) AS bg FROM d),
+             |b AS (SELECT doc_id, w, bg,
+             |list_concat(list_concat([CAST(1 AS BIGINT)],
+             |list_filter(range(2, len(bg) + 1), i -> bg[i] != bg[i-1])),
+             |[CAST(len(bg) + 1 AS BIGINT)]) AS bounds FROM s),
+             |m AS (SELECT doc_id, w, bg,
+             |list_max(list_transform(range(1, len(bounds)), j -> bounds[j+1] - bounds[j])) AS mx FROM b)
+             |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+             |${proundSql("CAST(mx AS DOUBLE) / CAST(len(bg) AS DOUBLE)", 4)} AS top2g_frac,
+             |${proundSql("CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)", 4)} AS dup_word_frac
+             |FROM m ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Language-BALANCED sampling — exact per-language quota (25 docs)
+    // chosen by portable-hash order (companion to sample_stratified's
+    // per-source rate sampling; same no-RNG reproducibility). The naive
+    // form is a per-lang row_number over the whole corpus — a sort of
+    // EVERYTHING on a #langs-way skewed key. The 100 TB form implemented
+    // here is two-pass: (1) per-lang counts (one tiny partial+final agg);
+    // (2) a per-lang hash THRESHOLD thr = (2^60 div n_lang) · quota ·
+    // safety(4×) broadcast back, so only ~quota·safety rows per lang
+    // survive to the exact rank — the window sorts O(quota), not O(corpus),
+    // at any scale. Top-quota-by-hash of {h < thr} equals top-quota-by-hash
+    // of the corpus whenever ≥ quota rows survive (safety 4× + integer
+    // floor make shortfall astronomically unlikely; LangBalanceSpec pins
+    // it on the fixtures) — which is why the ORACLE ranks WITHOUT the
+    // prefilter: the hash-match proves the optimization is
+    // semantics-preserving. kept_id_sum pins the exact selected set.
+    "sample_lang_balanced" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quota = 25
+        val d = t(spark, dir, "documents")
+          .withColumn("h", expr(hx("cast(doc_id as string)")))
+        val thr = d.groupBy("lang").agg(count(lit(1)).as("n"))
+          .select(col("lang"),
+            expr(s"(1152921504606846976L div n) * ${quota * 4L}").as("thr"))
+        val survivors = d.join(broadcast(thr), "lang").filter(col("h") < col("thr"))
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        val ranked = survivors.withColumn("rn", row_number().over(w))
+        d.groupBy("lang").agg(cnt("docs"))
+          .join(broadcast(ranked.filter(col("rn") <= quota).groupBy("lang")
+            .agg(cnt("kept"), sum("doc_id").cast("long").as("kept_id_sum"))), "lang")
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, ${hxDuck("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+             |r AS (SELECT doc_id, lang,
+             |row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h),
+             |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+             |CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM r WHERE rn <= 25 GROUP BY lang)
+             |SELECT h.lang, CAST(count(*) AS BIGINT) AS docs, max(k.kept) AS kept,
+             |max(k.kept_id_sum) AS kept_id_sum
+             |FROM h JOIN k ON h.lang = k.lang
+             |GROUP BY h.lang ORDER BY h.lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Incremental dedup — the production INGEST shape: a delta of new
     // documents dedups against the existing corpus WITHOUT re-pairing the
     // corpus with itself. Exact dups by content digest join; near-dups by

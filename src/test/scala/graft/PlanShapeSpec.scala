@@ -67,4 +67,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "ShuffledHashJoin") >= 2,
       s"delta-side verification joins lost their shuffle-hash pin:\n$plan")
   }
+
+  test("text_contamination_ngram: eval grams broadcast; corpus never sort-merges") {
+    val plan = executedPlan("text_contamination_ngram")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"eval-gram semi join must broadcast the benchmark side:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "corpus gram stream must not sort-merge against the eval set")
+  }
+
+  test("text_repetition_stats: map-side HOFs only — no window, join, or gram shuffle") {
+    val plan = executedPlan("text_repetition_stats")
+    assert(countOf(plan, "Window") === 0, "repetition stats must not use windows")
+    assert(countOf(plan, "Join") === 0, "word-level stats must ride the doc rows, not join back")
+    assert(countOf(plan, "Exchange hashpartitioning") === 0,
+      s"per-doc run-length stats must not shuffle grams:\n$plan")
+  }
+
+  test("sample_lang_balanced: threshold broadcasts back; one bounded window") {
+    val plan = executedPlan("sample_lang_balanced")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"per-lang threshold must broadcast over the corpus:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      "only the post-prefilter quota rank may be a window")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "corpus must not sort-merge against the O(#langs) relations")
+  }
 }
