@@ -171,6 +171,70 @@ object SimilarityQueries {
       },
       tier = "E"),
 
+    // K-means over embeddings (one Lloyd iteration) — the clustering
+    // backbone of semantic dedup and training-mix curation. Scale shape:
+    // centroids are K·D doubles and BROADCAST; assignment is the IVF
+    // max_by aggregate (one narrow pass, combined map-side, never an
+    // exchange of the K×corpus relation); the Lloyd update is a
+    // per-(cid, dim) partial+final aggregate whose shuffle carries K·D
+    // rows per task. Per-dim means are DECIMAL sums divided once in
+    // DOUBLE — exact and order-independent, so the new centroids (and
+    // every later assignment) are bit-stable under any partitioning;
+    // raw double sums would make the whole query nondeterministic.
+    // More iterations = repeat the assign→update pair; the declared
+    // contract pins one full round (assign → update → re-assign).
+    "sim_kmeans_iterate" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = vecs(spark, dir)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c0 = e.filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        def assign(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .withColumn("csim", gdot("v", "cv")
+              / (sqrt(gdot("v", "v")) * sqrt(gdot("cv", "cv"))))
+            .groupBy("vec_id")
+            .agg(max_by(struct(col("cid"), col("v").as("v")),
+              struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
+        val c1 = assign(c0)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double")
+            / count(lit(1)).cast("double")).as("m"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+        assign(c1)
+          .groupBy("cid").agg(cnt("n"))
+          .join(broadcast(c1), "cid")
+          .select(col("cid"), col("n"), pround(sqrt(gdot("cv", "cv")), 6).as("cnorm"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val csim = "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |a1 AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS rn
+           |FROM e CROSS JOIN c0 c) WHERE rn = 1),
+           |ex AS (SELECT cid, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM a1),
+           |d1 AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+           | / CAST(count(*) AS DOUBLE) AS m FROM ex GROUP BY cid, dim),
+           |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM d1 GROUP BY cid),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |SELECT e.vec_id, c.cid,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS rn
+           |FROM e CROSS JOIN c1 c) WHERE rn = 1)
+           |SELECT a2.cid, CAST(count(*) AS BIGINT) AS n,
+           |${proundSql("sqrt(list_dot_product(c1.cv, c1.cv))", 6)} AS cnorm
+           |FROM a2 JOIN c1 ON a2.cid = c1.cid
+           |GROUP BY a2.cid, c1.cv ORDER BY a2.cid""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // Embedding near-dup: bounded candidate set, cosine threshold.
     "dedup_embedding_cosine" -> QueryDef(
       (spark, dir) => {

@@ -742,6 +742,51 @@ object TextQueries {
       },
       tier = "E"),
 
+    // TF-IDF top terms — corpus-statistics text analysis: per-language
+    // document frequency over the WHOLE corpus, scored for a bounded
+    // probe set. idf is kept rational (ndocs/df, one double division)
+    // instead of ln(ndocs/df): ln is transcendental and engines may
+    // differ in the last ulp (§7.3 rule 5); the ranking it induces for
+    // fixed tf is identical. Scale shape: the heavy side is the
+    // (lang, word) df aggregate — partial+final, shuffle carries the
+    // vocabulary, never documents; the probe-side tf relation and the
+    // O(#langs) doc counts broadcast into it; the rank window partitions
+    // by probe doc over ≤ vocabulary-of-probe rows.
+    "text_tfidf_top" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        val dfr = words.distinct()
+          .groupBy("lang", "word").agg(count(lit(1)).cast("long").as("df"))
+        val nd = t(spark, dir, "documents").groupBy("lang").agg(cnt("ndocs"))
+        val tf = words.filter(col("doc_id") < 20)
+          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).cast("long").as("tf"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+        dfr.join(broadcast(tf), Seq("lang", "word"))
+          .join(broadcast(nd), "lang")
+          .withColumn("score",
+            pround((col("tf") * col("ndocs")).cast("double") / col("df").cast("double"), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("word"), col("score"))
+          .orderBy(col("doc_id"), col("score").desc, col("word"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+             |wd AS (SELECT DISTINCT doc_id, lang, word FROM w),
+             |dfr AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS df FROM wd GROUP BY lang, word),
+             |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndocs FROM documents GROUP BY lang),
+             |tf AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS tf FROM w
+             |WHERE doc_id < 20 GROUP BY doc_id, lang, word),
+             |sc AS (SELECT tf.doc_id, tf.word,
+             |${proundSql("CAST(tf.tf * nd.ndocs AS DOUBLE) / CAST(dfr.df AS DOUBLE)", 4)} AS score
+             |FROM tf JOIN dfr ON tf.lang = dfr.lang AND tf.word = dfr.word
+             |JOIN nd ON nd.lang = tf.lang)
+             |SELECT doc_id, word, score FROM (SELECT *,
+             |row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM sc)
+             |WHERE rn <= 3 ORDER BY doc_id, score DESC, word""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // SimHash fingerprints (16-bit, majority vote per bit over word
     // hashes) — computed entirely in array HOFs, zero shuffle per doc.
     "dedup_simhash" -> QueryDef(

@@ -84,6 +84,24 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc run-length stats must not shuffle grams:\n$plan")
   }
 
+  test("sim_kmeans_iterate: assignments are aggregates, centroids broadcast, no window") {
+    val plan = executedPlan("sim_kmeans_iterate")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"assignment argmax must be a max_by aggregate, not a window:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") + countOf(plan, "BroadcastHashJoin") >= 2,
+      "both assignment passes must broadcast the centroid relation")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "the corpus must never sort-merge against K centroid rows")
+  }
+
+  test("text_tfidf_top: probe tf and doc counts broadcast into the df aggregate") {
+    val plan = executedPlan("text_tfidf_top")
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"tf and ndocs must broadcast; the vocabulary side streams:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "the corpus-wide df relation must not sort-merge against bounded probe relations")
+  }
+
   test("sample_lang_balanced: threshold broadcasts back; one bounded window") {
     val plan = executedPlan("sample_lang_balanced")
     assert(countOf(plan, "BroadcastHashJoin") >= 1,
