@@ -26,6 +26,22 @@ object TextQueries {
   /** Same hash, DuckDB form. */
   private def hxDuck(s: String) = s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
+  /** Overflow-proof per-language prefilter threshold for balanced sampling:
+    * `least(2^60 div n, 2^60 div (quota·4) + 1) · (quota·4)`. For
+    * `n ≥ quota·4` the `least` picks the plain quotient (the historical
+    * threshold, bit-for-bit); for rarer languages the saturated product
+    * exceeds max(h) = 2^60 − 1 so every row survives — the prefilter
+    * degrades to a no-op instead of overflowing (`n ≤ 12` made the naive
+    * product exceed Long.MaxValue: ArithmeticException under ANSI, a
+    * negative wrap — silently dropping the language — without).
+    * LangBalanceSpec pins both regimes; `n` is a BIGINT column name.
+    */
+  private[graft] def balancedThresholdExpr(quota: Int, nCol: String = "n"): String = {
+    val spread = quota * 4L
+    val cap = 1152921504606846976L / spread + 1L
+    s"least(1152921504606846976L div $nCol, ${cap}L) * ${spread}L"
+  }
+
   private val Stopwords = Seq("the", "a", "data", "value", "row")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -622,8 +638,9 @@ object TextQueries {
     // form is a per-lang row_number over the whole corpus — a sort of
     // EVERYTHING on a #langs-way skewed key. The 100 TB form implemented
     // here is two-pass: (1) per-lang counts (one tiny partial+final agg);
-    // (2) a per-lang hash THRESHOLD thr = (2^60 div n_lang) · quota ·
-    // safety(4×) broadcast back, so only ~quota·safety rows per lang
+    // (2) a per-lang hash THRESHOLD thr ≈ (2^60 div n_lang) · quota ·
+    // safety(4×) — saturated for rare languages, see balancedThresholdExpr —
+    // broadcast back, so only ~quota·safety rows per lang
     // survive to the exact rank — the window sorts O(quota), not O(corpus),
     // at any scale. Top-quota-by-hash of {h < thr} equals top-quota-by-hash
     // of the corpus whenever ≥ quota rows survive (safety 4× + integer
@@ -638,8 +655,7 @@ object TextQueries {
         val d = t(spark, dir, "documents")
           .withColumn("h", expr(hx("cast(doc_id as string)")))
         val thr = d.groupBy("lang").agg(count(lit(1)).as("n"))
-          .select(col("lang"),
-            expr(s"(1152921504606846976L div n) * ${quota * 4L}").as("thr"))
+          .select(col("lang"), expr(balancedThresholdExpr(quota)).as("thr"))
         val survivors = d.join(broadcast(thr), "lang").filter(col("h") < col("thr"))
         val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
         val ranked = survivors.withColumn("rn", row_number().over(w))
