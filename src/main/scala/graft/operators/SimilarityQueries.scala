@@ -132,10 +132,15 @@ object SimilarityQueries {
         // HashAggregate; that sort is partition-LOCAL over the crossJoin's
         // contiguous per-vector runs — the exchange itself carries one
         // slim row per vector, not ten embeddings.
+        // The argmax ranks a pround-ed csim (9 digits, both engines), so
+        // the ranked value is identical by construction rather than by a
+        // bit-identical-fold assumption: a last-ulp divergence on a
+        // near-tie cannot flip the assignment, because within 1e-9 the
+        // two sides see the SAME rounded value and break the tie on cid.
         val assigned = vecs(spark, dir)
           .crossJoin(broadcast(cents))
-          .withColumn("csim",
-            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")))
+          .withColumn("csim", pround(
+            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
           .groupBy("vec_id")
           .agg(max_by(struct(col("cid"), col("embedding").as("v")),
             struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
@@ -155,8 +160,8 @@ object SimilarityQueries {
           .orderBy(col("probe"), col("sim").desc, col("cand"))
       },
       Some {
-        val csim =
-          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
            |asg AS (SELECT vec_id, cid, v FROM (
@@ -191,10 +196,14 @@ object SimilarityQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c0 = e.filter(col("vec_id") >= 480 && col("vec_id") < 490)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
+        // Argmax over a pround-ed csim (9 digits, both engines): the ranked
+        // value is identical by construction, so a last-ulp fold divergence
+        // on a near-tie cannot flip an assignment (ADVICE r05 #2); within
+        // 1e-9 both engines tie and break on cid identically.
         def assign(cents: DataFrame): DataFrame =
           e.crossJoin(broadcast(cents))
-            .withColumn("csim", gdot("v", "cv")
-              / (sqrt(gdot("v", "v")) * sqrt(gdot("cv", "cv"))))
+            .withColumn("csim", pround(gdot("v", "cv")
+              / (sqrt(gdot("v", "v")) * sqrt(gdot("cv", "cv"))), 9))
             .groupBy("vec_id")
             .agg(max_by(struct(col("cid"), col("v").as("v")),
               struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
@@ -213,7 +222,8 @@ object SimilarityQueries {
           .orderBy(col("cid"))
       },
       Some {
-        val csim = "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
            |a1 AS (SELECT vec_id, cid, v FROM (

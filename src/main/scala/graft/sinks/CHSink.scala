@@ -1,8 +1,9 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import graft.functions.TsvCodec
+import graft.streaming.StateFs
 
 /** ClickHouse-shaped sink (SURVEY.md §7.1 M4) — the "custom sink" half of
   * the reference's pipeline, behind an interface.
@@ -44,21 +45,20 @@ trait CHSink {
 }
 
 /** Filesystem TabSeparated sink: stage (distributed text write) → atomic
-  * move into `rootDir/<table>/batch=<id>` → append the manifest line.
+  * move into `rootDir/<table>/batch=<id>` → add the manifest marker.
   * Byte-compatible with ClickHouse TabSeparated: `\t` separators, `\n`
-  * rows, `\\ \t \n` escaped, NULL as `\N`.
+  * rows, `\\ \t \n` escaped, NULL as `\N`. State I/O goes through
+  * [[graft.streaming.StateFs]], so `rootDir` may be any Hadoop
+  * filesystem (HDFS/S3A/…), and the manifest is an append-free marker
+  * directory — see StateFs for the object-store rationale.
   */
 final class FsCHSink(rootDir: String) extends CHSink {
 
-  private def manifest(table: String) = Paths.get(rootDir, table, "_committed_batches")
+  private def manifest(table: String) =
+    new HPath(s"$rootDir/$table", "_committed_batches")
 
-  def committedBatches(table: String): Set[Long] = {
-    val m = manifest(table)
-    if (Files.exists(m))
-      Files.readAllLines(m).toArray(Array.empty[String])
-        .filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
-  }
+  def committedBatches(table: String): Set[Long] =
+    StateFs.markers(manifest(table))
 
   override def insert(batch: DataFrame, table: String, batchId: Long,
                       truncateFirst: Boolean = false): Boolean = {
@@ -66,24 +66,13 @@ final class FsCHSink(rootDir: String) extends CHSink {
     // truncateFirst is a no-op here by design: the Fs sink lands the raw
     // wire lines as an append-only log (a file-drop delivery, not a live
     // mirror); truncate semantics apply at the consuming end.
-    val staging = Paths.get(rootDir, table, "_staging", batchId.toString)
-    val target = Paths.get(rootDir, table, s"batch=$batchId")
+    val staging = new HPath(s"$rootDir/$table", s"_staging/$batchId")
+    val target = new HPath(s"$rootDir/$table", s"batch=$batchId")
     val line = TsvCodec.tsvLineFor(batch)
     batch.select(line.as("value")).write.mode("overwrite").text(staging.toString)
-    Files.createDirectories(target.getParent)
-    if (Files.exists(target)) { // crashed between move and manifest: keep it
-      deleteRecursively(staging)
-    } else {
-      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.write(manifest(table), s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // lost move = crashed between a previous move and its marker: keep it
+    if (!StateFs.commitMove(staging, target)) StateFs.delete(staging)
+    StateFs.addMarker(manifest(table), batchId)
     true
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }

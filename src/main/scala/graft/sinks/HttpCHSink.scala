@@ -2,10 +2,11 @@ package graft.sinks
 
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import graft.functions.TsvCodec
+import graft.streaming.StateFs
 
 /** HTTP ClickHouse sink — the wire half the reference actually ships over:
   * `POST /?query=INSERT INTO <table> FORMAT TabSeparated` with a body of
@@ -42,15 +43,13 @@ import graft.functions.TsvCodec
   */
 final class HttpCHSink(endpoint: String, stateDir: String) extends CHSink {
 
-  private def manifest(table: String) = Paths.get(stateDir, table, "_shipped_batches")
+  // an append-free marker directory via StateFs, so `stateDir` may sit on
+  // the stream's checkpoint store (HDFS/S3A) rather than driver-local disk
+  private def manifest(table: String) =
+    new HPath(s"$stateDir/$table", "_shipped_batches")
 
-  def committedBatches(table: String): Set[Long] = {
-    val m = manifest(table)
-    if (Files.exists(m))
-      Files.readAllLines(m).toArray(Array.empty[String])
-        .filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
-  }
+  def committedBatches(table: String): Set[Long] =
+    StateFs.markers(manifest(table))
 
   override def insert(batch: DataFrame, table: String, batchId: Long,
                       truncateFirst: Boolean = false): Boolean = {
@@ -67,10 +66,7 @@ final class HttpCHSink(endpoint: String, stateDir: String) extends CHSink {
           HttpCHSink.post(url, tbl, bid, part, rows.map(_.getString(0)))
         }
     }
-    val m = manifest(table)
-    Files.createDirectories(m.getParent)
-    Files.write(m, s"$batchId\n".getBytes(UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    StateFs.addMarker(manifest(table), batchId)
     true
   }
 }

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,6 +23,15 @@ import org.apache.spark.sql.types.StructType
   * area, and record the batchId in a manifest. A redelivered batchId
   * (checkpoint replay after crash) is a no-op — the manifest is the
   * equivalent of the reference's persisted LSN.
+  *
+  * ALL state I/O goes through [[StateFs]] (the Hadoop `FileSystem` API),
+  * so `tableDir` may live on the stream's checkpoint store — HDFS, S3A,
+  * ABFS — not just the driver's local disk; a cluster's driver and
+  * executors do not share a local filesystem. The batchId manifest is a
+  * marker DIRECTORY (`_committed_batches/b=<id>`, creation = commit)
+  * rather than an appended file: HDFS append is optional and object
+  * stores have none, and one marker per batch keeps the commit a single
+  * create instead of a read-modify-write.
   *
   * Compaction (A11's second half): with `mergeThreshold > 0`, once that
   * many committed batch dirs are live they are merged — sorted by the
@@ -61,42 +68,36 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
                          orderCols: Seq[String] = Seq("lsn"),
                          segmentMerge: DataFrame => DataFrame = identity) {
 
-  private val committed = Paths.get(tableDir, "_committed_batches")
-  private val mainDir = Paths.get(tableDir, "main")
+  private val root = new HPath(tableDir)
+  private val committed = new HPath(root, "_committed_batches")
+  private val mainDir = new HPath(root, "main")
 
-  def committedBatches(): Set[Long] =
-    if (Files.exists(committed))
-      Files.readAllLines(committed).toArray(Array.empty[String])
-        .filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
+  def committedBatches(): Set[Long] = StateFs.markers(committed)
 
   /** Batch ids already merged into main segments (from seg metadata —
     * the authoritative record; it commits atomically with the data).
     */
   def compactedBatches(): Set[Long] =
     segDirs().flatMap { seg =>
-      Files.readAllLines(seg.resolve("_batches")).toArray(Array.empty[String])
+      StateFs.readLines(new HPath(seg, "_batches"))
         .filter(_.nonEmpty).map(_.toLong)
     }.toSet
 
   /** Committed but not yet compacted (their `batch=<id>` dirs are live). */
   def liveBatches(): Set[Long] = committedBatches() -- compactedBatches()
 
-  private def segDirs(): Seq[Path] =
-    if (Files.isDirectory(mainDir))
-      Files.list(mainDir).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-"))
-        .toSeq.sortBy(_.getFileName.toString)
-    else Seq.empty
+  private def segDirs(): Seq[HPath] =
+    StateFs.listNames(mainDir).filter(_.startsWith("seg-")).sorted
+      .map(new HPath(mainDir, _))
 
-  /** Idempotent micro-batch write: stage → atomic move → manifest append,
+  /** Idempotent micro-batch write: stage → atomic move → manifest marker,
     * then compaction when the live-batch count reaches the threshold.
     * Safe to call again with the same batchId (crash-replay path).
     */
   def writeBatch(batch: DataFrame, batchId: Long): Boolean = {
     if (committedBatches().contains(batchId)) return false
-    val staging = Paths.get(tableDir, "_staging", batchId.toString)
-    val target = Paths.get(tableDir, s"batch=$batchId")
+    val staging = new HPath(root, s"_staging/$batchId")
+    val target = new HPath(root, s"batch=$batchId")
     // explicit arrival-order row_id (SURVEY §1.1 aux columns): batchId in
     // the high 32 bits, the intra-batch rank in the low 32.
     // fall back to all columns when the configured order key is absent
@@ -109,18 +110,10 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     val ordered = batch.withColumn("__row_id",
       (lit(batchId) * lit(1L << 32) + row_number().over(w)).cast("long"))
     ordered.write.mode("overwrite").parquet(staging.toString)
-    Files.createDirectories(target.getParent)
-    if (Files.exists(target)) { // crashed between move and manifest: keep it
-      deleteRecursively(staging)
-    } else {
-      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.createDirectories(committed.getParent)
-    // append ONE line per batch (single short write ≈ atomic on a local
-    // fs): a full rewrite would be O(batches²) I/O over a long stream and a
-    // crash mid-rewrite could truncate previously committed ids.
-    Files.write(committed, s"$batchId\n".getBytes(UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // a lost commitMove means a previous attempt's move already landed
+    // (crashed between move and marker): keep the committed copy
+    if (!StateFs.commitMove(staging, target)) StateFs.delete(staging)
+    StateFs.addMarker(committed, batchId)
     if (mergeThreshold > 0) maybeCompact(batch.sparkSession)
     true
   }
@@ -141,22 +134,19 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     */
   private def compact(spark: SparkSession, batches: Set[Long]): Unit = {
     val segId = batches.max
-    val staging = Paths.get(tableDir, "_staging", s"seg-$segId")
-    val target = mainDir.resolve(s"seg-$segId")
-    if (!Files.exists(target)) {
+    val staging = new HPath(root, s"_staging/seg-$segId")
+    val target = new HPath(mainDir, s"seg-$segId")
+    if (!StateFs.exists(target)) {
       val dirs = batches.toSeq.sorted.map(b => s"$tableDir/batch=$b")
       segmentMerge(spark.read.parquet(dirs: _*))
         .sort(col("__row_id"))
         .write.mode("overwrite").parquet(staging.toString)
       // coverage metadata INSIDE the staged segment: data + the record of
       // what it replaces become visible in the same atomic move.
-      Files.write(staging.resolve("_batches"),
-        batches.toSeq.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
-      Files.createDirectories(mainDir)
-      try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        deleteRecursively(staging) // lost a race to a concurrent replay
-      }
+      StateFs.writeFile(new HPath(staging, "_batches"),
+        batches.toSeq.sorted.mkString("", "\n", "\n"))
+      // lost move = a concurrent replay committed the segment first
+      if (!StateFs.commitMove(staging, target)) StateFs.delete(staging)
     }
     retireCoveredDirs()
   }
@@ -166,17 +156,14 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     */
   private def retireCoveredDirs(): Unit =
     compactedBatches().foreach { b =>
-      deleteRecursively(Paths.get(tableDir, s"batch=$b"))
+      StateFs.delete(new HPath(root, s"batch=$b"))
     }
 
   /** Number of live batch dirs on disk (bounded by mergeThreshold when
     * compaction is on — the test handle for "file growth is bounded").
     */
   def liveBatchDirCount(): Int =
-    if (Files.isDirectory(Paths.get(tableDir)))
-      Files.list(Paths.get(tableDir)).iterator().asScala
-        .count(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("batch="))
-    else 0
+    StateFs.listNames(root).count(_.startsWith("batch="))
 
   /** Everything committed: main segments ∪ live batch dirs, `__row_id`
     * included (total arrival order across the whole landed log). Pass the
@@ -185,8 +172,8 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     */
   def readCommitted(spark: SparkSession, schema: StructType = null): DataFrame = {
     val segs = segDirs().map(_.toString)
-    val live = liveBatches().toSeq.sorted.map(b => s"$tableDir/batch=$b")
-      .filter(p => Files.isDirectory(Paths.get(p)))
+    val live = liveBatches().toSeq.sorted.map(b => new HPath(root, s"batch=$b"))
+      .filter(StateFs.exists).map(_.toString)
     val dirs = segs ++ live
     val reader = if (schema == null) spark.read else {
       val withRowId = StructType(schema.fields :+
@@ -206,10 +193,4 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
   def forEachBatch(batch: DataFrame, batchId: Long): Unit = {
     writeBatch(batch, batchId); ()
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }

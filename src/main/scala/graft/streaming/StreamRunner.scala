@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -158,7 +158,7 @@ object StreamRunner {
           val frames = ChangeFeed.parseBase64Frames(rawBatch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cleanup += (() => { frames.unpersist(); () })
-          val cacheDir = Paths.get(cfg.outputDir, "_relations")
+          val cacheDir = new HPath(cfg.outputDir, "_relations")
           val cachedBefore = readRelationCache(spark, cacheDir)
           val feedDefs = ChangeFeed.relationDefs(frames)
           if (!feedDefs.isEmpty)
@@ -201,49 +201,32 @@ object StreamRunner {
     * failure BufferedSink's compaction exists to prevent.
     */
   private def readRelationCache(spark: SparkSession,
-                                cacheDir: java.nio.file.Path): Option[DataFrame] =
+                                cacheDir: HPath): Option[DataFrame] =
     latestCacheVersion(cacheDir).map(v =>
-      spark.read.parquet(cacheDir.resolve(s"v=$v").toString))
+      spark.read.parquet(new HPath(cacheDir, s"v=$v").toString))
 
-  private def latestCacheVersion(cacheDir: java.nio.file.Path): Option[Long] =
-    if (Files.isDirectory(cacheDir)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(cacheDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-        .maxOption
-    } else None
+  private def latestCacheVersion(cacheDir: HPath): Option[Long] =
+    StateFs.listNames(cacheDir)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .maxOption
 
-  private def writeRelationCache(spark: SparkSession, cacheDir: java.nio.file.Path,
+  private def writeRelationCache(spark: SparkSession, cacheDir: HPath,
                                  batchId: Long, defs: DataFrame): Unit = {
-    val target = cacheDir.resolve(s"v=$batchId")
-    if (!Files.exists(target)) {
-      val staging = cacheDir.resolve(s"_staging_v$batchId")
+    val target = new HPath(cacheDir, s"v=$batchId")
+    if (!StateFs.exists(target)) {
+      val staging = new HPath(cacheDir, s"_staging_v$batchId")
       defs.distinct().coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      try Files.move(staging, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException => // lost a replay race
-        deleteRecursively(staging)
-      }
+      // lost move = a concurrent replay committed this version first
+      if (!StateFs.commitMove(staging, target)) StateFs.delete(staging)
     }
     // retire superseded versions (lazy: a crash here just leaves one
     // extra dir for the next write to retire)
     latestCacheVersion(cacheDir).foreach { latest =>
-      import scala.jdk.CollectionConverters._
-      Files.list(cacheDir).iterator().asScala.toSeq
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("v=") && n.stripPrefix("v=").toLong < latest
-        }
-        .foreach(deleteRecursively)
+      StateFs.listNames(cacheDir)
+        .filter(n => n.startsWith("v=") && n.stripPrefix("v=").toLong < latest)
+        .foreach(n => StateFs.delete(new HPath(cacheDir, n)))
     }
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 
   /** Engine wire encoding for the ClickHouse buffer table — the aux
     * columns pg2ch attaches before shipping (SURVEY §1.1): Replacing rows

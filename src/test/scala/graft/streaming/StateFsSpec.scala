@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** StateFs — the Hadoop-FileSystem state layer every sink manifest and the
+  * relation cache resolve through, so streaming state can live on the
+  * checkpoint store (HDFS/S3A) instead of driver-local disk. These tests
+  * exercise the local Hadoop filesystem, the same code path a cluster URI
+  * takes (only the FileSystem impl differs).
+  */
+class StateFsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): HPath =
+    new HPath(Files.createTempDirectory(prefix).toString)
+
+  test("markers: empty dir, add, idempotent re-add, mixed foreign files") {
+    val dir = new HPath(tmp("graft_statefs"), "_manifest")
+    assert(StateFs.markers(dir) === Set.empty[Long])
+    StateFs.addMarker(dir, 0L)
+    StateFs.addMarker(dir, 7L)
+    // replay re-adds the same id: creation is idempotent (overwrite)
+    StateFs.addMarker(dir, 7L)
+    // a non-marker file in the dir is ignored, not a crash
+    StateFs.writeFile(new HPath(dir, "_unrelated"), "x")
+    assert(StateFs.markers(dir) === Set(0L, 7L))
+  }
+
+  test("writeFile/readLines roundtrip, overwrite replaces content") {
+    val f = new HPath(tmp("graft_statefs"), "nested/deep/file.txt")
+    StateFs.writeFile(f, "a\nb\n")
+    assert(StateFs.readLines(f) === Seq("a", "b"))
+    StateFs.writeFile(f, "c\n")
+    assert(StateFs.readLines(f) === Seq("c"))
+  }
+
+  test("commitMove commits once; the loser keeps the committed copy") {
+    val root = tmp("graft_statefs")
+    val dst = new HPath(root, "committed/v=1")
+    val s1 = new HPath(root, "_staging1")
+    val s2 = new HPath(root, "_staging2")
+    StateFs.writeFile(new HPath(s1, "data"), "winner\n")
+    StateFs.writeFile(new HPath(s2, "data"), "loser\n")
+    assert(StateFs.commitMove(s1, dst))
+    // second committer loses: dst exists, nothing moves
+    assert(!StateFs.commitMove(s2, dst))
+    assert(StateFs.readLines(new HPath(dst, "data")) === Seq("winner"))
+    // loser's protocol: discard its staging
+    StateFs.delete(s2)
+    assert(!StateFs.exists(s2))
+    assert(StateFs.exists(dst))
+  }
+
+  test("listNames: missing dir is empty, delete is recursive + idempotent") {
+    val root = tmp("graft_statefs")
+    val dir = new HPath(root, "never_created")
+    assert(StateFs.listNames(dir) === Seq.empty)
+    val tree = new HPath(root, "tree")
+    StateFs.writeFile(new HPath(tree, "a/b/c"), "x")
+    StateFs.writeFile(new HPath(tree, "d"), "y")
+    assert(StateFs.listNames(tree).toSet === Set("a", "d"))
+    StateFs.delete(tree)
+    StateFs.delete(tree) // second delete: no-op, no throw
+    assert(!StateFs.exists(tree))
+  }
+}
