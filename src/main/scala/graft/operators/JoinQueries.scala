@@ -195,5 +195,56 @@ object JoinQueries {
              |WHERE c_mktsegment = 'BUILDING'
              |AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
              |GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // TPC-H Q5 shape: the full snowflake — region→nation prune the
+    // customer AND supplier sides, two fact-fact shuffles, revenue per
+    // nation. Scale design: only the GUARANTEED-tiny relations broadcast
+    // (region⋈nation — ≤25 rows at every SF; customer/supplier grow with
+    // the corpus, so they stay shuffle-side and AQE may still elect a
+    // broadcast at small SFs). lineitem joins orders on orderkey, then
+    // customer on custkey, then supplier on (suppkey, nationkey) — each a
+    // key-partitioned exchange a 1000-executor cluster runs without any
+    // driver-side state; the same-nation predicate rides the supplier
+    // join so mismatched pairs never survive the exchange.
+    "multi_join_snowflake" -> QueryDef(
+      (spark, dir) => {
+        val asiaNations = t(spark, dir, "nation")
+          .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(spark, dir, "customer")
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice"), 12, 2) *
+              (lit(1) - dec(col("l_discount"), 12, 2))).as("disc_price"))
+        val sup = t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          // decimal partial+final sum, round once, then double — the
+          // money-aggregate discipline (core.moneySum rationale)
+          .agg(round(sum(col("disc_price")), 2).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

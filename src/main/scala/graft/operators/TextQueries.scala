@@ -913,5 +913,85 @@ object TextQueries {
              |FROM sh a JOIN sh b ON a.lang = b.lang AND b.doc_id > a.doc_id
              |WHERE a.doc_id < 20)
              |WHERE ja >= 0.05 ORDER BY ja DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Token-distribution Shannon entropy — the classic "is this doc
+    // natural text or boilerplate/noise" quality signal (low entropy =
+    // repetitive template, near-max = word salad). One narrow map pass per
+    // doc, zero shuffle before the final ORDER BY: runs of the SORTED
+    // token array give per-token counts without a groupBy (the
+    // text_repetition_stats bounds trick), and
+    // H = (ln n − Σ rᵢ·ln rᵢ / n) / ln 2 needs one sequential fold.
+    // Determinism (§7.3): both engines fold the run list left-to-right in
+    // sorted-token order (`aggregate` ↔ `list_reduce`) and `ln` is the
+    // single libm call on both — pround(4) absorbs any last-ulp libm
+    // divergence. size >= 2 guard on BOTH sides: Spark's sequence(2, 1)
+    // auto-descends where DuckDB's range(2, 2) is empty (§7.3 trap).
+    "text_entropy" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("sw", array_sort(split(col("text"), " ")))
+          .filter(size(col("sw")) >= 2)
+          .withColumn("bounds", expr(
+            """concat(array(1),
+              |filter(sequence(2, size(sw)), i -> element_at(sw, i) != element_at(sw, i - 1)),
+              |array(size(sw) + 1))""".stripMargin.replace("\n", " ")))
+          .withColumn("runs", expr(
+            "transform(sequence(1, size(bounds) - 1), j -> element_at(bounds, j + 1) - element_at(bounds, j))"))
+          .withColumn("n", size(col("sw")).cast("double"))
+          .withColumn("hsum", expr(
+            "aggregate(runs, cast(0.0 as double), (a, x) -> a + cast(x as double) * ln(cast(x as double)))"))
+          .select(col("doc_id"), size(col("sw")).cast("long").as("n_tokens"),
+            pround((log(col("n")) - col("hsum") / col("n"))
+              / lit(0.6931471805599453), 4).as("entropy"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, list_sort(string_split(text, ' ')) AS sw FROM documents
+             |WHERE len(string_split(text, ' ')) >= 2),
+             |b AS (SELECT doc_id, sw,
+             |list_concat(list_concat([CAST(1 AS BIGINT)],
+             |list_filter(range(2, len(sw) + 1), i -> sw[i] != sw[i-1])),
+             |[CAST(len(sw) + 1 AS BIGINT)]) AS bounds FROM d),
+             |r AS (SELECT doc_id, CAST(len(sw) AS DOUBLE) AS n, len(sw) AS n_tokens,
+             |list_transform(range(1, len(bounds)), j -> bounds[j+1] - bounds[j]) AS runs FROM b),
+             |h AS (SELECT doc_id, n, n_tokens,
+             |list_reduce(list_transform(runs, x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))),
+             |(a, b) -> a + b) AS hsum FROM r)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |${proundSql("(ln(n) - hsum / n) / 0.6931471805599453", 4)} AS entropy
+             |FROM h ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before anything else. Email-shaped spans are redacted with a
+    // conservative pattern (zero hits on the synthetic corpus — the
+    // count column pins that the detector RAN, not just that nothing
+    // matched) and entity terms are masked to prove live replacement
+    // arithmetic. Pure per-row codegen'd regex projections: no shuffle,
+    // no UDF — at 100 TB this is a map-only pass over the corpus.
+    // Patterns stay in the Java∩RE2 common subset (classes, bounded
+    // repeats, \b, alternation) so Spark and DuckDB agree; DuckDB needs
+    // the explicit 'g' flag to match Spark's replace-all default.
+    "text_pii_scrub" -> QueryDef(
+      (spark, dir) => {
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val entRe = "\\b(customer|supplier|order)\\b"
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_email"),
+            length(col("text")).cast("long").as("len_raw"),
+            length(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              entRe, "<ENT>")).cast("long").as("len_scrubbed"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+             |CAST(length(text) AS BIGINT) AS len_raw,
+             |CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |'\b(customer|supplier|order)\b', '<ENT>', 'g')) AS BIGINT) AS len_scrubbed
+             |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
