@@ -175,6 +175,16 @@ object StreamRunner {
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cleanup += (() => { decoded.unpersist(); () })
 
+      // ONE aggregate over the persisted decoded batch yields every
+      // table's truncate flag — the per-table `isEmpty` probe was N extra
+      // jobs per micro-batch in the routed topology. The set is at most
+      // |tables| strings, so the collect is driver-trivial.
+      val truncatedTables: Set[String] =
+        if (chSink.isEmpty) Set.empty
+        else decoded.filter(col("op") === ChangeRelation.OpTruncate)
+          .select(col("table")).distinct()
+          .collect().map(_.getString(0)).toSet
+
       cfg.tables.foreach { tc =>
         val typedBatch = ChangeFeed.typed(
           decoded.filter(col("table") === tc.name), tc.rowSchema, tc.columnsMap)
@@ -182,10 +192,8 @@ object StreamRunner {
         // ship AFTER the landing commits: both layers are idempotent on
         // batchId, so a crash between them replays into two no-ops
         chSink.foreach { ch =>
-          val hasTruncate = !typedBatch
-            .filter(col("op") === ChangeRelation.OpTruncate).isEmpty
           ch.insert(encodeForCH(tc, typedBatch), tc.name, batchId,
-            truncateFirst = hasTruncate)
+            truncateFirst = truncatedTables.contains(tc.name))
         }
       }
     } finally cleanup.foreach(_.apply())
