@@ -9,12 +9,13 @@ import graft.core._
   * Frames are always spelled explicitly (ROWS BETWEEN …) — default RANGE
   * frames differ between engines when the ordering has ties (SURVEY §7.4).
   *
-  * Scale notes: every window here partitions by a key (nationkey/user_id) —
-  * one hash shuffle, per-partition sort, no global ordering. The only
-  * global window is `win_ntile` (single-partition by construction, the
-  * operator's semantics demand it); its input is the 15k-row customer dim,
-  * and at real scale ntile over a fact table would be re-expressed via
-  * approximate quantiles instead.
+  * Scale notes: every window here partitions by a key (nationkey/user_id
+  * or, for `win_ntile`, a range-partition id) — one hash shuffle,
+  * per-partition sort, NO unpartitioned window anywhere (PlanShapeSpec
+  * pins this repo-wide). `win_ntile` computes the exact global ntile in
+  * parallel via range partitioning + broadcast rank offsets; the
+  * approximate alternative for percentile-bucket semantics lives in
+  * functions/Quantiles.approxNtile.
   */
 object WindowQueries {
 
@@ -131,11 +132,45 @@ object WindowQueries {
              |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Exact NTILE(4) without a single-partition window (VERDICT r06 #1).
+    // Parallel global ranking: range-partition on the sort key (partition
+    // i's rows all order before partition i+1's — the full key is unique,
+    // so the range boundaries induce a total order), per-partition
+    // row_number (window partitioned by the physical partition id — one
+    // narrow shuffle, fully parallel), then global rank = local rank +
+    // the broadcast sum of preceding partitions' counts. The offsets
+    // relation is ≤ #partitions rows, built with a bounded broadcast
+    // theta-join instead of a window so NO unpartitioned WindowExec
+    // exists anywhere in the plan (PlanShapeSpec pins this repo-wide).
+    // Bucket arithmetic is the exact NTILE contract: with q = n div 4 and
+    // r = n % 4, the first r buckets take q+1 rows, the rest q — integer
+    // `div`, no float rounding, so it hash-matches ntile() at every SF
+    // (including n % 4 ≠ 0, where a proportional floor formula diverges).
     "win_ntile" -> QueryDef(
       (spark, dir) => {
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-        t(spark, dir, "customer")
-          .select(col("c_custkey"), ntile(4).over(w).cast("long").as("bucket"))
+        val ranked = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .repartitionByRange(32, col("c_acctbal").desc, col("c_custkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(
+            Window.partitionBy("pid").orderBy(col("c_acctbal").desc, col("c_custkey")))
+            .cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = ranked.groupBy("pid").agg(count(lit(1)).as("pcnt"))
+        val offsets = counts.as("a")
+          .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"))
+          .agg(coalesce(sum(col("b.pcnt")), lit(0L)).as("off"))
+        val total = counts.agg(sum(col("pcnt")).as("tot"))
+        ranked
+          .join(broadcast(offsets), "pid")
+          .crossJoin(broadcast(total))
+          .withColumn("rn", col("off") + col("lrn"))
+          .withColumn("bucket", expr(
+            """cast(case when rn <= (tot % 4) * ((tot div 4) + 1)
+              |then (rn - 1) div ((tot div 4) + 1)
+              |else (tot % 4) + (rn - 1 - (tot % 4) * ((tot div 4) + 1)) div (tot div 4)
+              |end + 1 as bigint)""".stripMargin.replace("\n", " ")))
           .groupBy("bucket")
           .agg(cnt("cnt"), min(col("c_custkey")).as("min_ck"), max(col("c_custkey")).as("max_ck"))
           .orderBy(col("bucket"))

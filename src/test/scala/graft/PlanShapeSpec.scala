@@ -102,6 +102,31 @@ class PlanShapeSpec extends SparkSpec {
       "the corpus-wide df relation must not sort-merge against bounded probe relations")
   }
 
+  test("no declared query plans an unpartitioned window (repo-wide pin)") {
+    // A Window with an empty partitionSpec funnels the whole relation
+    // through ONE task — the last scale-killer VERDICT r06 flagged
+    // (win_ntile, since re-expressed as range-partitioned parallel ranks).
+    // Checked on the optimized logical plan (no execution needed), and —
+    // because persist() hides the upstream plan behind an
+    // InMemoryRelation whose subtree is already physical — also on every
+    // cached physical fragment.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.window.WindowExec
+    Registry.all.foreach { case (name, qd) =>
+      val plan = qd.fn(spark, sf001).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => s"logical:${w.windowExpressions}"
+        case r: InMemoryRelation =>
+          r.cachedPlan.collect {
+            case we: WindowExec if we.partitionSpec.isEmpty => s"cached:${we.windowExpression}"
+          }.mkString(";")
+      }.filter(_.nonEmpty)
+      assert(bad.isEmpty, s"$name plans a single-partition window: ${bad.mkString(", ")}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sample_lang_balanced: threshold broadcasts back; one bounded window") {
     val plan = executedPlan("sample_lang_balanced")
     assert(countOf(plan, "BroadcastHashJoin") >= 1,
