@@ -993,5 +993,97 @@ object TextQueries {
              |CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
              |'\b(customer|supplier|order)\b', '<ENT>', 'g')) AS BIGINT) AS len_scrubbed
              |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Paragraph-level dedup — the CCNet/C4 operation (VERDICT r06 #4):
+    // drop duplicate paragraphs ACROSS the corpus, keep the first
+    // occurrence (min (doc_id, pos)), report per-language kept fraction.
+    // This corpus is newline-free, so "paragraph" = each run of 10 words
+    // (the deterministic stand-in for a '\n\n' split — the pipeline shape
+    // is identical, only the segmenter expression changes). Scale shape:
+    // text is segmented and digested in ONE map pass; everything after
+    // the explode carries 32-char digests — the shuffle key is the
+    // digest, the canonical-owner choice is a min(struct) partial+final
+    // aggregate (never a window), and raw text never crosses an exchange.
+    "dedup_paragraphs" -> QueryDef(
+      (spark, dir) => {
+        val inst = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
+              |i -> md5(concat_ws(' ', slice(w, i * 10 + 1, 10))))"""
+              .stripMargin.replace("\n", " "))).as(Seq("pos", "dg")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = inst.groupBy("dg")
+          .agg(min(struct(col("doc_id"), col("pos"), col("lang"))).as("o"))
+          .groupBy(col("o.lang").as("lang"))
+          .agg(cnt("kept_pars"))
+        inst.groupBy("lang").agg(cnt("total_pars"))
+          .join(broadcast(kept), Seq("lang"), "left")
+          .select(col("lang"), col("total_pars"),
+            coalesce(col("kept_pars"), lit(0L)).as("kept_pars"),
+            pround(coalesce(col("kept_pars"), lit(0L)).cast("double")
+              / col("total_pars").cast("double"), 6).as("kept_frac"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+              |seg AS (SELECT doc_id, lang,
+              |unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos,
+              |unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+              |i -> md5(array_to_string(w[(i*10+1):(i*10+10)], ' ')))) AS dg FROM d),
+              |own AS (SELECT lang FROM (SELECT lang,
+              |row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn FROM seg) WHERE rn = 1),
+              |kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS kept_pars FROM own GROUP BY lang),
+              |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_pars FROM seg GROUP BY lang)
+              |SELECT tot.lang, total_pars, COALESCE(kept_pars, 0) AS kept_pars,
+              |${proundSql("CAST(COALESCE(kept_pars, 0) AS DOUBLE) / CAST(total_pars AS DOUBLE)", 6)} AS kept_frac
+              |FROM tot LEFT JOIN kept ON tot.lang = kept.lang
+              |ORDER BY tot.lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Gopher-style quality-rule bundle (VERDICT r06 #5) — the standard
+    // pretraining filter set alongside repetition/entropy: word count in
+    // [20, 100k], mean word length in [3, 10], ≥80% purely-alphabetic
+    // words, ≥2 stopwords. Every per-doc signal is INTEGER arithmetic
+    // (counts and cross-multiplied bounds — `chars ≥ 3·nw` instead of a
+    // float ratio), so the pass decision is bit-identical across engines
+    // with no rounding discipline needed; the only doubles are the two
+    // final pround'd per-source averages over exact BIGINT sums. Map-only
+    // scoring, one tiny per-source aggregate — zero corpus shuffle.
+    "text_gopher_rules" -> QueryDef(
+      (spark, dir) => {
+        val stops = inList(Stopwords)
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("source"),
+            size(col("w")).cast("long").as("nw"),
+            expr("aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))").as("chars"),
+            expr(s"cast(size(filter(w, x -> x IN $stops)) as bigint)").as("stopc"),
+            expr("cast(size(filter(w, x -> x rlike '^[a-z]+$')) as bigint)").as("alphac"))
+          .withColumn("pass",
+            col("nw") >= 20 && col("nw") <= 100000 &&
+              col("chars") >= col("nw") * 3 && col("chars") <= col("nw") * 10 &&
+              col("alphac") * 5 >= col("nw") * 4 && col("stopc") >= 2)
+          .groupBy("source")
+          .agg(cnt("docs"),
+            sum(when(col("pass"), 1L).otherwise(0L)).cast("long").as("passed"),
+            pround(sum(col("chars")).cast("double") / sum(col("nw")).cast("double"), 4)
+              .as("mean_word_len"),
+            pround(sum(col("stopc")).cast("double") / sum(col("nw")).cast("double"), 4)
+              .as("stop_frac"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH s AS (SELECT source,
+              |CAST(len(w) AS BIGINT) AS nw,
+              |CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+              |CAST(len(list_filter(w, x -> x IN ${inList(Stopwords)})) AS BIGINT) AS stopc,
+              |CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alphac
+              |FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+              |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+              |CAST(sum(CASE WHEN nw >= 20 AND nw <= 100000 AND chars >= nw * 3 AND chars <= nw * 10
+              |AND alphac * 5 >= nw * 4 AND stopc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+              |${proundSql("CAST(sum(chars) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS mean_word_len,
+              |${proundSql("CAST(sum(stopc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS stop_frac
+              |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -30,6 +30,29 @@ class PlanShapeSpec extends SparkSpec {
       "partial+final argmax aggregate missing")
   }
 
+  test("sim_ivf_nprobe: assignment is an aggregate; only bounded per-probe windows") {
+    val plan = executedPlan("sim_ivf_nprobe")
+    // two windows max — the 10×10 probe-cell rank and the per-probe top-k;
+    // both partition by probe. The corpus-side assignment stays a
+    // partial+final max_by aggregate.
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 2,
+      s"assignment window crept back:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
+      "partial+final argmax aggregate missing")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "corpus must never sort-merge against bounded probe/centroid relations")
+  }
+
+  test("dedup_paragraphs: digests shuffle, text never does") {
+    val plan = executedPlan("dedup_paragraphs")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"canonical-owner choice must be a min(struct) aggregate, not a window:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "the per-lang totals must broadcast-join the kept counts")
+  }
+
   test("dedup_minhash_verified: candidate joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_verified")
     // the two pinned verification joins (candidates ⋈ shingle sets)
