@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // share the verified-dedup minhash pipeline across the sweep's three
+    // consumers (TextQueries.verifiedShared) — values identical, ~2 full
+    // pipeline recomputes saved per sweep.
+    System.setProperty("graft.shared.pipeline", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
