@@ -162,6 +162,40 @@ class StreamTwinsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("file-source session-window twin over the REAL events table matches the batch query") {
+    // VERDICT r06 #7: the fixture test above pins the gap arithmetic;
+    // this replays the driver's real events table through the built-in
+    // session_window and asserts the per-user session COUNTS equal the
+    // declared batch query's output (complete mode: bounded input, all
+    // sessions finalized on the last tick).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamTwins.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sess_real")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_real").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.Registry.all.toMap.apply("stream_session_window")
+      .fn(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // and the sessions partition the events: per-session counts sum to
+    // the table's row count (every event in exactly one session)
+    val totalEvents = spark.table("sess_real")
+      .agg(sum(col("events_in_session"))).collect()(0).getLong(0)
+    assert(totalEvents === spark.read.parquet(path).count())
+  }
+
   test("streaming exact dedup: duplicate content drops across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
