@@ -201,5 +201,68 @@ object AggQueries {
              |min(CASE WHEN event_type = 'view' THEN event_id END) AS fv,
              |min(CASE WHEN event_type = 'purchase' THEN event_id END) AS fp
              |FROM events GROUP BY user_id)""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Numeric histogram (width_bucket shape with fixed-width bins).
+    // Bucket assignment is ONE double division by a constant + floor —
+    // identical IEEE ops in both engines, no width_bucket dialect
+    // divergence. Partial+final agg on ≤ ~30 bucket keys: the shuffle
+    // carries bucket subtotals, so the histogram of a 100 TB table costs
+    // one map pass + a ~30-row exchange.
+    "agg_histogram_bins" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "orders")
+          .withColumn("bucket",
+            floor(col("o_totalprice") / lit(25000.0)).cast("long"))
+          .groupBy("bucket")
+          .agg(cnt("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+             |CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Portable exact variance/stddev: engines disagree on incremental
+    // variance (Welford vs two-pass vs naive accumulate in double), so
+    // the declared form computes the EXACT decimal moments (n, Σx, Σx²
+    // — value is 2dp, so x² is exact at 4dp; both sums are exact decimal
+    // partial+final aggregates) and derives population variance with one
+    // fixed IEEE double sequence at the end: (Σx² − Σx·Σx/n)/n. Same
+    // expression tree on both sides ⇒ identical doubles. One map-side-
+    // combined shuffle of 3 numbers per group at any scale.
+    "agg_variance_stats" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(cnt("n"),
+            sum(dec(col("value"), 14, 2)).as("s"),
+            sum(dec(col("value"), 14, 2) * dec(col("value"), 14, 2)).as("m2"))
+          .select(col("event_type"), col("n"),
+            pround(col("s").cast("double") / col("n").cast("double"), 4).as("mean_r"),
+            pround((col("m2").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+              / col("n").cast("double"), 4).as("varp_r"),
+            pround(sqrt((col("m2").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+              / col("n").cast("double")), 4).as("stdp_r"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val n = "CAST(n AS DOUBLE)"
+        val s = "CAST(s AS DOUBLE)"
+        val m2 = "CAST(m2 AS DOUBLE)"
+        val varp = s"($m2 - $s * $s / $n) / $n"
+        s"""SELECT event_type, n,
+           |${proundSql(s"$s / $n", 4)} AS mean_r,
+           |${proundSql(varp, 4)} AS varp_r,
+           |${proundSql(s"sqrt($varp)", 4)} AS stdp_r
+           |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |sum(CAST(value AS DECIMAL(14,2))) AS s,
+           |sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS m2
+           |FROM events GROUP BY event_type)
+           |ORDER BY event_type""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

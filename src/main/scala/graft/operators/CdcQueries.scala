@@ -145,5 +145,31 @@ object CdcQueries {
       Some("""SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch,
              |CAST(count(*) AS BIGINT) AS nrows,
              |CAST(count(DISTINCT user_id) AS BIGINT) AS users
-             |FROM events GROUP BY 1 ORDER BY batch""".stripMargin.replace("\n", " "))))
+             |FROM events GROUP BY 1 ORDER BY batch""".stripMargin.replace("\n", " "))),
+
+    // SCD Type-2 history materialization: the other standard consumer of a
+    // CDC upsert stream (vs ReplacingMergeTree's latest-wins). Each change
+    // becomes a validity interval [valid_from, valid_to) in LSN order;
+    // the open interval (valid_to NULL) is the current row. One window
+    // shuffle on user_id — the same single-exchange shape as
+    // cdc_replacing_latest, so a 1000-executor cluster builds the whole
+    // history table with one pass and no self-join.
+    "cdc_scd2_history" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id").as("valid_from"),
+            lead(col("event_id"), 1).over(w).as("valid_to"),
+            col("event_type"), pround(col("value"), 2).as("value_r"))
+          .withColumn("is_current",
+            when(col("valid_to").isNull, 1L).otherwise(0L))
+          .orderBy(col("user_id"), col("valid_from"))
+          .limit(500)
+      },
+      Some(s"""SELECT user_id, event_id AS valid_from,
+             |lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+             |event_type, ${proundSql("value", 2)} AS value_r,
+             |CAST(CASE WHEN lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+             |THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM events ORDER BY user_id, valid_from LIMIT 500""".stripMargin.replace("\n", " "))))
 }

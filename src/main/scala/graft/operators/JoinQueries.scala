@@ -170,6 +170,34 @@ object JoinQueries {
              |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // AS-OF join with bounded staleness (tolerance): the production form —
+    // a match older than the tolerance horizon is no match (a quote from
+    // last week must not price today's trade). Same single-shuffle rewrite
+    // as join_asof_latest, but the running conditional max rides a RANGE
+    // frame of 100 LSNs, so expired matches fall out of the frame instead
+    // of being filtered in a second pass. State per key is bounded by the
+    // tolerance window — exactly what a streaming twin would keep.
+    "join_asof_tolerance" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rangeBetween(-100, Window.currentRow)
+        t(spark, dir, "events")
+          .withColumn("last_view",
+            max(when(col("event_type") === "view", col("event_id"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("last_view"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, last_view FROM (SELECT event_id, user_id, event_type,
+             |max(CASE WHEN event_type = 'view' THEN event_id END)
+             |OVER (PARTITION BY user_id ORDER BY event_id
+             |RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS last_view
+             |FROM events) WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // TPC-H Q3 shape: broadcast the filtered customer dim, shuffle join the
     // two fact tables on orderkey, aggregate, global top-10 (TakeOrdered).
     "multi_join_star" -> QueryDef(

@@ -38,6 +38,38 @@ object SimilarityQueries {
     t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
   }
 
+  /** The LSH-bucketed ANN pipeline (see `ann_lsh_topk` for the full scale
+    * rationale): 4 fixed hyperplanes → 16 sign buckets, probes search only
+    * their own bucket, per-probe top-3. Shared by the declared query and
+    * by `ann_recall_eval`, which grades this exact pipeline.
+    */
+  private def lshTop3(spark: SparkSession, dir: String): DataFrame = {
+    val hp = vecs(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("hb"), col("embedding").as("hv"))
+    // persist: both the probe derivation and the bucket join below read
+    // `bucketed`; without it the crossJoin+groupBy bucketing pass runs
+    // once per branch — two full corpus scans at scale instead of one.
+    val bucketed = vecs(spark, dir)
+      .crossJoin(broadcast(hp))
+      .withColumn("bit", when(gdot("embedding", "hv") > 0,
+        expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).cast("long").as("bucket"),
+        first(col("embedding")).as("v"))
+      .withColumn("nv", sqrt(gdot("v", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe"), col("bucket").as("pb"),
+        col("v").as("pv"), col("nv").as("pn"))
+    val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe"))
+      .withColumn("sim", pround(gdot("pv", "v") / (col("pn") * col("nv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe"), col("vec_id").as("cand"), col("sim"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Brute-force cosine top-k: the correctness baseline for ANN.
@@ -68,34 +100,10 @@ object SimilarityQueries {
     // LSH-bucketed ANN: 4 fixed hyperplanes (vectors 0..3) → 16 sign
     // buckets; probes search only their own bucket. The scale path: bucket
     // assignment is one narrow map pass, the join key is the bucket id.
+    // (Pipeline body in [[lshTop3]], shared with ann_recall_eval.)
     "ann_lsh_topk" -> QueryDef(
-      (spark, dir) => {
-        val hp = vecs(spark, dir).filter(col("vec_id") < 4)
-          .select(col("vec_id").as("hb"), col("embedding").as("hv"))
-        // persist: both the probe derivation and the bucket join below read
-        // `bucketed`; without it the crossJoin+groupBy bucketing pass runs
-        // once per branch — two full corpus scans at scale instead of one.
-        val bucketed = vecs(spark, dir)
-          .crossJoin(broadcast(hp))
-          .withColumn("bit", when(gdot("embedding", "hv") > 0,
-            expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
-          .groupBy("vec_id")
-          .agg(sum(col("bit")).cast("long").as("bucket"),
-            first(col("embedding")).as("v"))
-          .withColumn("nv", sqrt(gdot("v", "v")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probes = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe"), col("bucket").as("pb"),
-            col("v").as("pv"), col("nv").as("pn"))
-        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
-        broadcast(probes)
-          .join(bucketed, col("pb") === col("bucket") && col("vec_id") =!= col("probe"))
-          .withColumn("sim", pround(gdot("pv", "v") / (col("pn") * col("nv")), 6))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("probe"), col("vec_id").as("cand"), col("sim"))
-          .orderBy(col("probe"), col("sim").desc, col("cand"))
-      },
+      (spark, dir) => lshTop3(spark, dir)
+        .orderBy(col("probe"), col("sim").desc, col("cand")),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               |hp AS (SELECT vec_id AS hb, v AS hv FROM e WHERE vec_id < 4),
               |bkt AS (SELECT e.vec_id, any_value(e.v) AS v,
@@ -352,5 +360,109 @@ object SimilarityQueries {
           .orderBy(col("event_type"))
       },
       oracle = None,
+      tier = "E"),
+
+    // ANN recall evaluation — the quality gate every approximate index
+    // ships with: grade the LSH pipeline's top-3 against the brute-force
+    // top-3 ground truth, per probe. Truth is probe-bounded (10 probes ×
+    // corpus, the sim_cosine_topk shape); the hit join and per-probe
+    // counts run over ≤ 30-row relations, so the eval costs one corpus
+    // scan more than the index itself at any scale. At 100 TB the truth
+    // side is the expensive half — which is exactly why recall is
+    // measured on a bounded probe SAMPLE, and that bound is the declared
+    // contract here.
+    "ann_recall_eval" -> QueryDef(
+      (spark, dir) => {
+        val probes = vecs(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("embedding").as("pv"),
+            sqrt(gdot("embedding", "embedding")).as("pn"))
+        val cands = vecs(spark, dir)
+          .select(col("vec_id").as("cand"), col("embedding").as("cv"),
+            sqrt(gdot("embedding", "embedding")).as("cn"))
+        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
+        val truth = broadcast(probes).join(cands, col("probe") =!= col("cand"))
+          .withColumn("sim", pround(gdot("pv", "cv") / (col("pn") * col("cn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"))
+        // ≤ #probes × 3 rows by construction — persist (two consumers, so
+        // the corpus-side LSH join runs once) and broadcast, never
+        // sort-merge. The probe axis comes straight from the raw table:
+        // re-deriving it from `truth` would re-run the whole brute-force
+        // corpus pass just to list 10 ids.
+        val approx = lshTop3(spark, dir).select(col("probe"), col("cand"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nCand = approx.groupBy("probe").agg(cnt("n_cand"))
+        val hits = truth.join(broadcast(approx), Seq("probe", "cand"))
+          .groupBy("probe").agg(cnt("hits"))
+        vecs(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"))
+          .join(broadcast(nCand), Seq("probe"), "left")
+          .join(broadcast(hits), Seq("probe"), "left")
+          .select(col("probe"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            pround(coalesce(col("hits"), lit(0L)).cast("double") / lit(3.0), 6).as("recall_r"))
+          .orderBy(col("probe"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |truth AS (SELECT probe, cand FROM (
+              |SELECT a.vec_id AS probe, b.vec_id AS cand,
+              |row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosR DESC, b.vec_id) AS rn
+              |FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rn <= 3),
+              |hp AS (SELECT vec_id AS hb, v AS hv FROM e WHERE vec_id < 4),
+              |bkt AS (SELECT e.vec_id, any_value(e.v) AS v,
+              |CAST(sum(CASE WHEN list_dot_product(e.v, hp.hv) > 0 THEN (1::BIGINT << hb) ELSE 0 END) AS BIGINT) AS bucket
+              |FROM e CROSS JOIN hp GROUP BY e.vec_id),
+              |approx AS (SELECT probe, cand FROM (
+              |SELECT a.vec_id AS probe, b.vec_id AS cand,
+              |row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosR DESC, b.vec_id) AS rn
+              |FROM bkt a JOIN bkt b ON a.vec_id < 10 AND b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+              |WHERE rn <= 3),
+              |nc AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_cand FROM approx GROUP BY probe),
+              |h AS (SELECT t.probe, CAST(count(*) AS BIGINT) AS hits
+              |FROM truth t JOIN approx x ON t.probe = x.probe AND t.cand = x.cand GROUP BY t.probe)
+              |SELECT p.probe, coalesce(nc.n_cand, 0) AS n_cand, coalesce(h.hits, 0) AS hits,
+              |${proundSql("CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0", 6)} AS recall_r
+              |FROM (SELECT DISTINCT probe FROM truth) p
+              |LEFT JOIN nc ON p.probe = nc.probe
+              |LEFT JOIN h ON p.probe = h.probe
+              |ORDER BY p.probe""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Symmetric int8 quantization of embeddings + reconstruction error —
+    // the compression step a 100 TB ANN corpus runs before indexing (4×
+    // smaller vectors, SIMD int8 dot products). Per vector: amax scale
+    // (127/max|x|), round-to-nearest quantize, dequantize, MSE. Entirely
+    // map-side — two sequential array folds per row inside whole-stage
+    // codegen, no shuffle at all before the declared ORDER BY; both
+    // engines run the identical IEEE sequence (fold in array order,
+    // floor(x·s + 0.5) rounding — the pround arithmetic), so the error
+    // metrics hash-match without any tolerance.
+    "sim_quantize_int8" -> QueryDef(
+      (spark, dir) => {
+        vecs(spark, dir).filter(col("vec_id") < 200)
+          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+          .withColumn("dim", size(col("v")).cast("long"))
+          .withColumn("amax", expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))"))
+          .filter(col("amax") > 0)
+          .withColumn("sq", expr(
+            """aggregate(v, 0D, (a, x) ->
+              |a + (x - floor(x * (127.0D / amax) + 0.5D) / (127.0D / amax))
+              |  * (x - floor(x * (127.0D / amax) + 0.5D) / (127.0D / amax)))""".stripMargin))
+          .select(col("vec_id"), col("dim"),
+            pround(col("amax"), 6).as("amax_r"),
+            pround(col("sq") / col("dim").cast("double"), 10).as("mse_r"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+              |s AS (SELECT vec_id, v, len(v) AS dim,
+              |list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS amax FROM e)
+              |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+              |${proundSql("amax", 6)} AS amax_r,
+              |${proundSql(
+                 "list_reduce(list_transform(v, x -> (x - floor(x * (127.0 / amax) + 0.5) / (127.0 / amax)) * (x - floor(x * (127.0 / amax) + 0.5) / (127.0 / amax))), (a, b) -> a + b) / CAST(dim AS DOUBLE)",
+                 10)} AS mse_r
+              |FROM s WHERE amax > 0 ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

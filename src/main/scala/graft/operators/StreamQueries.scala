@@ -87,5 +87,42 @@ object StreamQueries {
              |CAST(sum(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
              |CAST(sum(CASE WHEN ts < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS late
              |FROM events, (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events)""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Session-level metrics — one step past stream_session_window's
+    // per-user session COUNT: materialize each session (running sum of the
+    // new-session flag = session id) and report the longest sessions by
+    // duration. Both windows share ONE partitioning (user_id ordered by
+    // ts, event_id), so Spark plans a single exchange + sort feeding two
+    // WindowExecs back-to-back; the per-session groupBy then combines
+    // map-side. This is the batch twin of what session_window's streaming
+    // state emits per (user, session) at watermark close.
+    "stream_session_stats" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(spark, dir, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+          .withColumn("gap_s", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+          .withColumn("flag", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("flag")).over(run))
+          .groupBy("user_id", "sid")
+          .agg(cnt("n_events"),
+            (max(col("epoch_s")) - min(col("epoch_s"))).as("dur_s"))
+          .orderBy(col("dur_s").desc, col("user_id"), col("sid"))
+          .limit(100)
+      },
+      Some("""SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             |max(epoch_s) - min(epoch_s) AS dur_s FROM (
+             |SELECT user_id, epoch_s,
+             |CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |FROM (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             |CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+             |FROM events))
+             |GROUP BY user_id, sid
+             |ORDER BY dur_s DESC, user_id, sid LIMIT 100""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -159,4 +159,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "SortMergeJoin") === 0,
       "corpus must not sort-merge against the O(#langs) relations")
   }
+
+  test("sim_quantize_int8: map-only — folds ride the scan, no shuffle before the sort") {
+    val plan = executedPlan("sim_quantize_int8")
+    assert(countOf(plan, "Window") === 0, "quantization must not use windows")
+    assert(countOf(plan, "Join") === 0, "per-vector quantization must not join")
+    assert(countOf(plan, "Exchange hashpartitioning") === 0,
+      s"quantize/MSE folds must stay map-side:\n$plan")
+  }
+
+  test("agg_variance_stats: moments are one partial+final aggregate — no window, no join") {
+    val plan = executedPlan("agg_variance_stats")
+    assert(countOf(plan, "Window") === 0, "variance must come from moments, not a window")
+    assert(countOf(plan, "Join") === 0, "no second pass over the data")
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+      s"partial+final moment aggregate missing:\n$plan")
+  }
+
+  test("ann_recall_eval: probes broadcast everywhere; corpus never sort-merges") {
+    val plan = executedPlan("ann_recall_eval")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      s"bounded probe/eval relations must never sort-merge against the corpus:\n$plan")
+    // truth pass + LSH probe pass both broadcast the bounded side
+    // (window discipline — only per-probe partitioned top-k ranks — is
+    // covered by the repo-wide unpartitioned-window pin below; a textual
+    // count here would double-bill the persisted approx subtree, which
+    // prints inside every InMemoryRelation occurrence)
+    assert(countOf(plan, "BroadcastHashJoin") + countOf(plan, "BroadcastNestedLoopJoin") >= 2,
+      s"probe relations must broadcast over the corpus:\n$plan")
+  }
 }
