@@ -83,7 +83,15 @@ object Bench {
     // query doesn't absorb ~6s of one-time JIT + session initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").collect()
-    val results = runAll(spark, sfDir, SparkEntry.queries.toSeq)
+    // Dev-loop subset (mirrors Verify's SPARK_GRAFT_ONLY): run just the
+    // named queries IN THE GIVEN ORDER — for bisecting sweep-order
+    // interactions. The driver never sets it; full sweep unchanged.
+    val all = SparkEntry.queries
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) => list.split(",").toSeq.map(n => n -> all(n))
+      case None => all.toSeq
+    }
+    val results = runAll(spark, sfDir, selected)
     println(renderJson(results, sfDir))
     spark.stop()
     if (results.exists(_.err.isDefined)) sys.exit(1)

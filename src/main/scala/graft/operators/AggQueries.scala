@@ -264,5 +264,60 @@ object AggQueries {
            |FROM events GROUP BY event_type)
            |ORDER BY event_type""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Portable covariance/correlation between two event columns (value ×
+    // the JSON payload's k) — same moments discipline as
+    // agg_variance_stats: the five cross-moments n/Σx/Σy/Σx²/Σy²/Σxy are
+    // exact (decimal × small int products stay in decimal; y is integer
+    // so Σy/Σy² are plain longs), one shuffle of 6 numbers per group,
+    // and Pearson r comes from a fixed IEEE sequence both engines run
+    // identically. The engine-native corr()/covar_pop() are Welford-style
+    // and partition-order-dependent in the last ulp — unusable in a
+    // hash-matched contract; the moments form is also what a map-side-
+    // combined 100 TB aggregation wants anyway.
+    "agg_corr_stats" -> QueryDef(
+      (spark, dir) => {
+        val y = get_json_object(col("props"), "$.k").cast("long")
+        t(spark, dir, "events")
+          .select(col("event_type"), col("value"), y.as("y"))
+          .groupBy("event_type")
+          .agg(cnt("n"),
+            sum(dec(col("value"), 14, 2)).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(dec(col("value"), 14, 2) * dec(col("value"), 14, 2)).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(dec(col("value"), 14, 2) * col("y")).as("sxy"))
+          .select(col("event_type"), col("n"),
+            pround((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double") / col("n").cast("double"))
+              / col("n").cast("double"), 4).as("covp_r"),
+            pround((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))), 6).as("corr_r"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val n = "CAST(n AS DOUBLE)"
+        val sx = "CAST(sx AS DOUBLE)"
+        val sy = "CAST(sy AS DOUBLE)"
+        val sxx = "CAST(sxx AS DOUBLE)"
+        val syy = "CAST(syy AS DOUBLE)"
+        val sxy = "CAST(sxy AS DOUBLE)"
+        s"""SELECT event_type, n,
+           |${proundSql(s"($sxy - $sx * $sy / $n) / $n", 4)} AS covp_r,
+           |${proundSql(s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))", 6)} AS corr_r
+           |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |sum(CAST(value AS DECIMAL(14,2))) AS sx,
+           |CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sy,
+           |sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS sxx,
+           |CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT) * CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS syy,
+           |sum(CAST(value AS DECIMAL(14,2)) * CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sxy
+           |FROM events GROUP BY event_type)
+           |ORDER BY event_type""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

@@ -274,5 +274,30 @@ object JoinQueries {
              |WHERE r_name = 'ASIA'
              |AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Skew-salted equi-join, declared: the fact side joins the dim
+    // through Skew.saltedJoin (deterministic content salt on the big
+    // side, dim replicated salts× by one explode — the hot-key split for
+    // when AQE's skew handling isn't available), while the ORACLE is the
+    // PLAIN join — the hash-match proves salting semantics-preserving at
+    // every SF, the same oracle-without-the-optimization trick
+    // sample_lang_balanced uses for its prefilter. At 100 TB this is the
+    // shape you switch to when one customer owns 1% of all orders.
+    "join_skew_salted" -> QueryDef(
+      (spark, dir) => {
+        val ord = t(spark, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val cust = t(spark, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.functions.Skew.saltedJoin(ord, cust, "custkey", salts = 8)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(cnt("n_orders"), moneySum(col("o_totalprice")).as("rev_r"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+             |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev_r
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -961,6 +961,44 @@ object TextQueries {
              |WHERE ja >= 0.05 ORDER BY ja DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Directional shingle CONTAINMENT — the asymmetric dedup signal
+    // Jaccard misses: a short document quoted wholesale inside a long one
+    // scores near-zero Jaccard (union is huge) but containment
+    // |s1∩s2|/|s1| ≈ 1. The standard second metric of a near-dup pass
+    // (CCNet/C4 lineage). Same probe-bounded broadcast shape as
+    // dedup_ngram_jaccard: the ≤20-doc probe side broadcasts, the corpus
+    // never shuffles.
+    "text_containment" -> QueryDef(
+      (spark, dir) => {
+        val sh = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("sh", expr(
+            "array_distinct(transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3))))"))
+          .select(col("doc_id"), col("lang"), col("sh"))
+        val probes = sh.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("d1"), col("lang").as("l1"), col("sh").as("sh1"))
+        broadcast(probes).join(sh, col("lang") === col("l1") && col("doc_id") =!= col("d1"))
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh"))).cast("double"))
+          .withColumn("cont", pround(col("inter") / size(col("sh1")).cast("double"), 4))
+          .filter(col("cont") >= 0.01)
+          .select(col("d1"), col("doc_id").as("d2"), col("cont"))
+          .orderBy(col("cont").desc, col("d1"), col("d2"))
+          .limit(200)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, lang,
+             |list_distinct(list_transform(range(1, len(w) - 1),
+             |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+             |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 3))
+             |SELECT d1, d2, cont FROM (
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |${proundSql("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)", 4)} AS cont
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND b.doc_id <> a.doc_id
+             |WHERE a.doc_id < 20)
+             |WHERE cont >= 0.01 ORDER BY cont DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Token-distribution Shannon entropy — the classic "is this doc
     // natural text or boilerplate/noise" quality signal (low entropy =
     // repetitive template, near-max = word salad). One narrow map pass per
@@ -1131,5 +1169,96 @@ object TextQueries {
               |${proundSql("CAST(sum(chars) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS mean_word_len,
               |${proundSql("CAST(sum(stopc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS stop_frac
               |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // MinHash estimator accuracy — the dedup lane's quality gate, the
+    // analog of ann_recall_eval on the ANN lane: for every LSH candidate
+    // pair, compare the 8-lane minhash Jaccard ESTIMATE (matching lanes /
+    // 8 — what a signature-only system would act on) against the exact
+    // shingle-set Jaccard the verified pipeline computes anyway. Shapes
+    // are the proven ones: band join with the hot-bucket cap produces the
+    // candidates, signatures ride the same shuffled-hash doc_id joins as
+    // the shingle sets (8 longs per doc — never text), and the error is
+    // fixed IEEE arithmetic on two already-portable doubles. At 100 TB
+    // this is how you pick the band/row configuration: measure estimator
+    // bias on a real candidate sample before committing to a threshold.
+    "dedup_minhash_est" -> QueryDef(
+      (spark, dir) => {
+        val base = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
+        val withMh = (0 until 8).foldLeft(
+          base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
+          d.withColumn(s"mh$i",
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigs = withMh.select(col("doc_id"),
+          array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+        val bandCols = (0 until 4).map { b =>
+          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+        }
+        val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val cand = capped.as("a")
+          .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val est = cand.hint("shuffle_hash")
+          .join(sigs, col("d1") === col("doc_id"))
+          .select(col("d1"), col("d2"), col("sig").as("g1"))
+          .hint("shuffle_hash")
+          .join(sigs, col("d2") === col("doc_id"))
+          .withColumn("est",
+            expr("cast(size(filter(zip_with(g1, sig, (x, y) -> x = y), m -> m)) as double) / 8.0"))
+          .select(col("d1"), col("d2"), col("est"))
+        val out = est.hint("shuffle_hash")
+          .join(shs, col("d1") === col("doc_id"))
+          .select(col("d1"), col("d2"), col("est"), col("s").as("s1"))
+          .hint("shuffle_hash")
+          .join(shs, col("d2") === col("doc_id"))
+          .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
+          .withColumn("ja", pround(col("inter")
+            / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+          .select(col("d1"), col("d2"), col("ja"),
+            pround(col("est"), 4).as("est_r"),
+            pround(abs(col("est") - col("ja")), 4).as("err_r"))
+        out.orderBy(col("d1"), col("d2")).limit(500)
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        val lanesEq = (0 until 8).map { i =>
+          s"CASE WHEN m1.mh$i = m2.mh$i THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        val ja = proundSql("""CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+           |mh AS (SELECT doc_id, $mhCols FROM sh),
+           |bands AS ($bandSelects),
+           |bandsc AS (SELECT doc_id, k FROM (SELECT doc_id, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bandsc a JOIN bandsc b
+           |ON a.k = b.k AND a.doc_id < b.doc_id),
+           |est AS (SELECT cand.d1, cand.d2,
+           |CAST($lanesEq AS DOUBLE) / 8.0 AS est FROM cand
+           |JOIN mh m1 ON m1.doc_id = cand.d1 JOIN mh m2 ON m2.doc_id = cand.d2)
+           |SELECT est.d1, est.d2, $ja AS ja,
+           |${proundSql("est", 4)} AS est_r,
+           |${proundSql(s"abs(est - $ja)", 4)} AS err_r
+           |FROM est JOIN shs s1 ON s1.doc_id = est.d1 JOIN shs s2 ON s2.doc_id = est.d2
+           |ORDER BY d1, d2 LIMIT 500""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

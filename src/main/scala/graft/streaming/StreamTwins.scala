@@ -152,4 +152,38 @@ object StreamTwins {
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** STREAMING as-of join with bounded staleness ≡ `join_asof_tolerance`:
+    * per user, each purchase matches the most recent view whose LSN is at
+    * most `tolerance` behind. Per-key state is ONE long (the latest view
+    * LSN) — this is the point of the tolerance form: a streaming as-of
+    * without a horizon must keep every candidate forever, with one it
+    * keeps a single value and the staleness check happens at emit. Rows
+    * within a micro-batch are processed in event_id order (sorted here —
+    * batch iterator order is not guaranteed); across batches the feed is
+    * LSN-monotone by contract, same as every CDC consumer in this module.
+    */
+  def asofToleranceStream(events: DataFrame, tolerance: Long = 100L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var lastView = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(_._1).flatMap { case (id, _, tpe) =>
+            if (tpe == "view") { lastView = id; None }
+            else if (tpe == "purchase")
+              Some((id, user,
+                if (lastView >= id - tolerance) Some(lastView) else None))
+            else None
+          }
+          state.update(lastView)
+          out.iterator
+        }
+      .toDF("event_id", "user_id", "last_view")
+  }
 }

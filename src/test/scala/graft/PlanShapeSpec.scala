@@ -176,6 +176,17 @@ class PlanShapeSpec extends SparkSpec {
       s"partial+final moment aggregate missing:\n$plan")
   }
 
+  test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
+    val plan = executedPlan("dedup_minhash_est")
+    // candidate×signatures (×2) and candidate×shingle-sets (×2): all four
+    // ride pinned shuffled-hash joins on doc_id — the candidate relation
+    // grows with the corpus and must never become a driver broadcast
+    assert(countOf(plan, "ShuffledHashJoin") >= 4,
+      s"estimator joins lost their shuffle-hash pin:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "no sort-merge against the bounded band/cap relations")
+  }
+
   test("ann_recall_eval: probes broadcast everywhere; corpus never sort-merges") {
     val plan = executedPlan("ann_recall_eval")
     assert(countOf(plan, "SortMergeJoin") === 0,
