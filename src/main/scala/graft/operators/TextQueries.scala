@@ -999,6 +999,47 @@ object TextQueries {
              |WHERE cont >= 0.01 ORDER BY cont DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Winnowing fingerprints (the MOSS scheme): hash every 3-gram, slide
+    // a window of 4 hashes, keep each window's MINIMUM — guarantees any
+    // shared run of ≥ 6 words yields a shared fingerprint, with ~1/4 the
+    // density of full gram hashing. The position-robust fingerprint set
+    // local dedup (text_fingerprint's head-64 md5) cannot give: edits
+    // shift positions, winnowed minima survive. Map-only per doc (two
+    // nested HOF passes inside codegen), zero shuffle before the declared
+    // sort; at 100 TB the fingerprint INDEX (explode + digest groupBy)
+    // reuses dedup_paragraphs' digest-only-shuffle shape.
+    "text_winnowing" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 6) // ≥ 3 grams → ≥ 0 windows of 4 needs ≥ 6 words for 4 grams
+          .withColumn("gh", expr(
+            s"transform(sequence(1, size(w) - 2), j -> ${hx("concat_ws(' ', slice(w, j, 3))")})"))
+          .filter(size(col("gh")) >= 4)
+          .withColumn("fps", expr(
+            "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))"))
+          .select(col("doc_id"),
+            size(col("gh")).cast("long").as("n_grams"),
+            size(col("fps")).cast("long").as("n_fps"),
+            array_min(col("fps")).as("min_fp"),
+            array_max(col("fps")).as("max_fp"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+             |CAST(len(fps) AS BIGINT) AS n_fps,
+             |list_min(fps) AS min_fp, list_max(fps) AS max_fp FROM (
+             |SELECT doc_id, gh,
+             |list_distinct(list_transform(range(1, len(gh) - 2), i -> list_min(gh[i:i+3]))) AS fps
+             |FROM (SELECT doc_id,
+             |list_transform(range(1, len(w) - 1),
+             |j -> ${hxDuck("w[j] || ' ' || w[j+1] || ' ' || w[j+2]")}) AS gh
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 6))
+             |WHERE len(gh) >= 4)
+             |ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Token-distribution Shannon entropy — the classic "is this doc
     // natural text or boilerplate/noise" quality signal (low entropy =
     // repetitive template, near-max = word salad). One narrow map pass per
