@@ -176,6 +176,24 @@ class PlanShapeSpec extends SparkSpec {
       s"partial+final moment aggregate missing:\n$plan")
   }
 
+  test("join_skew_salted: the salt mechanism survives planning — dim explodes, join on (key, salt)") {
+    val plan = executedPlan("join_skew_salted")
+    // the dim replication is one Generate (explode of the salt sequence)
+    assert(countOf(plan, "Generate") >= 1,
+      s"salt replication optimized away — the declared query must run the salted plan:\n$plan")
+    // the join key is widened to (custkey, __salt): the hot-key split
+    assert(plan.contains("__salt"),
+      s"join no longer keys on the salt column:\n$plan")
+  }
+
+  test("text_winnowing: fingerprinting is map-only — no join, window, or shuffle") {
+    val plan = executedPlan("text_winnowing")
+    assert(countOf(plan, "Join") === 0, "winnowing must not join")
+    assert(countOf(plan, "Window") === 0, "winnowing must not use windows")
+    assert(countOf(plan, "Exchange hashpartitioning") === 0,
+      s"per-doc winnowing must not shuffle:\n$plan")
+  }
+
   test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_est")
     // candidate×signatures (×2) and candidate×shingle-sets (×2): all four
