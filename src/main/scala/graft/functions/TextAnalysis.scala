@@ -42,6 +42,29 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
 
+  /** Winnowing fingerprint set (MOSS scheme), production form: xxhash64
+    * gram hashes instead of the declared query's portable md5 arithmetic
+    * (graft.operators.TextQueries `text_winnowing`). Guarantees: any
+    * shared word run of length ≥ `gram + window − 1` yields a shared
+    * fingerprint; density ≈ 1/window of full gram hashing. Map-only —
+    * two nested codegen HOF passes, no shuffle.
+    */
+  def winnow(textCol: String, gram: Int = 3, window: Int = 4): Column = {
+    // one lambda chain: words → gram hashes → per-window minima. The
+    // single-element-array aggregate binds the gram array to a lambda
+    // variable (no repeated subexpression), and everything stays a
+    // codegen'd HOF pipeline. Takes the column NAME (Spark 4's Column
+    // API no longer exposes the underlying expression to stringify).
+    expr(
+      s"""array_distinct(
+         |  aggregate(
+         |    array(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${gram - 1}, 1)),
+         |                    j -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), j, $gram))))),
+         |    cast(array() as array<bigint>),
+         |    (acc, gh) -> transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)),
+         |                           i -> array_min(slice(gh, i, $window)))))""".stripMargin)
+  }
+
   /** Quality score: length norm + stopword ratio, both in [0, 1]. */
   def qualityScore(text: Column, nChars: Column, stopwords: Seq[String]): Column = {
     val w = words(text)

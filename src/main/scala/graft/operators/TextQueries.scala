@@ -1040,6 +1040,53 @@ object TextQueries {
              |ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Winnowing pairs — the inverted-index half of the MOSS scheme:
+    // explode each doc's winnowed fingerprints, self-join on fingerprint,
+    // count shared fingerprints per pair. Pairs sharing ≥ 2 fingerprints
+    // have (by the winnowing guarantee) at least two distinct ≥ 6-word
+    // runs in common — overlap detection that survives reordering and
+    // edits, where head-prefix signatures (dedup_text_signature) and
+    // whole-doc digests miss. Scale shape: only 8-byte fingerprints ever
+    // shuffle (text stays put), the fingerprint key space is 60-bit so
+    // buckets are near-singleton, and the same hot-bucket cap as the
+    // minhash/simhash families guards the boilerplate mega-bucket.
+    "dedup_winnowing_pairs" -> QueryDef(
+      (spark, dir) => {
+        val fps = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 6)
+          .withColumn("gh", expr(
+            s"transform(sequence(1, size(w) - 2), j -> ${hx("concat_ws(' ', slice(w, j, 3))")})"))
+          .filter(size(col("gh")) >= 4)
+          .withColumn("fp", explode(expr(
+            "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))")))
+          .select(col("doc_id"), col("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped = graft.functions.MinHash.capBands(fps, "fp", 100)
+        capped.as("a")
+          .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(cnt("shared"))
+          .filter(col("shared") >= 2)
+          .orderBy(col("shared").desc, col("d1"), col("d2"))
+          .limit(200)
+      },
+      Some(s"""WITH fps AS (SELECT doc_id, unnest(
+             |list_distinct(list_transform(range(1, len(gh) - 2), i -> list_min(gh[i:i+3])))) AS fp
+             |FROM (SELECT doc_id,
+             |list_transform(range(1, len(w) - 1),
+             |j -> ${hxDuck("w[j] || ' ' || w[j+1] || ' ' || w[j+2]")}) AS gh
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |WHERE len(string_split(text, ' ')) >= 6))
+             |WHERE len(gh) >= 4),
+             |capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+             |count(*) OVER (PARTITION BY fp) AS c FROM fps) WHERE c <= 100)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+             |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY shared DESC, d1, d2 LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Token-distribution Shannon entropy — the classic "is this doc
     // natural text or boilerplate/noise" quality signal (low entropy =
     // repetitive template, near-max = word salad). One narrow map pass per

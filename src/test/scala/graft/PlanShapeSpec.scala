@@ -194,6 +194,15 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc winnowing must not shuffle:\n$plan")
   }
 
+  test("dedup_winnowing_pairs: fingerprints shuffle, text never does; cap is not a window") {
+    val plan = executedPlan("dedup_winnowing_pairs")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"the hot-fingerprint cap must stay an aggregate + broadcast anti-join:\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("lang")),
+      "the documents scan must prune to (doc_id, text)")
+  }
+
   test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_est")
     // candidate×signatures (×2) and candidate×shingle-sets (×2): all four

@@ -184,4 +184,24 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(byId(0L)._2 !== byId(1L)._2, "order-sensitive fingerprint differs on near-dup")
     assert(byId(0L)._1 > byId(2L)._1, "'the quick' text scores higher on its trigrams")
   }
+
+  test("winnowing: shared >= gram+window-1 word runs guarantee a shared fingerprint") {
+    // doc 10 embeds doc 0's full 9-word sentence inside unrelated padding;
+    // the MOSS guarantee says any shared run of >= 3+4-1 = 6 words yields
+    // at least one shared winnowed minimum, at ~1/4 full-gram density.
+    val corpus = docs.union(Seq(
+      (10L, "padding words before the quick brown fox jumps over the lazy dog and after too"),
+      (11L, "nothing in common with anything else at all whatsoever truly")
+    ).toDF("doc_id", "text"))
+    val fps = corpus.select(col("doc_id"),
+      TextAnalysis.winnow("text").as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L) === fps(3L), "identical docs → identical fingerprint sets")
+    assert((fps(0L) & fps(10L)).nonEmpty, "embedded 9-word run must share a fingerprint")
+    assert((fps(0L) & fps(11L)).isEmpty, "unrelated docs must not collide")
+    // density: winnowed set is never larger than the gram count
+    val nGrams = corpus.filter(col("doc_id") === 0L)
+      .select(size(split(col("text"), " "))).collect()(0).getInt(0) - 2
+    assert(fps(0L).size <= nGrams)
+  }
 }
