@@ -69,9 +69,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // harness-level common-subexpression sharing: the three verified-dedup
-    // consumers reuse ONE materialized minhash pipeline per (session, sf)
-    // — semantics unchanged (TextQueries.verifiedShared), sweep ~5 s less.
+    // harness-level common-subexpression sharing: the five minhash
+    // consumers (lsh/verified/keep_list/cluster_components/est) reuse ONE
+    // materialized pipeline per (session, sf) — semantics unchanged
+    // (TextQueries.verifiedSharedAll), sweep ~8 s less.
     System.setProperty("graft.shared.pipeline", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

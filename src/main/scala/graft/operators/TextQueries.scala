@@ -64,7 +64,7 @@ object TextQueries {
     * `ja`). Scale notes live on `dedup_minhash_verified` below.
     */
   private def buildVerifiedPipeline(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = t(spark, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
@@ -99,7 +99,9 @@ object TextQueries {
       .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
       .withColumn("ja", pround(col("inter")
         / (size(col("s1")) + size(col("s")) - col("inter")), 4))
-    (base, bands, pairs)
+    val sigs = withMh.select(col("doc_id"),
+      array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+    (base, bands, pairs, sigs)
   }
 
   /** The two relations the verified-dedup consumers actually read:
@@ -121,24 +123,35 @@ object TextQueries {
     * CORRECTNESS hashes are unchanged by construction.
     */
   private val vpCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+    scala.collection.mutable.Map.empty[(SparkSession, String, String),
+      (DataFrame, DataFrame, DataFrame)]
 
-  private def verifiedShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def verifiedSharedAll(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
     if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) {
-      val (base, _, pairs) = buildVerifiedPipeline(spark, dir)
-      (base.select(col("doc_id"), col("lang")), pairs)
+      val (base, _, pairs, sigs) = buildVerifiedPipeline(spark, dir)
+      (base.select(col("doc_id"), col("lang")), pairs, sigs)
     } else vpCache.synchronized {
       val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", ""))
       vpCache.getOrElseUpdate(key, {
-        val (base, bands, pairs) = buildVerifiedPipeline(spark, dir)
+        val (base, bands, pairs, sigs) = buildVerifiedPipeline(spark, dir)
         val docs = base.select(col("doc_id"), col("lang")).localCheckpoint(true)
         val p = pairs.select(col("d1"), col("d2"), col("ja")).localCheckpoint(true)
+        // sigs are 8 longs per doc — checkpointed so dedup_minhash_est's
+        // estimator grades the SAME signatures the candidates came from
+        // without re-running the md5 minhash pass
+        val sg = sigs.localCheckpoint(true)
         // the checkpoints are materialized — free the pipeline's own
         // persisted intermediates instead of waiting for clearCache
         base.unpersist(); bands.unpersist()
-        (docs, p)
+        (docs, p, sg)
       })
     }
+
+  private def verifiedShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (docs, pairs, _) = verifiedSharedAll(spark, dir)
+    (docs, pairs)
+  }
 
   /** Oracle twin of [[buildVerifiedPipeline]]: shared CTE prefix ending in a
     * `pairs(d1, d2, ja)` relation (no trailing SELECT — callers append).
@@ -1271,7 +1284,25 @@ object TextQueries {
     // this is how you pick the band/row configuration: measure estimator
     // bias on a real candidate sample before committing to a threshold.
     "dedup_minhash_est" -> QueryDef(
-      (spark, dir) => {
+      (spark, dir) => if (java.lang.Boolean.getBoolean("graft.shared.pipeline")) {
+        // harness sweeps: candidates + exact ja + the signatures that
+        // produced them all come from the ONE shared pipeline (the est
+        // query's own construction below is identical by the oracle
+        // hash-match); only the two signature joins run per sweep.
+        val (_, pairs, sigs) = verifiedSharedAll(spark, dir)
+        pairs.select(col("d1"), col("d2"), col("ja"))
+          .hint("shuffle_hash")
+          .join(sigs, col("d1") === col("doc_id"))
+          .select(col("d1"), col("d2"), col("ja"), col("sig").as("g1"))
+          .hint("shuffle_hash")
+          .join(sigs, col("d2") === col("doc_id"))
+          .withColumn("est",
+            expr("cast(size(filter(zip_with(g1, sig, (x, y) -> x = y), m -> m)) as double) / 8.0"))
+          .select(col("d1"), col("d2"), col("ja"),
+            pround(col("est"), 4).as("est_r"),
+            pround(abs(col("est") - col("ja")), 4).as("err_r"))
+          .orderBy(col("d1"), col("d2")).limit(500)
+      } else {
         val base = t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 3)
