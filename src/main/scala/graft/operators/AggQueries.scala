@@ -319,5 +319,39 @@ object AggQueries {
            |FROM events GROUP BY event_type)
            |ORDER BY event_type""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Training-mix diversity: Gini impurity of each source's language
+    // distribution, 1 − Σ pᵢ² — the balance metric a curation pipeline
+    // monitors per shard/source. Gini is chosen over Shannon entropy
+    // because it is RATIONAL: counts are exact (decimal squares — two
+    // longs multiplied overflow at ~3·10⁹ rows per group, which a 100 TB
+    // corpus reaches), and the final 1 − x/y² is a fixed IEEE sequence —
+    // no transcendental ln whose last ulp differs per libm. Two chained
+    // partial+final aggregates, shuffles bounded by |source|×|lang|.
+    "agg_source_diversity" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        t(spark, dir, "documents")
+          .groupBy("source", "lang")
+          .agg(cnt("n"))
+          .groupBy("source")
+          .agg(sum(col("n")).cast("long").as("docs"),
+            count(lit(1)).cast("long").as("langs"),
+            sum(col("n").cast(DecimalType(19, 0)) * col("n").cast(DecimalType(19, 0))).as("sq"))
+          .select(col("source"), col("docs"), col("langs"),
+            pround(lit(1.0) - col("sq").cast("double")
+              / (col("docs").cast("double") * col("docs").cast("double")), 6).as("gini_r"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, docs, langs,
+             |${proundSql("1.0 - CAST(sq AS DOUBLE) / (CAST(docs AS DOUBLE) * CAST(docs AS DOUBLE))", 6)} AS gini_r
+             |FROM (SELECT source, CAST(sum(n) AS BIGINT) AS docs,
+             |CAST(count(*) AS BIGINT) AS langs,
+             |sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
+             |FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             |FROM documents GROUP BY source, lang) GROUP BY source)
+             |ORDER BY source""".stripMargin.replace("\n", " ")
+      ),
       tier = "E"))
 }
