@@ -171,5 +171,37 @@ object CdcQueries {
              |event_type, ${proundSql("value", 2)} AS value_r,
              |CAST(CASE WHEN lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
              |THEN 1 ELSE 0 END AS BIGINT) AS is_current
-             |FROM events ORDER BY user_id, valid_from LIMIT 500""".stripMargin.replace("\n", " "))))
+             |FROM events ORDER BY user_id, valid_from LIMIT 500""".stripMargin.replace("\n", " "))),
+
+    // A1+A7: the bootstrap read path (Replicator.bootstrap's batch twin) —
+    // an initial SNAPSHOT (rows at-or-below the slot's consistent-point
+    // LSN, here 400) unioned with the WAL DELTA that arrived during and
+    // after the copy, then read with ReplacingMergeTree FINAL semantics.
+    // The union is free (no shuffle — both legs are scans of the same
+    // source here, partition-pruned in a real deployment); the only
+    // exchange is the per-key window, identical to steady-state reads —
+    // which is the point: bootstrap and steady state share one read path,
+    // so there is no special-cased merge logic to diverge at scale.
+    "cdc_snapshot_bootstrap" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val snapshot = ev.filter(col("event_id") <= 400)
+          .select(col("user_id"), col("event_id").as("ver"),
+            col("event_type"), col("value"), lit("snapshot").as("origin"))
+        val delta = ev.filter(col("event_id") > 400)
+          .select(col("user_id"), col("event_id").as("ver"),
+            col("event_type"), col("value"), lit("wal").as("origin"))
+        val w = Window.partitionBy("user_id").orderBy(col("ver").desc)
+        snapshot.union(delta)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ver"), col("event_type"),
+            pround(col("value"), 2).as("value_r"), col("origin"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""SELECT user_id, ver, event_type, ${proundSql("value", 2)} AS value_r, origin
+             |FROM (SELECT user_id, event_id AS ver, event_type, value,
+             |CASE WHEN event_id <= 400 THEN 'snapshot' ELSE 'wal' END AS origin,
+             |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))))
 }
