@@ -8,6 +8,25 @@ object Bench {
     */
   final case class Result(name: String, sec: Double, runs: Seq[Double], err: Option[String])
 
+  /** A full sweep: per-query results plus the canary series — a fixed
+    * probe re-timed throughout the sweep whose inflation localizes host
+    * contention in TIME (which stretch of the sweep was contended), where
+    * the per-query min localizes it per KEY.
+    */
+  final case class Sweep(results: Seq[Result], canary: Seq[Double], canaryEvery: Int)
+
+  /** Fixed, data-independent probe (~40 ms idle at local[4]): a parallel
+    * range-sum that exercises scheduler + codegen + all cores, so host
+    * CPU contention inflates it roughly as much as it inflates the real
+    * queries. Timed with collect() — the result is one row.
+    */
+  def canaryProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // mod keeps the ANSI-mode sum far from Long overflow at any range size
+    spark.range(4L * 1000 * 1000).selectExpr("sum((id * 1315423911) % 1000003)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Run every query against `sfDir`, materializing ALL output columns via
     * a noop-format write — `count()` would let Catalyst prune projections
     * and under-measure map-heavy queries. A query that throws is recorded
@@ -15,37 +34,70 @@ object Bench {
     * regression that breaks a heavy query must FAIL the bench, not improve
     * its total (a swallowed throw scores ~0 s).
     *
-    * Each query runs TWICE and scores its min (VERDICT r06 #2): the driver
-    * sweep shares the host with other tenants, and BASELINE.md documents
-    * identical back-to-back sweeps reading 88.7 s then 66.1 s with zero
-    * full GCs — single-shot numbers record phantom regressions. The raw
-    * pair is kept in the JSON (`queries_runs`) for honesty; caches are
-    * cleared BETWEEN the two runs so both measure the same cold-plan work
-    * (min-of-2 removes scheduler/host noise, not the query's own cost).
-    * A query that throws is not retried — the error is the result.
+    * Contention hardening (VERDICT r07 #1 — the r7 driver sweep recorded
+    * 466 s for a query that runs in 8 s isolated):
+    *  - Each query runs twice and scores its min, but the second pass is
+    *    INTERLEAVED (all queries once, then all again) instead of
+    *    back-to-back, so a sustained multi-minute load spike cannot cover
+    *    both runs of the same query (r6's back-to-back min-of-2 failed
+    *    exactly that way).
+    *  - A fixed canary probe is re-timed every `canaryEvery` queries and
+    *    recorded in the JSON — a 3x canary inflation marks the surrounding
+    *    measurements as contended, separating host load from plan cost.
+    *  - If a query's two runs still disagree by >3x, a third run is taken
+    *    and the min of all three scored.
+    * Caches are cleared after every run so both passes measure the same
+    * cold-plan work (min-of-N removes scheduler/host noise, not the
+    * query's own cost). A query that throws is not retried — the error is
+    * the result.
     */
   def runAll(spark: SparkSession, sfDir: String,
-             queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[Result] =
-    queries.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // drop any per-query persist() blocks so caches never accumulate
-        // across the sweep — OUTSIDE the timed window (each query is billed
-        // for its own materialization, not for the cleanup).
-        spark.catalog.clearCache()
-        (sec, err)
-      }
-      val (s1, e1) = once()
+             queries: Seq[(String, (SparkSession, String) => DataFrame)],
+             canaryEvery: Int = 8): Sweep = {
+    val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def once(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop any per-query persist() blocks so caches never accumulate
+      // across the sweep — OUTSIDE the timed window (each query is billed
+      // for its own materialization, not for the cleanup).
+      spark.catalog.clearCache()
+      (sec, err)
+    }
+    // pass 1: every query once, canary interleaved
+    val first = queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % canaryEvery == 0) canary += canaryProbe(spark)
+      val (s1, e1) = once(fn)
+      (name, fn, s1, e1)
+    }
+    canary += canaryProbe(spark)
+    // pass 2: second runs, in the same order, a full sweep later in time
+    val results = first.zipWithIndex.map { case ((name, fn, s1, e1), i) =>
       if (e1.isDefined) Result(name, s1, Seq(s1), e1)
       else {
-        val (s2, e2) = once()
-        Result(name, math.min(s1, s2), Seq(s1, s2), e2)
+        if (i % canaryEvery == 0) canary += canaryProbe(spark)
+        val (s2, e2) = once(fn)
+        if (e2.isDefined) Result(name, math.min(s1, s2), Seq(s1, s2), e2)
+        else {
+          val two = Seq(s1, s2)
+          val runs =
+            if (two.max > 3.0 * two.min) {
+              // both measurements can't be trusted to bracket the true
+              // cost — tiebreak with a third (its error, if any, is
+              // ignored: the query already succeeded twice).
+              val (s3, e3) = once(fn)
+              if (e3.isEmpty) two :+ s3 else two
+            } else two
+          Result(name, runs.min, runs, None)
+        }
       }
     }
+    canary += canaryProbe(spark)
+    Sweep(results, canary.toSeq, canaryEvery)
+  }
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -54,25 +106,29 @@ object Bench {
     } + "\""
 
   /** The driver's ONE JSON line. `errors` is {} on a clean run; `queries`
-    * carries the scored (min-of-2) seconds, `queries_runs` the raw pairs.
+    * carries the scored (min-of-N) seconds, `queries_runs` the raw run
+    * lists (2, or 3 after a >3x disagreement), `canary` the fixed-probe
+    * series (chronological) with its cadence in `canary_every`.
     */
-  def renderJson(results: Seq[Result], sfDir: String): String = {
+  def renderJson(sweep: Sweep, sfDir: String): String = {
+    val results = sweep.results
     val qs = results.map(r => s"${jstr(r.name)}:${r.sec}").mkString("{", ",", "}")
     val raw = results.map(r => s"${jstr(r.name)}:${r.runs.mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
     val errs = results.collect { case Result(n, _, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.sec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$raw,"errors":$errs,"sf":"$sfDir"}"""
+    val can = sweep.canary.map(c => f"$c%.4f").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$raw,"errors":$errs,"canary":$can,"canary_every":${sweep.canaryEvery},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // harness-level common-subexpression sharing: the five minhash
-    // consumers (lsh/verified/keep_list/cluster_components/est) reuse ONE
-    // materialized pipeline per (session, sf) — semantics unchanged
-    // (TextQueries.verifiedSharedAll), sweep ~8 s less.
+    // harness-level common-subexpression sharing: the minhash consumers
+    // (lsh/verified/keep_list/cluster_components/est/incremental) reuse
+    // ONE materialized pipeline per (session, sf) — semantics unchanged
+    // (TextQueries.verifiedSharedAll), sweep measurably less.
     System.setProperty("graft.shared.pipeline", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,12 +145,22 @@ object Bench {
     // interactions. The driver never sets it; full sweep unchanged.
     val all = SparkEntry.queries
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(list) => list.split(",").toSeq.map(n => n -> all(n))
+      case Some(list) =>
+        val names = list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val unknown = names.filterNot(all.contains)
+        if (unknown.nonEmpty) {
+          Console.err.println(
+            s"unknown queries in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}\n" +
+              s"known keys: ${all.keys.toSeq.sorted.mkString(", ")}")
+          spark.stop()
+          sys.exit(2)
+        }
+        names.map(n => n -> all(n))
       case None => all.toSeq
     }
-    val results = runAll(spark, sfDir, selected)
-    println(renderJson(results, sfDir))
+    val sweep = runAll(spark, sfDir, selected)
+    println(renderJson(sweep, sfDir))
     spark.stop()
-    if (results.exists(_.err.isDefined)) sys.exit(1)
+    if (sweep.results.exists(_.err.isDefined)) sys.exit(1)
   }
 }

@@ -6,6 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * wrong" #3): a swallowed throw scores ~0 s, so a regression that breaks
   * a heavy query would *improve* the bench total. runAll records the error
   * and main exits nonzero.
+  *
+  * Contention hardening (VERDICT r07 #1): the second measurement of each
+  * query is interleaved (all queries once, then all again) so one
+  * sustained load spike can't cover both runs of a query; a fixed canary
+  * probe is recorded through the sweep; and a >3x disagreement between a
+  * query's two runs triggers a third.
   */
 class BenchSpec extends SparkSpec {
 
@@ -15,7 +21,7 @@ class BenchSpec extends SparkSpec {
     (s, _) => s.range(10).selectExpr("no_such_function(id)")
 
   test("a deliberately broken query is recorded as an error, not swallowed") {
-    val results = Bench.runAll(spark, sf001, Seq("ok" -> good, "boom" -> broken))
+    val results = Bench.runAll(spark, sf001, Seq("ok" -> good, "boom" -> broken)).results
     assert(results.map(_.name) === Seq("ok", "boom"))
     assert(results.find(_.name == "ok").get.err.isEmpty)
     val boom = results.find(_.name == "boom").get
@@ -24,15 +30,56 @@ class BenchSpec extends SparkSpec {
   }
 
   test("errors reach the JSON line and mark the run failed") {
-    val results = Bench.runAll(spark, sf001, Seq("ok" -> good, "boom" -> broken))
-    val json = Bench.renderJson(results, sf001)
+    val sweep = Bench.runAll(spark, sf001, Seq("ok" -> good, "boom" -> broken))
+    val json = Bench.renderJson(sweep, sf001)
     assert(json.contains("\"errors\":{\"boom\":"))
-    assert(results.exists(_.err.isDefined), "main exits nonzero on this condition")
+    assert(sweep.results.exists(_.err.isDefined), "main exits nonzero on this condition")
   }
 
   test("a clean run renders empty errors") {
-    val results = Bench.runAll(spark, sf001, Seq("ok" -> good))
-    assert(Bench.renderJson(results, sf001).contains("\"errors\":{}"))
-    assert(!results.exists(_.err.isDefined))
+    val sweep = Bench.runAll(spark, sf001, Seq("ok" -> good))
+    assert(Bench.renderJson(sweep, sf001).contains("\"errors\":{}"))
+    assert(!sweep.results.exists(_.err.isDefined))
+  }
+
+  test("second measurements are interleaved: a full first pass precedes any second run") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tracked(name: String): (SparkSession, String) => DataFrame =
+      (s, _) => { order.synchronized { order += name }; s.range(5).toDF("n") }
+    val qs = Seq("a", "b", "c").map(n => n -> tracked(n))
+    Bench.runAll(spark, sf001, qs)
+    // invocation sequence must be a,b,c (pass 1) then a,b,c... (pass 2 +
+    // any third runs) — never a,a,b,b,c,c
+    assert(order.take(3) === Seq("a", "b", "c"),
+      s"pass 1 must cover every query before any second run; got $order")
+  }
+
+  test("canary series is recorded, chronological, and positive") {
+    val sweep = Bench.runAll(spark, sf001, Seq("ok" -> good), canaryEvery = 1)
+    // 1 before the only query in each pass + 1 at the end of each pass
+    assert(sweep.canary.size >= 3)
+    assert(sweep.canary.forall(_ > 0))
+    val json = Bench.renderJson(sweep, sf001)
+    assert(json.contains("\"canary\":["))
+    assert(json.contains("\"canary_every\":1"))
+  }
+
+  test(">3x disagreement between the two runs triggers a third measurement") {
+    // first invocation sleeps ~1.2 s; subsequent ones are fast — an
+    // artificial 'spike' covering only the first pass
+    var calls = 0
+    val spiky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 1) Thread.sleep(1200)
+      s.range(5).toDF("n")
+    }
+    val r = Bench.runAll(spark, sf001, Seq("spiky" -> spiky)).results.head
+    assert(r.runs.size === 3, s"expected a third run after >3x disagreement; got ${r.runs}")
+    assert(r.sec === r.runs.min)
+  }
+
+  test("steady queries keep exactly two runs") {
+    val r = Bench.runAll(spark, sf001, Seq("ok" -> good)).results.head
+    assert(r.runs.size === 2, s"no disagreement -> no third run; got ${r.runs}")
   }
 }
