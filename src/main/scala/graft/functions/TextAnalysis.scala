@@ -55,14 +55,21 @@ object TextAnalysis {
     // variable (no repeated subexpression), and everything stays a
     // codegen'd HOF pipeline. Takes the column NAME (Spark 4's Column
     // API no longer exposes the underlying expression to stringify).
+    // Texts shorter than gram + window − 1 words have no full window and
+    // must yield NO fingerprints — the greatest(…, 1) clamps would
+    // otherwise emit junk hashes of partial grams, breaking the MOSS
+    // density/guarantee contract (ADVICE r07; the declared text_winnowing
+    // query already filters size ≥ gram+window−1).
     expr(
-      s"""array_distinct(
+      s"""case when size(split($textCol, ' ')) < ${gram + window - 1}
+         |     then cast(array() as array<bigint>)
+         |     else array_distinct(
          |  aggregate(
          |    array(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${gram - 1}, 1)),
          |                    j -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), j, $gram))))),
          |    cast(array() as array<bigint>),
          |    (acc, gh) -> transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)),
-         |                           i -> array_min(slice(gh, i, $window)))))""".stripMargin)
+         |                           i -> array_min(slice(gh, i, $window))))) end""".stripMargin)
   }
 
   /** Quality score: length norm + stopword ratio, both in [0, 1]. */

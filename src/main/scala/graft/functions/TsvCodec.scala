@@ -19,10 +19,26 @@ object TsvCodec {
 
   val Null = "\\N"
 
-  /** Escape one string cell: \ -> \\, TAB -> \t, NL -> \n; NULL -> \N. */
+  /** The escaped control characters, raw -> escaped form. Covers what
+    * PostgreSQL text COPY emits for data bytes (\b \f \n \r \t \v — PG
+    * `copyto.c` output alphabet), a superset of what ClickHouse
+    * TabSeparated needs (\t \n \\ at minimum; CH also accepts \r \b \f).
+    * A bare CR left unescaped would corrupt twice over: Hadoop's line
+    * reader treats lone \r as a row terminator (a CR-containing cell
+    * splits into extra rows on read-back), and unescape would leave the
+    * two characters `\` `r` in parsed data (ADVICE r07).
+    */
+  private val ctl: Seq[(String, String)] = Seq(
+    "\t" -> "\\t", "\n" -> "\\n", "\r" -> "\\r",
+    "\b" -> "\\b", "\f" -> "\\f", "\u000b" -> "\\v")
+
+  /** Escape one string cell: \ -> \\ first, then TAB/NL/CR/BS/FF/VT ->
+    * \t \n \r \b \f \v; NULL -> \N.
+    */
   def escape(c: Column): Column = {
-    val esc = replace(replace(replace(c, lit("\\"), lit("\\\\")),
-      lit("\t"), lit("\\t")), lit("\n"), lit("\\n"))
+    val esc = ctl.foldLeft(replace(c, lit("\\"), lit("\\\\"))) {
+      case (acc, (raw, escd)) => replace(acc, lit(raw), lit(escd))
+    }
     coalesce(esc, lit(Null))
   }
 
@@ -30,13 +46,16 @@ object TsvCodec {
     *
     * Plain replace would corrupt `\\t` (escaped backslash followed by t), so
     * unescape routes through a NUL sentinel: mark escaped backslashes first,
-    * decode \t/\n, then restore backslashes. NUL never survives escape's
-    * output alphabet in practice; roundtrip property-tested in TsvCodecSpec.
+    * decode the control escapes, then restore backslashes. NUL never
+    * survives escape's output alphabet in practice (PG text cannot carry
+    * NUL); roundtrip property-tested in TsvCodecSpec.
     */
   def unescape(c: Column): Column = {
     val sentinel = "\u0000"
     val s = replace(c, lit("\\\\"), lit(sentinel))
-    val d = replace(replace(s, lit("\\t"), lit("\t")), lit("\\n"), lit("\n"))
+    val d = ctl.foldLeft(s) { case (acc, (raw, escd)) =>
+      replace(acc, lit(escd), lit(raw))
+    }
     val out = replace(d, lit(sentinel), lit("\\"))
     when(c === lit(Null), lit(null: String)).otherwise(out)
   }

@@ -281,6 +281,10 @@ object AggQueries {
         val y = get_json_object(col("props"), "$.k").cast("long")
         t(spark, dir, "events")
           .select(col("event_type"), col("value"), y.as("y"))
+          // rows with missing/non-numeric k must leave n too, not just the
+          // sums — else covp/corr mix moments over different populations
+          // (ADVICE r07: consistent moments, actual correlation)
+          .filter(col("y").isNotNull)
           .groupBy("event_type")
           .agg(cnt("n"),
             sum(dec(col("value"), 14, 2)).as("sx"),
@@ -316,7 +320,8 @@ object AggQueries {
            |sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS sxx,
            |CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT) * CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS syy,
            |sum(CAST(value AS DECIMAL(14,2)) * CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sxy
-           |FROM events GROUP BY event_type)
+           |FROM events WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+           |GROUP BY event_type)
            |ORDER BY event_type""".stripMargin.replace("\n", " ")
       },
       tier = "E"),

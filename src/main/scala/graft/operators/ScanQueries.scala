@@ -77,7 +77,9 @@ object ScanQueries {
           .limit(200)
       },
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-             |CAST(length(replace(replace(replace(text, '\', '\\'), chr(9), '\t'), chr(10), '\n')) AS BIGINT) AS n_esc
+             |CAST(length(replace(replace(replace(replace(replace(replace(replace(text,
+             |'\', '\\'), chr(9), '\t'), chr(10), '\n'), chr(13), '\r'),
+             |chr(8), '\b'), chr(12), '\f'), chr(11), '\v')) AS BIGINT) AS n_esc
              |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replace("\n", " "))),
 
     "str_funcs" -> QueryDef(

@@ -204,4 +204,20 @@ class DedupFunctionsSpec extends SparkSpec {
       .select(size(split(col("text"), " "))).collect()(0).getInt(0) - 2
     assert(fps(0L).size <= nGrams)
   }
+
+  test("winnowing: sub-window docs yield NO fingerprints, not junk (ADVICE r07)") {
+    // gram=3, window=4 → minimum meaningful length is 6 words; anything
+    // shorter has no full window and must map to an empty set, matching
+    // the declared text_winnowing query's size(w) >= 6 filter.
+    val shorts = Seq(
+      (20L, ""), (21L, "one"), (22L, "one two"), (23L, "one two three"),
+      (24L, "one two three four five"),
+      (25L, "one two three four five six")).toDF("doc_id", "text")
+    val fps = shorts.select(col("doc_id"), TextAnalysis.winnow("text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (20L to 24L).foreach { id =>
+      assert(fps(id).isEmpty, s"doc $id is shorter than gram+window-1, must have no fingerprints")
+    }
+    assert(fps(25L).nonEmpty, "a doc at exactly gram+window-1 words has one full window")
+  }
 }

@@ -27,7 +27,9 @@ class TsvCodecSpec extends SparkSpec {
 
   test("fixture strings roundtrip (tabs, newlines, backslashes, literal \\N)") {
     val fixtures = Seq("a\tb", "a\nb", "a\\b", "a\\nb", "", "\\N-ish… ütf8 ☃",
-      "ends with backslash\\", "\\\\double", "\t\n\\ all three")
+      "ends with backslash\\", "\\\\double", "\t\n\\ all three",
+      // ADVICE r07: CR and the rarer PG COPY control escapes
+      "a\rb", "crlf\r\n", "a\\rb literal", "bs\bff\fvt", "\r")
     assert(roundtrip(fixtures) === fixtures)
   }
 
@@ -48,11 +50,14 @@ class TsvCodecSpec extends SparkSpec {
     assert(roundtrip(Seq(big)) === Seq(big))
   }
 
-  test("property: unescape(escape(s)) == s and escape output has no raw tab/newline") {
+  test("property: unescape(escape(s)) == s and escape output has no raw tab/newline/CR") {
     val gen = Gen.listOf(Gen.oneOf(
-      Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\\', 'N', ' ', 'é'))).map(_.mkString)
+      Gen.alphaNumChar,
+      Gen.oneOf('\t', '\n', '\r', '\b', '\f', '\u000b', '\\', 'N', 'r', 'v', ' ', 'é')))
+      .map(_.mkString)
     check(Prop.forAllNoShrink(Gen.listOfN(20, gen)) { ss =>
-      roundtrip(ss) == ss && escaped(ss).forall(e => !e.contains('\t') && !e.contains('\n'))
+      roundtrip(ss) == ss && escaped(ss).forall(e =>
+        !e.contains('\t') && !e.contains('\n') && !e.contains('\r'))
     }, n = 10)
   }
 }

@@ -24,7 +24,13 @@ class CopyTsvSpec extends SparkSpec {
       (4L, "back\\slash", false, 3.25),
       (5L, "\\N lookalike stays a string", true, 4.0),
       (6L, null.asInstanceOf[String], false, 5.0),
-      (7L, "", true, 6.0))
+      (7L, "", true, 6.0),
+      // ADVICE r07: bare CR is BOTH a line-splitter for Hadoop's reader
+      // and un-decoded by the old unescape — must survive the roundtrip
+      (8L, "carriage\rreturn", false, 7.0),
+      (9L, "crlf\r\npair", true, 8.0),
+      (10L, "ctl\bback\ffeed\u000bvtab", false, 9.0),
+      (11L, "mixed\\r literal then real\r", true, 10.0))
     val df = spark.createDataFrame(rows.toDF("id", "s", "b", "d").rdd, schema)
     val dir = java.nio.file.Files.createTempDirectory("graft_copytsv").toString
     CopyTsv.lines(df).write.mode("overwrite").text(dir)
