@@ -1226,6 +1226,89 @@ object TextQueries {
               |ORDER BY tot.lang""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Exact substring-level dedup (VERDICT r07 #2) — the Lee et al.
+    // "Deduplicating Training Data Makes Language Models Better"
+    // operation: find runs of >= K tokens that occur verbatim in more
+    // than one document. Winnowing (text_winnowing) SAMPLES shared runs;
+    // this measures them exactly, per document: how many of its K-token
+    // windows also appear verbatim elsewhere, and the longest consecutive
+    // duplicated stretch (run of W consecutive shared windows = W+K-1
+    // shared tokens; consecutive windows can in principle chain across
+    // different partner docs, so max_run_tokens is the tight upper bound
+    // a suffix-array pass would refine). Scale shape: windows are
+    // digested in ONE map pass (posexplode of md5 digests — raw text
+    // never leaves the scan); the inverted index is a groupBy on the
+    // 32-char digest whose "shared" bit is min(doc_id) <> max(doc_id) —
+    // partial+final min/max agg, NO count-distinct shuffle and no
+    // self-join, so no hot-bucket cap is needed (a digest repeated a
+    // million times still folds to one row map-side); the flag rejoins
+    // the instance relation keyed on the digest (digests + two ints
+    // shuffle); run lengths fold per-doc in a bounded HOF aggregate —
+    // no window function anywhere (PlanShapeSpec pins it).
+    "dedup_substring" -> QueryDef(
+      (spark, dir) => {
+        val k = 10
+        val inst = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= k)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+            .as(Seq("pos", "dg")))
+        val shared = inst.groupBy("dg")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .select(col("dg"), (col("mn") =!= col("mx")).as("shared"))
+        val per = inst.join(shared, Seq("dg"))
+          .groupBy("doc_id")
+          .agg(cnt("n_win"),
+            sum(when(col("shared"), 1L).otherwise(0L)).cast("long").as("dup_win"),
+            sort_array(collect_list(when(col("shared"), col("pos")))).as("ps"))
+          .withColumn("best", expr(
+            """aggregate(ps,
+              |named_struct('prev', -2, 'cur', cast(0 as bigint), 'best', cast(0 as bigint)),
+              |(s, p) -> named_struct(
+              |  'prev', p,
+              |  'cur', if(p = s.prev + 1, s.cur + 1, cast(1 as bigint)),
+              |  'best', greatest(s.best, if(p = s.prev + 1, s.cur + 1, cast(1 as bigint)))),
+              |s -> s.best)""".stripMargin.replace("\n", " ")))
+          .select(col("doc_id"), col("n_win"), col("dup_win"),
+            pround(col("dup_win").cast("double") / col("n_win").cast("double"), 6)
+              .as("dup_frac"),
+            when(col("best") > 0, col("best") + (k - 1)).otherwise(0L)
+              .cast("long").as("max_run_tokens"))
+        t(spark, dir, "documents").select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_win"), lit(0L)).as("n_win"),
+            coalesce(col("dup_win"), lit(0L)).as("dup_win"),
+            coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+            coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |win AS (SELECT doc_id,
+              |unnest(range(0, len(w) - 9)) AS pos,
+              |unnest(list_transform(range(0, len(w) - 9),
+              |i -> md5(array_to_string(w[(i+1):(i+10)], ' ')))) AS dg
+              |FROM d WHERE len(w) >= 10),
+              |sh AS (SELECT dg, (min(doc_id) <> max(doc_id)) AS shared FROM win GROUP BY dg),
+              |j AS (SELECT doc_id, pos, shared FROM win JOIN sh USING (dg)),
+              |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,
+              |CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS dup_win
+              |FROM j GROUP BY doc_id),
+              |runs AS (SELECT doc_id, grp, count(*) AS rl FROM
+              |(SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |FROM j WHERE shared) GROUP BY doc_id, grp),
+              |mx AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS best FROM runs GROUP BY doc_id)
+              |SELECT docs.doc_id,
+              |COALESCE(n_win, 0) AS n_win,
+              |COALESCE(dup_win, 0) AS dup_win,
+              |COALESCE(${proundSql("CAST(dup_win AS DOUBLE) / CAST(n_win AS DOUBLE)", 6)}, 0.0) AS dup_frac,
+              |COALESCE(best + 9, 0) AS max_run_tokens
+              |FROM (SELECT doc_id FROM documents) docs
+              |LEFT JOIN per USING (doc_id) LEFT JOIN mx USING (doc_id)
+              |ORDER BY docs.doc_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Gopher-style quality-rule bundle (VERDICT r06 #5) — the standard
     // pretraining filter set alongside repetition/entropy: word count in
     // [20, 100k], mean word length in [3, 10], ≥80% purely-alphabetic
@@ -1270,6 +1353,59 @@ object TextQueries {
               |${proundSql("CAST(sum(chars) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS mean_word_len,
               |${proundSql("CAST(sum(stopc) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)", 4)} AS stop_frac
               |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // fastText-style learned quality classifier (VERDICT r07 #4) — the
+    // standard LEARNED filter beside the rule-based Gopher bundle: score
+    // = dot(hashed-ngram feature vector, weight vector) + sign decision.
+    // Features are a 32-bucket hashed bag of words (count/n per bucket —
+    // the fastText averaging), weights a deterministic fixture literal
+    // standing in for trained parameters (training is offline in any real
+    // pipeline; serving is exactly this dot product). The dot rides the
+    // codegen graft_dot Expression (plans/DotProductD — tight primitive
+    // loop, not an interpreted HOF). Scale shape: feature extraction and
+    // scoring are ONE map pass over the scan with the weight literal in
+    // the codegen'd expression (a broadcast without even a broadcast
+    // exchange); the only shuffle is the final per-source partial+final
+    // aggregate. Per-doc scores are pround'd then summed as exact
+    // decimals so the group mean is partition-order-independent.
+    "text_quality_classifier" -> QueryDef(
+      (spark, dir) => {
+        graft.plans.DotProductD.register(spark)
+        val D = 32
+        val wts = (0 until D).map(j => ((j * 37 % 19) - 9) / 10.0)
+        val wlit = wts.mkString("array(", "D, ", "D)")
+        val feats =
+          s"""transform(sequence(0, ${D - 1}),
+             |j -> cast(size(filter(w, x -> pmod(${hx("x")}, $D) = j)) as double)
+             |     / cast(size(w) as double))""".stripMargin.replace("\n", " ")
+        t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("source"),
+            expr(s"cast(${proundSql(s"graft_dot($feats, $wlit)", 4)} as double)").as("score"))
+          .groupBy("source")
+          .agg(cnt("docs"),
+            sum(when(col("score") > 0.0, 1L).otherwise(0L)).cast("long").as("passed"),
+            pround(sum(dec(col("score"), 14, 4)).cast("double")
+              / count(lit(1)).cast("double"), 4).as("mean_score"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val D = 32
+        val wts = (0 until D).map(j => ((j * 37 % 19) - 9) / 10.0)
+        val wlit = wts.mkString("CAST([", ", ", "] AS DOUBLE[])")
+        val feats =
+          s"""list_transform(range(0, $D),
+             |j -> CAST(len(list_filter(w, x -> ${hxDuck("x")} % $D = j)) AS DOUBLE)
+             |     / CAST(len(w) AS DOUBLE))""".stripMargin.replace("\n", " ")
+        s"""WITH scored AS (SELECT source,
+           |CAST(${proundSql(s"list_dot_product($feats, $wlit)", 4)} AS DOUBLE) AS score
+           |FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+           |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(CASE WHEN score > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           |${proundSql("CAST(sum(CAST(score AS DECIMAL(14,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_score
+           |FROM scored GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+      },
       tier = "E"),
 
     // MinHash estimator accuracy — the dedup lane's quality gate, the

@@ -203,6 +203,31 @@ class PlanShapeSpec extends SparkSpec {
       "the documents scan must prune to (doc_id, text)")
   }
 
+  test("dedup_substring: no window; inverted index is an aggregate; text never shuffles") {
+    val plan = executedPlan("dedup_substring")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"run lengths must fold in a per-doc HOF aggregate, not a window:\n$plan")
+    // shared-digest bit is a min/max partial+final aggregate — no
+    // count-distinct expand and no digest self-join
+    assert(countOf(plan, "Expand") === 0,
+      s"shared bit must be min<>max, not count(distinct):\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("lang")),
+      "the documents scan must prune to (doc_id, text)")
+  }
+
+  test("text_quality_classifier: scoring is map-only — weights live in the expression") {
+    val plan = executedPlan("text_quality_classifier")
+    assert(countOf(plan, "Join") === 0,
+      s"the weight vector must be a literal in the scoring expression, not a join:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0, "no windows")
+    // one shuffle total: the per-source partial+final aggregate
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"scoring must not shuffle before the summary agg:\n$plan")
+    assert(plan.contains("graft_dot"),
+      s"scoring must ride the codegen DotProductD expression:\n$plan")
+  }
+
   test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_est")
     // candidate×signatures (×2) and candidate×shingle-sets (×2): all four
