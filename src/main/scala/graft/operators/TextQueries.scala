@@ -99,6 +99,13 @@ object TextQueries {
       .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
       .withColumn("ja", pround(col("inter")
         / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+      // exact ingredients alongside the rounded ja: consumers whose
+      // thresholds predate the rounding (dedup_incremental's raw
+      // inter/(n1+n2-inter) >= 0.5) must reproduce the SAME IEEE
+      // comparison, and pround'd ja can round a just-under value up
+      // across the boundary
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s")))
     val sigs = withMh.select(col("doc_id"),
       array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
     (base, bands, pairs, sigs)
@@ -136,7 +143,8 @@ object TextQueries {
       vpCache.getOrElseUpdate(key, {
         val (base, bands, pairs, sigs) = buildVerifiedPipeline(spark, dir)
         val docs = base.select(col("doc_id"), col("lang")).localCheckpoint(true)
-        val p = pairs.select(col("d1"), col("d2"), col("ja")).localCheckpoint(true)
+        val p = pairs.select(col("d1"), col("d2"), col("ja"),
+          col("inter"), col("n1"), col("n2")).localCheckpoint(true)
         // sigs are 8 longs per doc — checkpointed so dedup_minhash_est's
         // estimator grades the SAME signatures the candidates came from
         // without re-running the md5 minhash pass
@@ -744,7 +752,34 @@ object TextQueries {
     // hot-band cap bound the candidate volume exactly as in the full
     // pipeline.
     "dedup_incremental" -> QueryDef(
-      (spark, dir) => {
+      (spark, dir) => if (java.lang.Boolean.getBoolean("graft.shared.pipeline")) {
+        // Harness sweeps (VERDICT r07 #3): the delta's signatures are the
+        // SAME computation the shared pipeline already materialized —
+        // only the PAIRING differs. is_new ≡ doc_id >= 250, and the
+        // shared candidate relation is band-identical (same shingles,
+        // lanes, band keys, and hot-band cap over the same corpus), so
+        // delta×existing candidates are exactly the shared pairs with
+        // d1 < 250 <= d2 (band partners always straddle the id split in
+        // (min, max) order). The raw inter/(n1+n2-inter) >= 0.5 test is
+        // re-run from the checkpointed exact ingredients — NOT from the
+        // pround'd ja, which can round across the boundary. Only the
+        // one-digest-per-doc exact-dup join runs fresh.
+        val (docsShared, pairs, _) = verifiedSharedAll(spark, dir)
+        val near = pairs
+          .filter(col("d1") < 250 && col("d2") >= 250 &&
+            col("inter") / (col("n1") + col("n2") - col("inter")) >= 0.5)
+          .select(col("d2")).distinct()
+        val base = t(spark, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+        val exact = base.filter(col("doc_id") >= 250)
+          .select(col("doc_id").as("dn"), md5(col("text")).as("h"))
+          .join(base.filter(col("doc_id") < 250)
+            .select(md5(col("text")).as("h")).distinct(), "h")
+          .select(col("dn")).distinct()
+        docsShared.filter(col("doc_id") >= 250).agg(cnt("delta_docs"))
+          .crossJoin(exact.agg(cnt("exact_dups")))
+          .crossJoin(near.agg(cnt("near_dups")))
+      } else {
         val docs = t(spark, dir, "documents")
           .withColumn("is_new", col("doc_id") >= 250)
           .withColumn("w", split(col("text"), " "))
