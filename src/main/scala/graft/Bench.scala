@@ -61,9 +61,14 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
-      // drop any per-query persist() blocks so caches never accumulate
-      // across the sweep — OUTSIDE the timed window (each query is billed
-      // for its own materialization, not for the cleanup).
+      // drop any per-query persist()/localCheckpoint() blocks so caches
+      // never accumulate across the sweep — OUTSIDE the timed window
+      // (each query is billed for its own materialization, not for the
+      // cleanup). releaseQueryCaches is the session contract for
+      // checkpoint blocks, which clearCache alone leaves behind; the
+      // shared-pipeline checkpoints are deliberately session-lifetime
+      // and bypass the registry.
+      graft.core.releaseQueryCaches(spark)
       spark.catalog.clearCache()
       (sec, err)
     }

@@ -30,8 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries own their persist()s only until materialized; without this
-      // the 74-query sweep accumulates every query's cached blocks.
+      // queries own their persist()s/checkpoints only until materialized;
+      // without this the full sweep accumulates every query's cached
+      // blocks (releaseQueryCaches also frees localCheckpoint RDDs,
+      // which clearCache does not touch).
+      graft.core.releaseQueryCaches(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -72,4 +72,72 @@ package object core {
     val p = "1" + ("0" * n) + ".0"
     s"floor(($x) * $p + 0.5) / $p"
   }
+
+  // --------------------------------------------------------------------
+  // Query-scoped cache registry (VERDICT r07 #5).
+  //
+  // Several declared queries persist() or localCheckpoint() heavy
+  // intermediates. A lazily-consumed DataFrame cannot unpersist them on
+  // the return path (the caller hasn't materialized anything yet), so the
+  // SESSION CONTRACT is: after consuming a query's result, the caller
+  // invokes releaseQueryCaches(spark). Bench, Verify, and the test
+  // harness do; a long-lived embedding (notebook, service) must too, or
+  // blocks accumulate. catalog.clearCache() alone is NOT enough — it
+  // frees plan-cache entries but not localCheckpoint RDD blocks.
+  // --------------------------------------------------------------------
+
+  private val queryCaches =
+    scala.collection.mutable.Map.empty[SparkSession,
+      scala.collection.mutable.ArrayBuffer[() => Unit]]
+
+  private def registerCleanup(spark: SparkSession)(f: () => Unit): Unit =
+    queryCaches.synchronized {
+      queryCaches.getOrElseUpdate(spark,
+        scala.collection.mutable.ArrayBuffer.empty) += f
+    }
+
+  /** persist(MEMORY_AND_DISK) + register the block for release at the
+    * end of the current query's consumption.
+    */
+  def scopedPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCleanup(df.sparkSession)(() => { df.unpersist(false); () })
+    df
+  }
+
+  /** Eager localCheckpoint + register its RDD blocks for release. Used
+    * where lineage truncation is the point (iterative plans); unlike
+    * persist, checkpoint blocks survive catalog.clearCache(), so an
+    * unregistered one is a true leak in a long-lived session.
+    */
+  def scopedCheckpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    registerCleanup(out.sparkSession)(() => releaseCheckpoint(out))
+    out
+  }
+
+  /** Free the RDD blocks behind a localCheckpoint'd DataFrame —
+    * Dataset.unpersist only covers plan-cache entries, so walk to the
+    * LogicalRDD and unpersist the materialized RDD itself.
+    */
+  def releaseCheckpoint(out: DataFrame): Unit =
+    out.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
+  /** Release every cache a declared query registered on this session.
+    * Idempotent; safe if the query also unpersisted eagerly itself.
+    */
+  def releaseQueryCaches(spark: SparkSession): Unit = {
+    val fs = queryCaches.synchronized { queryCaches.remove(spark) }
+    fs.foreach(_.foreach(f => try f() catch { case _: Throwable => () }))
+  }
+
+  /** Chainable forms of the scoped-cache helpers. */
+  implicit class ScopedCacheOps(private val df: DataFrame) extends AnyVal {
+    def scopedPersist(): DataFrame = core.scopedPersist(df)
+    def scopedCheckpoint(): DataFrame = core.scopedCheckpoint(df)
+  }
 }

@@ -45,12 +45,16 @@ object Graphs {
   def connectedComponents(edges: DataFrame, src: String = "src",
                           dst: String = "dst", maxIters: Int = 20): DataFrame = {
     val e = edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
-    val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // every checkpoint goes through the query-scoped registry
+    // (core.scopedCheckpoint) so the harness's releaseQueryCaches frees
+    // the blocks — checkpoint RDDs survive catalog.clearCache() and
+    // previously leaked once per call in a long-lived session (VERDICT
+    // r07 #5). Superseded rounds are ALSO freed eagerly below, so peak
+    // block count stays O(1) in the round count, not O(diameter).
+    val sym = graft.core.scopedCheckpoint(
+      e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct())
+    var labels = graft.core.scopedCheckpoint(
+      sym.select(col("s").as("id")).distinct().withColumn("label", col("id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -59,19 +63,23 @@ object Graphs {
         .join(labels.select(col("id").as("nid"), col("label")), col("s") === col("nid"))
         .groupBy(col("d").as("id"))
         .agg(min(col("label")).as("nbl"))
-      val next = labels
+      val next = graft.core.scopedCheckpoint(labels
         .join(nbrMin.withColumnRenamed("id", "mid"), col("id") === col("mid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label")))
       // labels only ever decrease: converged ⇔ no strict decrease this round
       done = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label"))
         .isEmpty
+      // the convergence probe above was this round's last read of the
+      // superseded labels — free them now (release is idempotent with
+      // the registry's own end-of-query pass)
+      graft.core.releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
+    graft.core.releaseCheckpoint(sym)
     labels.withColumnRenamed("label", "component")
   }
 }

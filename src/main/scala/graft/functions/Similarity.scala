@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.ScopedCacheOps
 
 /** Vector-similarity primitives over `Array[Float]` embedding columns —
   * the library forms behind graft.operators.SimilarityQueries.
@@ -77,7 +78,7 @@ object Similarity {
   def lshTopK(vectors: DataFrame, hyperplanes: DataFrame,
               probeFilter: Column, k: Int): DataFrame = {
     val bucketed = lshBuckets(vectors, hyperplanes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val probes = bucketed.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("bucket").as("pb"), col("embedding").as("pv"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
@@ -103,7 +104,7 @@ object Similarity {
                    probeFilter: Column, k: Int): DataFrame = {
     require(hyperplaneSets.nonEmpty, "need at least one hyperplane set")
     val vecs = vectors.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     // candidate (probe, cand) ids per table, deduped ACROSS tables before
     // any cosine work — each surviving pair's fold is evaluated once.
     val pairs = hyperplaneSets.map { hp =>

@@ -57,7 +57,7 @@ object SimilarityQueries {
       .agg(sum(col("bit")).cast("long").as("bucket"),
         first(col("embedding")).as("v"))
       .withColumn("nv", sqrt(gdot("v", "v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val probes = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe"), col("bucket").as("pb"),
         col("v").as("pv"), col("nv").as("pn"))
@@ -154,7 +154,7 @@ object SimilarityQueries {
             struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
           .withColumn("nv", sqrt(gdot("v", "v")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val probes = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe"), col("cid").as("pcid"),
             col("v").as("pv"), col("nv").as("pn"))
@@ -208,7 +208,7 @@ object SimilarityQueries {
             struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
           .withColumn("nv", sqrt(gdot("v", "v")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         // probe → its 2 nearest cells: a bounded (#probes × K) relation;
         // the rank window partitions by probe (pround(9)'d csim, cid
         // tie-break — same portability argument as the assignment argmax).
@@ -273,7 +273,7 @@ object SimilarityQueries {
         import org.apache.spark.sql.types.DecimalType
         val e = vecs(spark, dir)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val c0 = e.filter(col("vec_id") >= 480 && col("vec_id") < 490)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         // Argmax over a pround-ed csim (9 digits, both engines): the ranked
@@ -391,7 +391,7 @@ object SimilarityQueries {
         // re-deriving it from `truth` would re-run the whole brute-force
         // corpus pass just to list 10 ids.
         val approx = lshTop3(spark, dir).select(col("probe"), col("cand"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val nCand = approx.groupBy("probe").agg(cnt("n_cand"))
         val hits = truth.join(broadcast(approx), Seq("probe", "cand"))
           .groupBy("probe").agg(cnt("hits"))

@@ -70,7 +70,7 @@ object TextQueries {
       .filter(size(col("w")) >= 3)
       .withColumn("shingles",
         expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
     val withMh = (0 until 8).foldLeft(
       base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
@@ -81,7 +81,7 @@ object TextQueries {
       md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     }
     val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     // hot-band guard, same policy as dedup_minhash_lsh
     val capped = graft.functions.MinHash.capBands(bands, "k", 100)
     val cand = capped.as("a")
@@ -446,7 +446,7 @@ object TextQueries {
         // md5-per-shingle signature pass executes once PER BRANCH — at
         // corpus scale that is two full scans instead of one.
         val bands = withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         // hot-band guard (graft.functions.MinHash.capBands): a bucket of B
         // docs emits B²/2 pairs, so one mega-bucket of boilerplate goes
         // quadratic; buckets over 100 are skipped (max observed bucket at
@@ -787,7 +787,7 @@ object TextQueries {
           .withColumn("shingles",
             expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
           .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
           d.withColumn(s"mh$i",
             expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
@@ -797,7 +797,7 @@ object TextQueries {
         }
         val bands = withMh.select(col("doc_id"), col("is_new"),
           explode(array(bandCols: _*)).as("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val capped = graft.functions.MinHash.capBands(bands, "k", 100)
         val cand = capped.filter(col("is_new")).as("a")
           .join(capped.filter(!col("is_new")).as("b"), col("a.k") === col("b.k"))
@@ -937,7 +937,7 @@ object TextQueries {
         // carries on its `bands` relation).
         val banded = d.select(col("doc_id"), col("sh"),
           explode(array(bandCols: _*)).as("band"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         // hot-band guard, same policy as the minhash family: IDENTICAL
         // documents share all four bands, so one mega-cluster of K copies
         // emits ~4·K²/2 join rows before distinct. Buckets over 100 are
@@ -1109,7 +1109,7 @@ object TextQueries {
           .withColumn("fp", explode(expr(
             "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))")))
           .select(col("doc_id"), col("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val capped = graft.functions.MinHash.capBands(fps, "fp", 100)
         capped.as("a")
           .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1233,7 +1233,7 @@ object TextQueries {
             """transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
               |i -> md5(concat_ws(' ', slice(w, i * 10 + 1, 10))))"""
               .stripMargin.replace("\n", " "))).as(Seq("pos", "dg")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val kept = inst.groupBy("dg")
           .agg(min(struct(col("doc_id"), col("pos"), col("lang"))).as("o"))
           .groupBy(col("o.lang").as("lang"))
@@ -1479,13 +1479,13 @@ object TextQueries {
           .filter(size(col("w")) >= 3)
           .withColumn("shingles",
             expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val shs = base.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
         val withMh = (0 until 8).foldLeft(
           base.withColumn("digests", expr("transform(shingles, s -> md5(s))"))) { (d, i) =>
           d.withColumn(s"mh$i",
             expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }.scopedPersist()
         val sigs = withMh.select(col("doc_id"),
           array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
         val bandCols = (0 until 4).map { b =>

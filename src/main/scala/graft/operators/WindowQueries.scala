@@ -155,7 +155,7 @@ object WindowQueries {
           .withColumn("lrn", row_number().over(
             Window.partitionBy("pid").orderBy(col("c_acctbal").desc, col("c_custkey")))
             .cast("long"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val counts = ranked.groupBy("pid").agg(count(lit(1)).as("pcnt"))
         val offsets = counts.as("a")
           .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")

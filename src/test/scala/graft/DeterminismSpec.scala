@@ -15,10 +15,26 @@ class DeterminismSpec extends SparkSpec {
         try qd.fn(spark, sf001).collect().map(_.toString).toSeq
         finally {
           spark.conf.set("spark.sql.shuffle.partitions", "4")
-          spark.catalog.clearCache() // per-query persists die with the query
+          // the harness session contract: per-query persists AND
+          // checkpoint blocks die with the query
+          graft.core.releaseQueryCaches(spark)
+          spark.catalog.clearCache()
         }
       }
       assert(run("4") === run("13"), s"$name output depends on partitioning")
     }
+  }
+
+  // Registered LAST: after the full sweep above (every declared query,
+  // twice each), the release contract must leave NOTHING cached — a
+  // leftover block here is a leak that a long-lived session (notebook,
+  // service) would accumulate per query (VERDICT r07 #5).
+  test("sweep end: zero RDD blocks remain cached after releaseQueryCaches") {
+    graft.core.releaseQueryCaches(spark)
+    spark.catalog.clearCache()
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty,
+      s"leaked cached RDDs (${leftover.size}): " +
+        leftover.values.take(5).map(r => s"id=${r.id} ${r.name}").mkString("; "))
   }
 }

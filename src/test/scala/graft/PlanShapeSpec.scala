@@ -14,7 +14,10 @@ class PlanShapeSpec extends SparkSpec {
     val df = Registry.all.toMap.apply(name).fn(spark, sf001)
     df.write.format("noop").mode("overwrite").save()
     try df.queryExecution.executedPlan.toString
-    finally spark.catalog.clearCache()
+    finally {
+      graft.core.releaseQueryCaches(spark)
+      spark.catalog.clearCache()
+    }
   }
 
   private def countOf(plan: String, op: String): Int =
