@@ -163,6 +163,42 @@ object StreamTwins {
     * batch iterator order is not guaranteed); across batches the feed is
     * LSN-monotone by contract, same as every CDC consumer in this module.
     */
+  /** SCD Type-2 history as TRUE streaming state (batch twin:
+    * `cdc_scd2_history`, VERDICT r07 #6): per-key state is ONE struct —
+    * the currently-OPEN validity interval. Each arriving change CLOSES
+    * it (emits [valid_from, valid_to) with the old row's attributes) and
+    * opens a new one. Append mode emits exactly the batch query's
+    * is_current=0 rows — closed history is immutable, which is what
+    * makes append correct; the open interval (is_current=1 in batch)
+    * lives in state until the next change for that key. Rows within a
+    * micro-batch are processed in event_id order (sorted here); across
+    * batches the feed is LSN-monotone by contract, like every CDC
+    * consumer in this module. State scales as O(live keys) × one struct,
+    * partitioned by key hash — the lead() window's shuffle, incremental.
+    */
+  def scd2HistoryStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        graft.core.pround(col("value"), 2).as("value_r"))
+      .as[(Long, Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, String, Double), (Long, Long, Long, String, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var open = state.getOption
+          val out = it.toSeq.sortBy(_._1).flatMap { case (id, _, tpe, v) =>
+            val closed = open.map { case (from, t0, v0) => (user, from, id, t0, v0) }
+            open = Some((id, tpe, v))
+            closed
+          }
+          open.foreach(state.update)
+          out.iterator
+        }
+      .toDF("user_id", "valid_from", "valid_to", "event_type", "value_r")
+  }
+
   def asofToleranceStream(events: DataFrame, tolerance: Long = 100L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
