@@ -1410,12 +1410,16 @@ object TextQueries {
         val D = 32
         val wts = (0 until D).map(j => ((j * 37 % 19) - 9) / 10.0)
         val wlit = wts.mkString("array(", "D, ", "D)")
+        // hash each word ONCE into its bucket id; the per-bucket counts
+        // then compare ints (md5 inside the bucket loop was 32× the
+        // digest work and benched 6 s instead of <1 s)
         val feats =
           s"""transform(sequence(0, ${D - 1}),
-             |j -> cast(size(filter(w, x -> pmod(${hx("x")}, $D) = j)) as double)
-             |     / cast(size(w) as double))""".stripMargin.replace("\n", " ")
+             |j -> cast(size(filter(bs, b -> b = j)) as double)
+             |     / cast(size(bs) as double))""".stripMargin.replace("\n", " ")
         t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
+          .withColumn("bs",
+            expr(s"transform(split(text, ' '), x -> pmod(${hx("x")}, $D))"))
           .select(col("source"),
             expr(s"cast(${proundSql(s"graft_dot($feats, $wlit)", 4)} as double)").as("score"))
           .groupBy("source")
@@ -1431,11 +1435,12 @@ object TextQueries {
         val wlit = wts.mkString("CAST([", ", ", "] AS DOUBLE[])")
         val feats =
           s"""list_transform(range(0, $D),
-             |j -> CAST(len(list_filter(w, x -> ${hxDuck("x")} % $D = j)) AS DOUBLE)
-             |     / CAST(len(w) AS DOUBLE))""".stripMargin.replace("\n", " ")
+             |j -> CAST(len(list_filter(bs, b -> b = j)) AS DOUBLE)
+             |     / CAST(len(bs) AS DOUBLE))""".stripMargin.replace("\n", " ")
         s"""WITH scored AS (SELECT source,
            |CAST(${proundSql(s"list_dot_product($feats, $wlit)", 4)} AS DOUBLE) AS score
-           |FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+           |FROM (SELECT source, list_transform(string_split(text, ' '),
+           |x -> ${hxDuck("x")} % $D) AS bs FROM documents))
            |SELECT source, CAST(count(*) AS BIGINT) AS docs,
            |CAST(sum(CASE WHEN score > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
            |${proundSql("CAST(sum(CAST(score AS DECIMAL(14,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_score
