@@ -36,11 +36,18 @@ object Bench {
     *
     * Contention hardening (VERDICT r07 #1 — the r7 driver sweep recorded
     * 466 s for a query that runs in 8 s isolated):
-    *  - Each query runs twice and scores its min, but the second pass is
-    *    INTERLEAVED (all queries once, then all again) instead of
-    *    back-to-back, so a sustained multi-minute load spike cannot cover
-    *    both runs of the same query (r6's back-to-back min-of-2 failed
-    *    exactly that way).
+    *  - Pass 0 runs every query once UNMEASURED: it absorbs the one-time
+    *    costs (JIT of each query's generated code, OS page cache of its
+    *    parquet footprint, shared-pipeline materialization) that would
+    *    otherwise make every scored pair systematically cold-vs-warm —
+    *    54% of pairs disagreed >1.5x from warmup asymmetry alone, burying
+    *    the contention signal the pair is meant to carry.
+    *  - Each query is then measured twice, the second pass INTERLEAVED
+    *    (all queries once, then all again) instead of back-to-back, so a
+    *    sustained multi-minute load spike cannot cover both runs of the
+    *    same query (r6's back-to-back min-of-2 failed exactly that way).
+    *    With warmup hoisted into pass 0, a >1.5x pair disagreement now
+    *    MEANS host contention, not cold start.
     *  - A fixed canary probe is re-timed every `canaryEvery` queries and
     *    recorded in the JSON — a 3x canary inflation marks the surrounding
     *    measurements as contended, separating host load from plan cost.
@@ -48,8 +55,8 @@ object Bench {
     *    and the min of all three scored.
     * Caches are cleared after every run so both passes measure the same
     * cold-plan work (min-of-N removes scheduler/host noise, not the
-    * query's own cost). A query that throws is not retried — the error is
-    * the result.
+    * query's own cost). A query that throws in pass 0 is not retried or
+    * re-measured — the error is the result.
     */
   def runAll(spark: SparkSession, sfDir: String,
              queries: Seq[(String, (SparkSession, String) => DataFrame)],
@@ -72,11 +79,20 @@ object Bench {
       spark.catalog.clearCache()
       (sec, err)
     }
-    // pass 1: every query once, canary interleaved
-    val first = queries.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % canaryEvery == 0) canary += canaryProbe(spark)
-      val (s1, e1) = once(fn)
-      (name, fn, s1, e1)
+    // pass 0: unmeasured warmup — JIT + page cache + shared pipeline;
+    // its wall time is recorded only through the error channel
+    val warmed = queries.map { case (name, fn) =>
+      val (s0, e0) = once(fn)
+      (name, fn, s0, e0)
+    }
+    // pass 1: every query once, measured, canary interleaved
+    val first = warmed.zipWithIndex.map { case ((name, fn, s0, e0), i) =>
+      if (e0.isDefined) (name, fn, s0, e0)
+      else {
+        if (i % canaryEvery == 0) canary += canaryProbe(spark)
+        val (s1, e1) = once(fn)
+        (name, fn, s1, e1)
+      }
     }
     canary += canaryProbe(spark)
     // pass 2: second runs, in the same order, a full sweep later in time

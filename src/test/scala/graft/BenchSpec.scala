@@ -42,16 +42,16 @@ class BenchSpec extends SparkSpec {
     assert(!sweep.results.exists(_.err.isDefined))
   }
 
-  test("second measurements are interleaved: a full first pass precedes any second run") {
+  test("passes are interleaved: warmup, then two full measured passes in order") {
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     def tracked(name: String): (SparkSession, String) => DataFrame =
       (s, _) => { order.synchronized { order += name }; s.range(5).toDF("n") }
     val qs = Seq("a", "b", "c").map(n => n -> tracked(n))
     Bench.runAll(spark, sf001, qs)
-    // invocation sequence must be a,b,c (pass 1) then a,b,c... (pass 2 +
-    // any third runs) — never a,a,b,b,c,c
-    assert(order.take(3) === Seq("a", "b", "c"),
-      s"pass 1 must cover every query before any second run; got $order")
+    // warmup pass + two measured passes, each covering every query before
+    // the next begins — never a,a,a,b,b,b
+    assert(order.toSeq === Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"),
+      s"expected three interleaved passes; got $order")
   }
 
   test("canary series is recorded, chronological, and positive") {
@@ -64,18 +64,19 @@ class BenchSpec extends SparkSpec {
     assert(json.contains("\"canary_every\":1"))
   }
 
-  test(">3x disagreement between the two runs triggers a third measurement") {
-    // first invocation sleeps ~1.2 s; subsequent ones are fast — an
-    // artificial 'spike' covering only the first pass
+  test(">3x disagreement between the two measured runs triggers a third measurement") {
+    // call 1 is the unmeasured warmup; call 2 (measured pass 1) sleeps —
+    // an artificial 'spike' covering one measured run only
     var calls = 0
     val spiky: (SparkSession, String) => DataFrame = (s, _) => {
       calls += 1
-      if (calls == 1) Thread.sleep(1200)
+      if (calls == 2) Thread.sleep(1200)
       s.range(5).toDF("n")
     }
     val r = Bench.runAll(spark, sf001, Seq("spiky" -> spiky)).results.head
     assert(r.runs.size === 3, s"expected a third run after >3x disagreement; got ${r.runs}")
     assert(r.sec === r.runs.min)
+    assert(calls === 4, "warmup + two measured + one tiebreak")
   }
 
   test("steady queries keep exactly two runs") {
