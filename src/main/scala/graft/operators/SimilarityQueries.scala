@@ -350,6 +350,75 @@ object SimilarityQueries {
               |WHERE sim >= 0.3 ORDER BY sim DESC, v1, v2 LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // SemDeDup (semantic dedup, Abbas et al. 2023): cluster the
+    // embeddings, then search for near-duplicate pairs ONLY inside each
+    // cluster — the cluster bound is what makes embedding-level dedup
+    // tractable (quadratic within a cell, never corpus×corpus; in
+    // production k grows with N so cell sizes stay bounded, and the
+    // fixture's 10 fixed centroids model that bound). Drop the higher
+    // vec_id of any within-cell pair with cosine ≥ 0.4 (fixture-
+    // calibrated: these synthetic embeddings are near-uniform, so real-
+    // corpus thresholds like 0.95 select nothing; the PIPELINE is the
+    // contract, the constant is data). Scale shape: assignment is the
+    // proven broadcast-centroid max_by aggregate (one narrow pass, no
+    // window over the corpus); the self-join keys on cid so each cell's
+    // members co-locate once; drops rejoin on vec_id.
+    "dedup_semantic" -> QueryDef(
+      (spark, dir) => {
+        val cents = vecs(spark, dir)
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            sqrt(gdot("embedding", "embedding")).as("cn"))
+        val assigned = vecs(spark, dir)
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", pround(
+            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("cid"), col("embedding").as("v")),
+            struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
+          .withColumn("nv", sqrt(gdot("v", "v")))
+          .scopedPersist()
+        val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+          col("v").as("e1"), col("nv").as("n1"))
+        val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+          col("v").as("e2"), col("nv").as("n2"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("sim", pround(gdot("e1", "e2") / (col("n1") * col("n2")), 6))
+          .filter(col("sim") >= 0.4)
+          .select(col("v2").as("dropped_id")).distinct()
+        assigned
+          .join(dropped, col("vec_id") === col("dropped_id"), "left")
+          .groupBy("cid")
+          .agg(cnt("members"),
+            sum(when(col("dropped_id").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("dropped"))
+          .withColumn("kept", col("members") - col("dropped"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val psim = proundSql(
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1),
+           |drp AS (SELECT DISTINCT b.vec_id AS dropped_id
+           |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE $psim >= 0.4)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS members,
+           |CAST(sum(CASE WHEN dropped_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+           |CAST(count(*) - sum(CASE WHEN dropped_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           |FROM asg LEFT JOIN drp ON asg.vec_id = drp.dropped_id
+           |GROUP BY cid ORDER BY cid""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // HLL++ approximate distinct — engine-specific sketch, no oracle
     // (SURVEY §2.B): Spark's built-in replaces a custom HLL aggregate.
     "approx_distinct_hll" -> QueryDef(

@@ -742,6 +742,68 @@ object TextQueries {
              |GROUP BY h.lang ORDER BY h.lang""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Temperature-scaled language mixing (mT5/XLM-R style): sample
+    // languages ∝ p_l^α so low-resource languages are up-weighted.
+    // α = 0.5 exactly, because x^0.5 IS sqrt — IEEE-correctly-rounded on
+    // both engines, where a general pow(x, 0.3) is transcendental and
+    // libm-divergent in the last ulp (§7.3 rule 5). The normalizer
+    // Σ sqrt(n_l) folds over the per-language counts SORTED BY LANG
+    // (sequential fold, not a parallel sum), so the double is
+    // bit-identical under any partitioning; membership is the portable
+    // 60-bit hash against a per-language rate threshold — rate-based
+    // Bernoulli sampling, NO window over the corpus (compare
+    // sample_lang_balanced's exact-quota rank). Scale shape: one tiny
+    // per-lang count aggregate, one scalar fold, broadcast thresholds
+    // back, one filtered re-aggregate — two corpus map passes total.
+    "sample_temperature" -> QueryDef(
+      (spark, dir) => {
+        val budget = 100
+        val d = t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(hx("cast(doc_id as string)")).as("h"))
+        val counts = d.groupBy("lang").agg(cnt("n"))
+        val z = counts.agg(expr(
+          """aggregate(sort_array(collect_list(struct(lang,
+            |sqrt(cast(n as double)) as sq))), cast(0.0 as double),
+            |(a, x) -> a + x.sq)""".stripMargin.replace("\n", " ")).as("z"))
+        val rated = counts.crossJoin(broadcast(z))
+          .withColumn("quota",
+            floor(lit(budget) * sqrt(col("n").cast("double")) / col("z")).cast("long"))
+          .withColumn("rate",
+            lit(budget) * sqrt(col("n").cast("double")) / col("z") / col("n").cast("double"))
+          .withColumn("thr",
+            floor(least(col("rate"), lit(1.0)) * lit(1152921504606846976.0)).cast("long"))
+        d.join(broadcast(rated.select(col("lang"), col("quota"), col("rate"), col("thr"))), "lang")
+          .groupBy(col("lang"))
+          .agg(cnt("docs"), first(col("quota")).as("quota"),
+            pround(first(col("rate")), 6).as("rate_r"),
+            sum(when(col("h") < col("thr"), 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("h") < col("thr"), col("doc_id")).otherwise(0L))
+              .cast("long").as("kept_id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val budget = 100
+        s"""WITH d AS (SELECT doc_id, lang, ${hxDuck("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY lang),
+           |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS z FROM c),
+           |r AS (SELECT lang, n,
+           |CAST(floor($budget * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS quota,
+           |$budget * sqrt(CAST(n AS DOUBLE)) / z / CAST(n AS DOUBLE) AS rate,
+           |CAST(floor(least($budget * sqrt(CAST(n AS DOUBLE)) / z / CAST(n AS DOUBLE), 1.0)
+           |* 1152921504606846976.0) AS BIGINT) AS thr
+           |FROM c CROSS JOIN z)
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(max(quota) AS BIGINT) AS quota,
+           |${proundSql("max(rate)", 6)} AS rate_r,
+           |CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           |CAST(sum(CASE WHEN h < thr THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+           |FROM d JOIN r ON d.lang = r.lang
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // Incremental dedup — the production INGEST shape: a delta of new
     // documents dedups against the existing corpus WITHOUT re-pairing the
     // corpus with itself. Exact dups by content digest join; near-dups by

@@ -231,6 +231,26 @@ class PlanShapeSpec extends SparkSpec {
       s"scoring must ride the codegen DotProductD expression:\n$plan")
   }
 
+  test("dedup_semantic: assignment is an aggregate; pairs stay cell-local; no windows") {
+    val plan = executedPlan("dedup_semantic")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"centroid assignment must be a max_by aggregate, not a window:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
+      "partial+final argmax aggregate missing")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"the within-cell pair join must key on cid, never cross:\n$plan")
+  }
+
+  test("sample_temperature: no window over the corpus; thresholds broadcast back") {
+    val plan = executedPlan("sample_temperature")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"rate-based sampling must not rank the corpus:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"per-lang thresholds must broadcast to the corpus side:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "the corpus must never sort-merge against the O(|langs|) rate relation")
+  }
+
   test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_est")
     // candidate×signatures (×2) and candidate×shingle-sets (×2): all four
