@@ -89,6 +89,40 @@ object StreamQueries {
              |FROM events, (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events)""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Stream-stream interval join (attribution): each purchase pairs with
+    // the same user's views in the 2 h BEFORE it. The batch form is a
+    // plain equi-join on user_id with the interval as a post-join filter;
+    // the TRUE streaming twin (StreamTwins.intervalJoinStream) is Spark's
+    // watermarked stream-stream join, where exactly this time-range
+    // condition is what lets the engine EVICT view state older than
+    // watermark − 2 h — per-key state is O(events in the window), not
+    // O(stream). Interval arithmetic on floored epoch seconds on both
+    // engines (§7.3 rule 6); (p_id, v_id) is a unique pair so the
+    // order+limit is total.
+    "stream_interval_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_id"), col("epoch_s").as("v_s"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("epoch_s").as("p_s"))
+        purch.join(views, Seq("user_id"))
+          .filter(col("v_s") >= col("p_s") - 7200 && col("v_s") <= col("p_s"))
+          .select(col("p_id"), col("v_id"), col("user_id"),
+            (col("p_s") - col("v_s")).as("gap_s"))
+          .orderBy(col("p_id"), col("v_id"))
+          .limit(500)
+      },
+      Some("""SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS user_id,
+             |CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+             |FROM events p JOIN events v ON p.user_id = v.user_id
+             |AND p.event_type = 'purchase' AND v.event_type = 'view'
+             |AND CAST(floor(epoch(v.ts)) AS BIGINT) >= CAST(floor(epoch(p.ts)) AS BIGINT) - 7200
+             |AND CAST(floor(epoch(v.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+             |ORDER BY p_id, v_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Session-level metrics — one step past stream_session_window's
     // per-user session COUNT: materialize each session (running sum of the
     // new-session flag = session id) and report the longest sessions by

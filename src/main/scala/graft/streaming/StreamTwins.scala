@@ -222,4 +222,30 @@ object StreamTwins {
         }
       .toDF("event_id", "user_id", "last_view")
   }
+
+  /** TRUE stream-stream interval join ≡ `stream_interval_join`: purchases
+    * pair with the same user's views in the `windowSec` before them. Both
+    * sides are watermarked and the join carries the event-time range
+    * condition — that is the load-bearing part at scale: it lets Spark
+    * bound the view-side join state to [watermark − windowSec, now] and
+    * evict everything older, so state is O(events per key per window),
+    * not O(stream history). Timestamps are floored to whole seconds
+    * BEFORE watermarking so the join arithmetic is identical to the batch
+    * query's floored-epoch filter (§7.3 rule 6 — events.ts carries
+    * fractional microseconds and a raw comparison disagrees with the
+    * floored one within 1 s of the boundary).
+    */
+  def intervalJoinStream(events: DataFrame, windowSec: Long = 7200L,
+                         watermark: String = "1 minute"): DataFrame = {
+    def side(tpe: String, prefix: String) = events
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", watermark)
+    side("purchase", "p").join(side("view", "v"),
+      expr(s"p_user = v_user AND v_ts >= p_ts - INTERVAL $windowSec SECONDS AND v_ts <= p_ts"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"))
+  }
 }

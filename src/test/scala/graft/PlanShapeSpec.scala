@@ -251,6 +251,14 @@ class PlanShapeSpec extends SparkSpec {
       "the corpus must never sort-merge against the O(|langs|) rate relation")
   }
 
+  test("stream_interval_join: pairs key on user_id, never cross") {
+    val plan = executedPlan("stream_interval_join")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"the interval is a post-join filter on a user_id equi-join, not a cross:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"no window over the corpus:\n$plan")
+  }
+
   test("dedup_minhash_est: signature/shingle joins stay shuffled, never broadcast") {
     val plan = executedPlan("dedup_minhash_est")
     // candidate×signatures (×2) and candidate×shingle-sets (×2): all four

@@ -196,6 +196,34 @@ class StreamTwinsSpec extends SparkSpec {
     assert(totalEvents === spark.read.parquet(path).count())
   }
 
+  test("file-source stream-stream interval join over the REAL events table matches the batch query") {
+    // TRUE watermarked stream-stream join (both sides of the same file
+    // stream): purchases pair with the same user's views in the prior 2 h.
+    // Append mode — joined pairs are final once the watermark passes, so
+    // the emitted set must equal the batch interval join exactly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_ivj")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamTwins.intervalJoinStream(stream)
+      .writeStream.format("memory").queryName("ivj_real")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivj_real")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.Registry.all.toMap.apply("stream_interval_join")
+      .fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty) // the fixture actually exercises the join
+  }
+
   test("streaming exact dedup: duplicate content drops across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
