@@ -533,5 +533,72 @@ object SimilarityQueries {
                  "list_reduce(list_transform(v, x -> (x - floor(x * (127.0 / amax) + 0.5) / (127.0 / amax)) * (x - floor(x * (127.0 / amax) + 0.5) / (127.0 / amax))), (a, b) -> a + b) / CAST(dim AS DOUBLE)",
                  10)} AS mse_r
               |FROM s WHERE amax > 0 ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Product quantization (Jégou et al., the other classic vector
+    // compressor beside scalar int8 above): split the 64-d embedding into
+    // M=4 subspaces of 16 dims; each subspace has its own K=10-entry
+    // codebook (sub-vectors of the fixed vectors 480..489 — the same
+    // absolute-range trick the IVF centroids use, stable at every SF);
+    // every vector stores only M code ids (4 bytes vs 256). Declared
+    // output: per (subspace, code) cell — member count and mean squared
+    // quantization error, i.e. the codebook-quality report a PQ index
+    // build emits.
+    //
+    // Scale shape: the codebook is M·K = 40 rows, broadcast; assignment
+    // is one map pass over the corpus (explode ×M, argmin over K via a
+    // partial+final min_by aggregate — never a window over the corpus);
+    // the only shuffles carry (vec_id, m) → (cid, err) narrow rows.
+    // Distances rank on pround(9) so a last-ulp fold divergence cannot
+    // flip an assignment (the IVF argmax argument); the per-cell error
+    // mean sums pround(6)'d errors as DECIMAL so the aggregate is
+    // bit-stable under any partitioning, with ONE double division at
+    // the end.
+    "sim_pq_codes" -> QueryDef(
+      (spark, dir) => {
+        val M = 4
+        val sub = expr("slice(embedding, m * 16 + 1, 16)")
+        val withM = vecs(spark, dir)
+          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+          .withColumn("sub", sub)
+          .withColumn("ss", gdot("sub", "sub"))
+        val cb = vecs(spark, dir)
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+          .select(col("vec_id").as("cid"), col("m"), sub.as("csub"))
+          .withColumn("cc", gdot("csub", "csub"))
+        // ||s - c||² = ss - 2·sc + cc, evaluated in this exact IEEE order
+        // on both engines; one fold per (vec, m, code) pair.
+        val d = withM.join(broadcast(cb), Seq("m"))
+          .withColumn("pd", pround(
+            col("ss") - lit(2.0) * gdot("sub", "csub") + col("cc"), 9))
+        d.groupBy("vec_id", "m")
+          .agg(min_by(struct(col("cid"), col("pd")),
+            struct(col("pd"), col("cid"))).as("a"))
+          .groupBy(col("m"), col("a.cid").as("code"))
+          .agg(cnt("members"),
+            sum(pround(col("a.pd"), 6).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .as("errsum"))
+          .select(col("m"), col("code"), col("members"),
+            pround(col("errsum").cast("double") / col("members").cast("double"), 6)
+              .as("mean_err"))
+          .orderBy(col("m"), col("code"))
+      },
+      Some {
+        val dist = "list_dot_product(ev.sub, ev.sub) - 2 * list_dot_product(ev.sub, cb.csub) + cb.cc"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+           |ev AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sub FROM e CROSS JOIN ms),
+           |cb AS (SELECT vec_id AS cid, m, sub AS csub, list_dot_product(sub, sub) AS cc
+           |FROM ev WHERE vec_id >= 480 AND vec_id < 490),
+           |d AS (SELECT ev.vec_id, ev.m, cb.cid, ${proundSql(dist, 9)} AS pd
+           |FROM ev JOIN cb ON ev.m = cb.m),
+           |asg AS (SELECT vec_id, m, cid, pd FROM (
+           |SELECT vec_id, m, cid, pd,
+           |row_number() OVER (PARTITION BY vec_id, m ORDER BY pd, cid) AS rn FROM d) WHERE rn = 1)
+           |SELECT m, cid AS code, CAST(count(*) AS BIGINT) AS members,
+           |${proundSql("CAST(sum(CAST(" + proundSql("pd", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_err
+           |FROM asg GROUP BY m, cid ORDER BY m, code""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

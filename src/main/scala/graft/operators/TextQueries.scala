@@ -1617,5 +1617,60 @@ object TextQueries {
            |FROM est JOIN shs s1 ON s1.doc_id = est.d1 JOIN shs s2 ON s2.doc_id = est.d2
            |ORDER BY d1, d2 LIMIT 500""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Sequence packing — the concat-and-chunk step that turns a curated
+    // corpus into fixed-budget training sequences: per language, documents
+    // are laid out in a deterministic pseudo-random order (portable
+    // 60-bit hash of the doc id — the same "global shuffle" every
+    // pretraining run needs, reproducible across engines/partitionings),
+    // token counts accumulate, and a document belongs to the 256-token
+    // chunk its first token lands in. Declared output: per (lang, chunk)
+    // — documents packed and tokens filled.
+    //
+    // Scale shape: the prefix sum is TWO-LEVEL, the win_ntile technique —
+    // the hash's top 3 bits split each language into 8 ordered range
+    // buckets; running sums are windowed per (lang, bucket) (8× the
+    // parallelism of a per-lang window, and the bucket fan-out is the
+    // constant to raise at 100 TB), bucket totals aggregate into a
+    // ≤ |langs|·8-row offset relation whose own window is trivially
+    // bounded, and offsets broadcast back. The ORACLE runs the plain
+    // per-lang cumulative sum — the hash-match PROVES the two-level
+    // decomposition semantics-preserving, the same pattern as
+    // join_skew_salted and sample_lang_balanced.
+    "text_pack_sequences" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tk"))
+          .withColumn("h", expr(hx("concat('pack|', cast(doc_id as string))")))
+          .withColumn("bkt", expr("shiftright(h, 57)"))
+        val inner = Window.partitionBy("lang", "bkt")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withInner = d.withColumn("run", sum(col("tk")).over(inner))
+        val offW = Window.partitionBy("lang").orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = d.groupBy("lang", "bkt")
+          .agg(sum(col("tk")).as("bt"))
+          .withColumn("off", coalesce(sum(col("bt")).over(offW), lit(0L)))
+          .select(col("lang"), col("bkt"), col("off"))
+        withInner.join(broadcast(offsets), Seq("lang", "bkt"))
+          .withColumn("start", col("off") + col("run") - col("tk"))
+          .withColumn("chunk", expr("start div 256"))
+          .groupBy("lang", "chunk")
+          .agg(cnt("docs"), sum(col("tk")).cast("long").as("tokens"))
+          .orderBy(col("lang"), col("chunk"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+              |${hxDuck("'pack|' || CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+              |c AS (SELECT lang, tk,
+              |sum(tk) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - tk AS strt
+              |FROM d)
+              |SELECT lang, CAST(strt // 256 AS BIGINT) AS chunk, CAST(count(*) AS BIGINT) AS docs,
+              |CAST(sum(tk) AS BIGINT) AS tokens
+              |FROM c GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
