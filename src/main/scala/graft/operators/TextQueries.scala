@@ -1672,5 +1672,127 @@ object TextQueries {
               |SELECT lang, CAST(strt // 256 AS BIGINT) AS chunk, CAST(count(*) AS BIGINT) AS docs,
               |CAST(sum(tk) AS BIGINT) AS tokens
               |FROM c GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Count-min sketch (Cormode–Muthukrishnan) heavy-hitter estimation —
+    // unlike `approx_distinct_hll` (engine-native sketch, rows-only) this
+    // sketch is built from PORTABLE arithmetic (4 rows × 256 counters,
+    // hash lanes = byte slices of the 60-bit md5 hash), so the estimate
+    // itself is oracle-checked. Declared output: the top-20 exact words
+    // with their CMS estimate — the truth gate an approximate counter
+    // ships with (est ≥ exact always; the gap IS the collision error).
+    //
+    // Scale shape: the sketch is a FIXED 1024-cell relation — the
+    // groupBy(i, pos) partials combine map-side, so the shuffle carries
+    // ≤ 1024 rows per task regardless of corpus size; that boundedness is
+    // the entire point of a CMS at 100 TB (the exact top-20 truth side is
+    // the expensive half — at scale you keep only the sketch, and this
+    // query is the calibration that says what that buys you).
+    "sketch_count_min" -> QueryDef(
+      (spark, dir) => {
+        val words = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+        val posArr = "transform(sequence(0, 3), i -> (shiftright(h, i * 8) & 255))"
+        val cms = words
+          .withColumn("h", expr(hx("concat('cms|', w)")))
+          .select(posexplode(expr(posArr)).as(Seq("i", "pos")))
+          .groupBy("i", "pos").agg(cnt("c"))
+        val top = words.groupBy("w").agg(cnt("exact"))
+          .orderBy(col("exact").desc, col("w")).limit(20)
+        top
+          .withColumn("h", expr(hx("concat('cms|', w)")))
+          .select(col("w"), col("exact"), posexplode(expr(posArr)).as(Seq("i", "pos")))
+          .join(broadcast(cms), Seq("i", "pos"))
+          .groupBy("w", "exact")
+          .agg(min(col("c")).cast("long").as("est"))
+          .select(col("w").as("word"), col("exact"), col("est"))
+          .orderBy(col("exact").desc, col("word"))
+      },
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+              |lanes AS (SELECT unnest([0, 1, 2, 3]) AS i),
+              |pe AS (SELECT i, (${hxDuck("'cms|' || w")} >> (i * 8)) & 255 AS pos FROM w CROSS JOIN lanes),
+              |cms AS (SELECT i, pos, CAST(count(*) AS BIGINT) AS c FROM pe GROUP BY i, pos),
+              |top AS (SELECT w, CAST(count(*) AS BIGINT) AS exact FROM w GROUP BY w
+              |ORDER BY exact DESC, w LIMIT 20),
+              |tp AS (SELECT w, exact, i, (${hxDuck("'cms|' || w")} >> (i * 8)) & 255 AS pos
+              |FROM top CROSS JOIN lanes)
+              |SELECT tp.w AS word, tp.exact, CAST(min(cms.c) AS BIGINT) AS est
+              |FROM tp JOIN cms ON tp.i = cms.i AND tp.pos = cms.pos
+              |GROUP BY tp.w, tp.exact ORDER BY exact DESC, word""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Bloom-filter prefilter for incremental ingest — the membership
+    // gate that sits in FRONT of dedup_incremental at scale: the existing
+    // corpus's content digests build a 1024-bit / k=3 Bloom filter
+    // (portable arithmetic: three 10-bit slices of the 60-bit hash;
+    // 32 × 32-bit words so no shift ever touches the sign bit in either
+    // engine), and each delta document consults the filter before any
+    // join against the corpus. Declared output: the one-row accounting a
+    // prefilter deployment needs — how many delta docs the filter passes
+    // ("maybe dup"), how many it proves brand-new (no corpus join AT ALL
+    // for those), the true duplicate count, and the measured false
+    // positives (Bloom guarantees zero false negatives; the oracle
+    // re-deriving the same counts pins that property cross-engine).
+    //
+    // Scale shape: the filter relation is ≤ 32 rows (bit_or partials
+    // combine map-side — the corpus pass shuffles nothing but 32-word
+    // partial filters), the delta probes it via a broadcast join, and
+    // the exact-truth side is the same digest semi-join
+    // dedup_incremental already uses. At 100 TB the filter build is one
+    // narrow corpus scan whose output fits in a cache line.
+    "dedup_bloom_prefilter" -> QueryDef(
+      (spark, dir) => {
+        val d = t(spark, dir, "documents")
+          .withColumn("h", expr(hx("text")))
+        val existing = d.filter(col("doc_id") < 250)
+        val delta = d.filter(col("doc_id") >= 250)
+        val posArr = "transform(sequence(0, 2), j -> (shiftright(h, j * 10) & 1023))"
+        val bloom = existing
+          .select(explode(expr(posArr)).as("pos"))
+          .select(expr("cast((pos div 32) as int)").as("word"),
+            expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+          .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+        val probed = delta
+          .select(col("doc_id"), explode(expr(posArr)).as("pos"))
+          .select(col("doc_id"), expr("cast((pos div 32) as int)").as("word"),
+            expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+          .join(broadcast(bloom), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(sum(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L, 1L)
+            .otherwise(0L)).as("hits"))
+          .select(col("doc_id"), (col("hits") === 3L).as("maybe"))
+        val dups = delta.join(
+          existing.select(col("h").as("eh")).distinct(),
+          col("h") === col("eh"), "left_semi")
+          .select(col("doc_id")).withColumn("is_dup", lit(true))
+        probed.join(dups, Seq("doc_id"), "left")
+          .agg(
+            cnt("delta_docs"),
+            sum(when(col("maybe"), 1L).otherwise(0L)).cast("long").as("bloom_maybe"),
+            sum(when(!col("maybe"), 1L).otherwise(0L)).cast("long").as("bloom_new"),
+            sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).cast("long").as("true_dups"),
+            sum(when(col("maybe") && col("is_dup").isNull, 1L).otherwise(0L))
+              .cast("long").as("false_pos"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, ${hxDuck("text")} AS h FROM documents),
+              |ex AS (SELECT doc_id, h FROM d WHERE doc_id < 250),
+              |de AS (SELECT doc_id, h FROM d WHERE doc_id >= 250),
+              |ks AS (SELECT unnest([0, 1, 2]) AS j),
+              |bloom AS (SELECT CAST(floor(pos / 32) AS INT) AS word,
+              |bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits FROM
+              |(SELECT (h >> (j * 10)) & 1023 AS pos FROM ex CROSS JOIN ks) GROUP BY word),
+              |probe AS (SELECT de.doc_id,
+              |sum(CASE WHEN coalesce(bloom.bits, 0) & (1::BIGINT << CAST(pos % 32 AS INT)) <> 0
+              |THEN 1 ELSE 0 END) = 3 AS maybe FROM
+              |(SELECT doc_id, (h >> (j * 10)) & 1023 AS pos FROM de CROSS JOIN ks) de
+              |LEFT JOIN bloom ON CAST(floor(pos / 32) AS INT) = bloom.word
+              |GROUP BY de.doc_id),
+              |dup AS (SELECT DISTINCT de.doc_id FROM de WHERE h IN (SELECT h FROM ex))
+              |SELECT CAST(count(*) AS BIGINT) AS delta_docs,
+              |CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_maybe,
+              |CAST(sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_new,
+              |CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_dups,
+              |CAST(sum(CASE WHEN maybe AND dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+              |FROM probe LEFT JOIN dup ON probe.doc_id = dup.doc_id""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
