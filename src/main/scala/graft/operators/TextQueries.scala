@@ -1794,5 +1794,105 @@ object TextQueries {
               |CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_dups,
               |CAST(sum(CASE WHEN maybe AND dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
               |FROM probe LEFT JOIN dup ON probe.doc_id = dup.doc_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Unigram language-model scoring — the CCNet-style perplexity signal
+    // beside the rule-based (text_gopher_rules) and learned-linear
+    // (text_quality_classifier) filters: train token frequencies on the
+    // corpus itself, keep the top-64 vocabulary (broadcast; OOV tokens
+    // get a 0.5 pseudo-count floor), and score each document by bits per
+    // token under that model. High bpt = far from the corpus distribution
+    // (boilerplate, noise); low = fluent corpus-like text.
+    //
+    // Determinism: ln is libm territory, so each token type's bit cost is
+    // pround(9)'d FIRST (both engines round the same double to the same
+    // 9-decimal value — a last-ulp ln divergence sits ~1e6 below the
+    // rounding boundary) and then accumulated as DECIMAL(18,9)·count —
+    // exact integer arithmetic, bit-stable under any partitioning. One
+    // double division per doc at the end, pround(4).
+    //
+    // Scale shape: vocab is a fixed top-K TakeOrdered (never a window);
+    // doc-side work joins per-doc WORD TYPES against the broadcast vocab
+    // — the corpus text itself never shuffles, only (doc_id, word, count)
+    // rows for words a doc actually contains.
+    "text_perplexity_lm" -> QueryDef(
+      (spark, dir) => {
+        val words = t(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val total = words.agg(cnt("total"))
+        val vocab = words.groupBy("w").agg(cnt("cw"))
+          .orderBy(col("cw").desc, col("w")).limit(64)
+        val perDocWord = words.groupBy("doc_id", "w").agg(cnt("c"))
+        perDocWord
+          .join(broadcast(vocab), Seq("w"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("bits", pround(
+            -log(coalesce(col("cw").cast("double"), lit(0.5))
+              / col("total").cast("double")) / lit(0.6931471805599453), 9))
+          .withColumn("nll", col("bits").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            * col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            pround(sum(col("nll")).cast("double")
+              / sum(col("c")).cast("double"), 4).as("bpt"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w),
+              |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM w GROUP BY w
+              |ORDER BY cw DESC, w LIMIT 64),
+              |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY doc_id, w),
+              |sc AS (SELECT dw.doc_id, dw.c,
+              |CAST(${proundSql("-ln(coalesce(CAST(v.cw AS DOUBLE), 0.5) / CAST(n.total AS DOUBLE)) / 0.6931471805599453", 9)} AS DECIMAL(18,9))
+              |* CAST(dw.c AS DECIMAL(10,0)) AS nll
+              |FROM dw LEFT JOIN v ON dw.w = v.w CROSS JOIN n)
+              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |${proundSql("CAST(sum(nll) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 4)} AS bpt
+              |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Edit-distance near-dup — the character-level similarity the
+    // shingle/minhash family cannot see (transpositions, small in-place
+    // edits shift every downstream shingle; Levenshtein counts them
+    // directly). Both engines ship the same unit-cost DP (`levenshtein`),
+    // so the distance is oracle-checked exactly. Per probe: the 3 closest
+    // same-language documents, after the standard length gate
+    // (|Δ n_chars| ≤ 16 — an edit script can't be shorter than the
+    // length difference, so the gate is lossless for any ≤16 threshold).
+    //
+    // Scale shape: probe-bounded broadcast (the declared contract), the
+    // corpus side is one map pass behind the lang equi-key and the
+    // length gate, and the only window partitions by probe. The
+    // corpus×corpus form routes through LSH banding first (the
+    // dedup_minhash lane) — same policy as text_containment /
+    // dedup_ngram_jaccard.
+    "dedup_edit_distance" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(spark, dir, "documents")
+        val probes = d.filter(col("doc_id") < 15)
+          .select(col("doc_id").as("probe"), col("lang"),
+            col("text").as("ptext"), col("n_chars").as("pn"))
+        val w = Window.partitionBy("probe").orderBy(col("dist"), col("cand"))
+        broadcast(probes)
+          .join(d.select(col("doc_id").as("cand"), col("lang"),
+            col("text").as("ctext"), col("n_chars").as("cn")), Seq("lang"))
+          .filter(col("cand") =!= col("probe") && abs(col("cn") - col("pn")) <= 16)
+          .withColumn("dist", levenshtein(col("ptext"), col("ctext")).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"), col("dist"))
+          .orderBy(col("probe"), col("dist"), col("cand"))
+      },
+      Some("""SELECT probe, cand, dist FROM (
+             |SELECT a.doc_id AS probe, b.doc_id AS cand,
+             |CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+             |row_number() OVER (PARTITION BY a.doc_id
+             |ORDER BY levenshtein(a.text, b.text), b.doc_id) AS rn
+             |FROM documents a JOIN documents b ON b.lang = a.lang
+             |AND a.doc_id < 15 AND b.doc_id <> a.doc_id
+             |AND abs(b.n_chars - a.n_chars) <= 16)
+             |WHERE rn <= 3 ORDER BY probe, dist, cand""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
