@@ -600,5 +600,72 @@ object SimilarityQueries {
            |${proundSql("CAST(sum(CAST(" + proundSql("pd", 6) + " AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_err
            |FROM asg GROUP BY m, cid ORDER BY m, code""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Maximum-inner-product search via the augmented-vector reduction
+    // (Bachrach et al. / Shrivastava-Li): MIPS is NOT cosine — norms
+    // matter — and cosine LSH is invalid for it directly. Appending
+    // sqrt(M² − ‖x‖²) to every corpus vector (M = corpus max norm) and 0
+    // to every query makes augmented-space angles monotone in the raw
+    // inner product, so the SAME sign-bucket LSH machinery (ann_lsh_topk)
+    // indexes inner products legitimately. Declared output: per probe,
+    // top-3 bucket-mates by true inner product (the augmented dot IS the
+    // raw ip — the query's 65th component is 0).
+    //
+    // Scale shape: identical to ann_lsh_topk — the corpus max-norm is
+    // one scalar aggregate broadcast back, augmentation and bucket
+    // assignment are a narrow map pass (4 broadcast hyperplanes), and
+    // the probe join hits only its own bucket. Nothing here is
+    // corpus×corpus.
+    "sim_mips_lsh" -> QueryDef(
+      (spark, dir) => {
+        val e = vecs(spark, dir)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("ss", gdot("v", "v"))
+        val m = e.agg(max(col("ss")).as("m2"))
+        val a = e.crossJoin(broadcast(m))
+          .withColumn("va", expr("concat(v, array(sqrt(m2 - ss)))"))
+          .select(col("vec_id"), col("va"))
+        val hp = a.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("hb"), col("va").as("hv"))
+        val bucketed = a.crossJoin(broadcast(hp))
+          .withColumn("bit", when(gdot("va", "hv") > 0,
+            expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
+          .groupBy("vec_id")
+          .agg(sum(col("bit")).cast("long").as("bucket"), first(col("va")).as("cva"))
+        val probes = e.filter(col("vec_id") < 10)
+          .withColumn("pa", expr("concat(v, array(cast(0.0 as double)))"))
+          .crossJoin(broadcast(hp))
+          .withColumn("bit", when(gdot("pa", "hv") > 0,
+            expr("shiftleft(1L, cast(hb as int))")).otherwise(0L))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("bit")).cast("long").as("pbk"), first(col("pa")).as("pa"))
+          .select(col("vec_id").as("probe"), col("pbk"), col("pa"))
+        val w = Window.partitionBy("probe").orderBy(col("ip").desc, col("vec_id"))
+        broadcast(probes)
+          .join(bucketed, col("pbk") === col("bucket") && col("vec_id") =!= col("probe"))
+          .withColumn("ip", pround(gdot("pa", "cva"), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("vec_id").as("cand"), col("ip"))
+          .orderBy(col("probe"), col("ip").desc, col("cand"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+              |a AS (SELECT vec_id, list_concat(v, [sqrt(m.m2 - list_dot_product(v, v))]) AS va
+              |FROM e CROSS JOIN m),
+              |hp AS (SELECT vec_id AS hb, va AS hv FROM a WHERE vec_id < 4),
+              |bkt AS (SELECT a.vec_id, any_value(a.va) AS cva,
+              |CAST(sum(CASE WHEN list_dot_product(a.va, hp.hv) > 0 THEN (1::BIGINT << hb) ELSE 0 END) AS BIGINT) AS bucket
+              |FROM a CROSS JOIN hp GROUP BY a.vec_id),
+              |pr AS (SELECT e.vec_id AS probe, any_value(list_concat(e.v, [0.0])) AS pa,
+              |CAST(sum(CASE WHEN list_dot_product(list_concat(e.v, [0.0]), hp.hv) > 0 THEN (1::BIGINT << hb) ELSE 0 END) AS BIGINT) AS pbk
+              |FROM e CROSS JOIN hp WHERE e.vec_id < 10 GROUP BY e.vec_id)
+              |SELECT probe, cand, ip FROM (
+              |SELECT pr.probe, b.vec_id AS cand, ${proundSql("list_dot_product(pr.pa, b.cva)", 6)} AS ip,
+              |row_number() OVER (PARTITION BY pr.probe
+              |ORDER BY ${proundSql("list_dot_product(pr.pa, b.cva)", 6)} DESC, b.vec_id) AS rn
+              |FROM pr JOIN bkt b ON b.bucket = pr.pbk AND b.vec_id <> pr.probe)
+              |WHERE rn <= 3 ORDER BY probe, ip DESC, cand""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -180,5 +180,38 @@ object WindowQueries {
              |FROM (SELECT c_custkey,
              |CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bucket
              |FROM customer) GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Gaps-and-islands — the classic streak detector: within a user's
+    // event stream (ordered by event_id), maximal runs of the SAME
+    // event_type are islands; the island key is the difference of two
+    // row_numbers (global-per-user minus per-(user, type)), constant
+    // exactly within a run. Declared output: per user, number of streaks
+    // and the longest streak — the repeat-behavior signal sessionization
+    // (gap-based, stream_session_window) cannot express. Both windows
+    // and both aggregations partition by user_id — no global window, no
+    // skew beyond a single user's history.
+    "win_gaps_islands" -> QueryDef(
+      (spark, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val byUserType = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+        events(spark, dir)
+          .withColumn("grp",
+            row_number().over(byUser) - row_number().over(byUserType))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(cnt("len"))
+          .groupBy("user_id")
+          .agg(cnt("n_streaks"), max(col("len")).cast("long").as("max_streak"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+             |CAST(max(len) AS BIGINT) AS max_streak FROM (
+             |SELECT user_id, event_type, grp, CAST(count(*) AS BIGINT) AS len FROM (
+             |SELECT user_id, event_type,
+             |row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             |- row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS grp
+             |FROM events)
+             |GROUP BY user_id, event_type, grp)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
