@@ -248,4 +248,37 @@ object StreamTwins {
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"))
   }
+
+  /** win_gaps_islands' streaming form: per-user streak state is ONE
+    * (event_type, length) pair; an incoming event of a different type
+    * CLOSES the running streak and emits it `(user_id, event_type, len)`.
+    * Append output carries only closed streaks — each user's live streak
+    * stays in state (the scd2HistoryStream open-interval policy), so
+    * state is finite per key no matter how long the stream runs.
+    */
+  def streakStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(String, Long), (Long, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var (cur, len) = state.getOption.getOrElse(("", 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          it.toSeq.sortBy(_._1).foreach { case (_, _, tpe) =>
+            if (tpe == cur) len += 1
+            else {
+              if (len > 0) out += ((user, cur, len))
+              cur = tpe
+              len = 1L
+            }
+          }
+          state.update((cur, len))
+          out.iterator
+        }
+      .toDF("user_id", "event_type", "len")
+  }
 }

@@ -346,4 +346,57 @@ class StreamTwinsSpec extends SparkSpec {
       "streaming as-of with bounded state diverges from the batch RANGE frame")
     assert(streamed.size >= batch.size)
   }
+
+  test("gaps-and-islands twin over the REAL events table emits every closed streak") {
+    // win_gaps_islands' streaming form: one (event_type, length) pair of
+    // state per user; closed streaks are appended, the live streak stays
+    // in state. Replaying the driver's real events must emit exactly the
+    // batch islands minus each user's final (still-open) one.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_streak")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamTwins.streakStream(stream)
+      .writeStream.format("memory").queryName("streak_real")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("streak_real").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // independent island replication from the raw table (open one dropped)
+    val ev = graft.core.t(spark, sf001, "events")
+      .select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val closed = ev.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var cur = ""
+      var len = 0L
+      rows.sortBy(_._1).foreach { case (_, _, tpe) =>
+        if (tpe == cur) len += 1
+        else {
+          if (len > 0) islands += ((u, cur, len))
+          cur = tpe
+          len = 1L
+        }
+      }
+      islands
+    }
+    def ms(xs: Seq[(Long, String, Long)]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(closed.nonEmpty)
+    assert(ms(streamed) == ms(closed),
+      "streamed closed streaks diverge from the replayed islands")
+    // anchor against the DECLARED query: every user has exactly one open
+    // streak, so closed-per-user must be n_streaks - 1
+    val batch = graft.Registry.all.toMap.apply("win_gaps_islands")
+      .fn(spark, sf001).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closedPerUser = closed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(batch.nonEmpty)
+    assert(batch.forall { case (u, n) => closedPerUser.getOrElse(u, 0L) == n - 1 },
+      "closed streak counts disagree with win_gaps_islands' n_streaks")
+  }
 }
