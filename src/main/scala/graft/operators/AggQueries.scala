@@ -358,5 +358,37 @@ object AggQueries {
              |FROM documents GROUP BY source, lang) GROUP BY source)
              |ORDER BY source""".stripMargin.replace("\n", " ")
       ),
+      tier = "E"),
+
+    // Cohort retention matrix -- the classic event-analytics consumer of
+    // an append stream: users grouped by first-seen week, tracked by how
+    // many return in each later week. Weeks are integer day-arithmetic
+    // (datediff from a fixed epoch, div 7) rather than date_trunc so the
+    // bucket boundary is engine-independent. Shape: the first-seen agg
+    // and the events relation both key on user_id, so Catalyst reuses
+    // ONE hashpartitioning(user_id) exchange for the agg and the join
+    // behind it; the matrix agg is partial+final over (cohort, offset)
+    // -- at 100 TB the only corpus-sized shuffle is that single user_id
+    // exchange, and count_distinct carries user_id longs only.
+    "agg_retention_cohorts" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"),
+            floor(datediff(col("ts").cast("date"), lit("1995-01-01").cast("date")) / 7)
+              .cast("long").as("w"))
+        val first = ev.groupBy("user_id").agg(min(col("w")).as("w0"))
+        ev.join(first, Seq("user_id"))
+          .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("offset_w"))
+          .agg(countDistinct(col("user_id")).cast("long").as("users"))
+          .orderBy(col("cohort_week"), col("offset_w"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |CAST(floor(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+             |FROM events),
+             |first AS (SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id)
+             |SELECT w0 AS cohort_week, w - w0 AS offset_w,
+             |CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
+             |FROM ev JOIN first ON ev.user_id = first.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -203,5 +203,65 @@ object CdcQueries {
              |FROM (SELECT user_id, event_id AS ver, event_type, value,
              |CASE WHEN event_id <= 400 THEN 'snapshot' ELSE 'wal' END AS origin,
              |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))))
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // SummingMergeTree read-side semantics — the 4th MergeTree engine a
+    // CDC consumer targets (beyond the reference's append/replacing/
+    // collapsing trio): rows sharing the sorting key merge into ONE row
+    // whose numeric columns are SUMMED; an all-zero-sum row is dropped at
+    // merge time. The FINAL-read equivalent is a plain partial+final
+    // aggregate — map-side combine IS the engine's background merge, so
+    // the shuffle carries one row per (key, map-partition) regardless of
+    // how many changes a key absorbed. Exact decimal sums (SURVEY §7.3)
+    // keep the merged values bit-stable across engines.
+    "cdc_summing_rollup" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(round(sum(dec(col("value"), 14, 2)), 2).cast("double").as("value_sum"),
+            cnt("n_merged"))
+          .filter(col("value_sum") =!= 0.0)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type,
+             |CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS value_sum,
+             |CAST(count(*) AS BIGINT) AS n_merged
+             |FROM events GROUP BY user_id, event_type
+             |HAVING CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) <> 0.0
+             |ORDER BY user_id, event_type""".stripMargin.replace("\n", " "))),
+
+    // VersionedCollapsingMergeTree read-side semantics — collapse that
+    // tolerates OUT-OF-ORDER apply: a (+1, −1) pair cancels only when it
+    // carries the SAME version, so late-arriving retractions can't eat
+    // the wrong insert (plain CollapsingMergeTree requires strictly
+    // ordered writes). Derived signed stream: ver = event_id div 100 (the
+    // flush-batch granularity buffer_flush_batches uses), sign = +1/−1 by
+    // a deterministic value predicate. Read = per-(key, ver) sign-sum,
+    // survivors keep their net, and the CURRENT state is the max
+    // surviving version per key (max_by, partial-agg-combinable — two
+    // chained hash aggs, no window, no self-join; the same two-exchange
+    // shape at any scale).
+    "cdc_versioned_collapse" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("user_id"),
+            (col("event_id") / 100).cast("long").as("ver"),
+            when(col("value") >= 50.0, 1L).otherwise(-1L).as("sign"))
+          .groupBy(col("user_id"), col("ver"))
+          .agg(sum(col("sign")).cast("long").as("net"))
+          .filter(col("net") =!= 0L)
+          .groupBy(col("user_id"))
+          .agg(max(col("ver")).as("last_ver"),
+            max_by(col("net"), col("ver")).as("net"),
+            cnt("live_versions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, max(ver) AS last_ver,
+             |max_by(net, ver) AS net,
+             |CAST(count(*) AS BIGINT) AS live_versions
+             |FROM (SELECT user_id, ver, CAST(sum(sign) AS BIGINT) AS net
+             |FROM (SELECT user_id, CAST(event_id // 100 AS BIGINT) AS ver,
+             |CASE WHEN value >= 50.0 THEN 1 ELSE -1 END AS sign FROM events)
+             |GROUP BY user_id, ver) WHERE net <> 0
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))))
 }

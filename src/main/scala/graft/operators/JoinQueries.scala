@@ -299,5 +299,151 @@ object JoinQueries {
              |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev_r
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Runtime Bloom-filter join reduction — Spark's
+    // spark.sql.optimizer.runtime.bloomFilter re-expressed as an explicit
+    // declared operator: a selective filter on the BUILD side (one month
+    // of orders) compresses to a 2^17-bit / k=3 Bloom over its join keys,
+    // and the PROBE side (lineitem) is pruned map-side BEFORE its shuffle
+    // — at 100 TB the exchange carries only Bloom-surviving rows (~month/
+    // total + ε false positives) instead of the full fact table. The
+    // filter itself is a CONSTANT-size artifact (4096 longs regardless of
+    // data volume): bit-OR-reduced in a partial+final agg, folded into a
+    // single map row, and broadcast via the scalar-crossJoin pattern.
+    // False positives are removed by the real join, so the ORACLE is the
+    // PLAIN join — the hash-match proves the reduction semantics-free,
+    // the same oracle-without-the-optimization trick join_skew_salted
+    // uses. Spark-side hashing is free to use xxhash64 (nothing crosses
+    // to DuckDB).
+    "join_runtime_bloom" -> QueryDef(
+      (spark, dir) => {
+        val ord = t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-03-01").cast("date") &&
+            col("o_orderdate") < lit("1995-04-01").cast("date"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val buildPos =
+          "transform(sequence(0, 2), j -> (shiftrightunsigned(xxhash64(o_orderkey), j * 17) & 131071))"
+        // fold the (word, bits) relation into ONE dense 2048-slot long
+        // array: element_at on an ARRAY is O(1) codegen, where a MapType
+        // lookup is a LINEAR scan over all entries per probe (3 probes x
+        // every fact row x 2048 entries measured 12.7 s at sf0.1 -- the
+        // map form was the whole query's cost). The densify transform is
+        // a one-time 2048^2 walk on a single row.
+        val bArr = ord.select(explode(expr(buildPos)).as("pos"))
+          .select(expr("cast(pos div 64 as int)").as("word"),
+            expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+          .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+          .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+            .as("bmap"))
+          .select(expr(
+            "transform(sequence(0, 2047), i -> coalesce(element_at(bmap, i), 0L))")
+            .as("barr"))
+        // per-position membership test, fully codegen (no HOF lambda on
+        // the probe path): recomputing xxhash64 per position is cheap;
+        // an interpreted forall per row is not
+        def hit(j: Int) = expr(
+          s"(element_at(barr, cast(((shiftrightunsigned(xxhash64(l_orderkey), ${j * 17}) & 131071) div 64) as int) + 1)" +
+            s" & shiftleft(1L, cast((shiftrightunsigned(xxhash64(l_orderkey), ${j * 17}) & 131071) % 64 as int))) <> 0L")
+        val pruned = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .crossJoin(broadcast(bArr))
+          .filter(hit(0) && hit(1) && hit(2))
+          .drop("barr")
+        pruned.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(cnt("n_items"), moneySum(col("l_extendedprice")).as("rev_r"))
+          .orderBy(col("priority"))
+      },
+      Some("""SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_items,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev_r
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+             |GROUP BY 1 ORDER BY priority""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // PageRank, 3 unrolled iterations over the customer<->supplier
+    // bipartite graph (an edge per distinct trading pair, symmetrized so
+    // every node has outdegree >= 1 -- no dangling-mass special case).
+    // The iterative-graph lane beyond dedup_cluster_components' label
+    // propagation: weighted contributions, not just min-id flooding.
+    //
+    // Determinism under partitioning: a double sum is order-dependent,
+    // so each contribution rank/outdeg is pround(9)'d (identical IEEE
+    // division both engines) and accumulated as DECIMAL(18,9) -- the
+    // text_perplexity_lm pattern; the damping step 0.15 + 0.85*x is a
+    // fixed IEEE sequence on the double cast of that exact sum.
+    //
+    // Scale shape: edges build from the orders⋈lineitem equi-join and
+    // persist; each iteration is edges⋈deg⋈ranks (all keyed on src --
+    // one co-partitioned exchange set AQE reuses) + a partial+final sum
+    // by dst. 3 iterations = 3 bounded shuffle rounds of (id, decimal)
+    // pairs; node ids are 2k/2k+1-encoded longs, never strings. No
+    // window, no driver collect, no broadcast that grows with the graph.
+    "graph_pagerank" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val base = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        // even->odd and odd->even directions are disjoint, so the union
+        // of a distinct pair set is already a distinct edge set
+        val edges = scopedPersist(base.select(col("a").as("src"), col("b").as("dst"))
+          .union(base.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = edges.groupBy("src").agg(cnt("deg"))
+        var ranks = deg.select(col("src").as("id"), lit(1.0).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(deg, Seq("src"))
+            .join(ranks, col("src") === col("id"))
+            .select(col("dst"),
+              pround(col("r") / col("deg").cast("double"), 9)
+                .cast(DecimalType(18, 9)).as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("s"))
+          ranks = deg.select(col("src").as("id"))
+            .join(contrib, col("id") === col("dst"), "left")
+            .select(col("id"),
+              pround(lit(0.15) + lit(0.85)
+                * coalesce(col("s").cast("double"), lit(0.0)), 9).as("r"))
+        }
+        ranks
+          .select(
+            when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+              .as("kind"),
+            col("id"), col("r"))
+          .orderBy(col("r").desc, col("id"))
+          .limit(100)
+      },
+      Some("""WITH base AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM base
+             |UNION ALL SELECT b AS src, a AS dst FROM base),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+             |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+             |c1 AS (SELECT dst, sum(CAST(PR_DIV_R0 AS DECIMAL(18,9))) AS s
+             |FROM edges JOIN deg USING (src) JOIN r0 ON r0.id = edges.src GROUP BY dst),
+             |r1 AS (SELECT deg.src AS id, PR_DAMP1 AS r
+             |FROM deg LEFT JOIN c1 ON deg.src = c1.dst),
+             |c2 AS (SELECT dst, sum(CAST(PR_DIV_R1 AS DECIMAL(18,9))) AS s
+             |FROM edges JOIN deg USING (src) JOIN r1 ON r1.id = edges.src GROUP BY dst),
+             |r2 AS (SELECT deg.src AS id, PR_DAMP2 AS r
+             |FROM deg LEFT JOIN c2 ON deg.src = c2.dst),
+             |c3 AS (SELECT dst, sum(CAST(PR_DIV_R2 AS DECIMAL(18,9))) AS s
+             |FROM edges JOIN deg USING (src) JOIN r2 ON r2.id = edges.src GROUP BY dst),
+             |r3 AS (SELECT deg.src AS id, PR_DAMP3 AS r
+             |FROM deg LEFT JOIN c3 ON deg.src = c3.dst)
+             |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             |id, r FROM r3 ORDER BY r DESC, id LIMIT 100"""
+        .stripMargin.replace("\n", " ")
+        .replace("PR_DIV_R0", "PRDIV0").replace("PR_DIV_R1", "PRDIV1")
+        .replace("PR_DIV_R2", "PRDIV2")
+        .replace("PR_DAMP1", "PRDAMP").replace("PR_DAMP2", "PRDAMP")
+        .replace("PR_DAMP3", "PRDAMP")
+        .replace("PRDIV0", proundSql("r0.r / CAST(deg.deg AS DOUBLE)", 9))
+        .replace("PRDIV1", proundSql("r1.r / CAST(deg.deg AS DOUBLE)", 9))
+        .replace("PRDIV2", proundSql("r2.r / CAST(deg.deg AS DOUBLE)", 9))
+        .replace("PRDAMP", proundSql(
+          "CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(coalesce(s, 0) AS DOUBLE)", 9))),
       tier = "E"))
 }

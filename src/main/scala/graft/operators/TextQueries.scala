@@ -1894,5 +1894,98 @@ object TextQueries {
              |AND a.doc_id < 15 AND b.doc_id <> a.doc_id
              |AND abs(b.n_chars - a.n_chars) <= 16)
              |WHERE rn <= 3 ORDER BY probe, dist, cand""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Exact corpus×corpus set-similarity join via PREFIX FILTERING — the
+    // AllPairs/PPJoin answer to "find every pair with word-Jaccard ≥ 0.9
+    // EXACTLY", where LSH only samples (dedup_minhash_lsh) and the
+    // probe-bounded forms only cover fixed probes (dedup_ngram_jaccard).
+    // The theorem: order every document's token set by one global rarity
+    // order; if jaccard(A,B) ≥ t, the first |A| − ⌈t·|A|⌉ + 1 tokens of A
+    // must intersect B's prefix — so indexing ONLY prefixes (≈(1−t)·|s|
+    // rare-first tokens per doc) finds every qualifying pair. Candidates
+    // are generated at t' = 0.89 < 0.9 so the pround(4) boundary of the
+    // declared threshold (a true jaccard of 0.89995 rounds to 0.9000)
+    // stays inside the lossless region.
+    //
+    // Scale shape: the rarity order is a vocabulary-sized partial+final
+    // count (map-side combined); the per-doc sort is group-local
+    // (array_sort, no window); the inverted index explodes PREFIX tokens
+    // only — by construction each doc's rarest — and is hot-bucket-capped
+    // like every banded self-join here; candidate pairs carry (id, id)
+    // ONLY, and token arrays re-join shuffled-hash on doc_id for the
+    // exact verify, the dedup_minhash_verified pattern. Blocking by lang
+    // is declared semantics (cross-language word-Jaccard ≥ 0.9 is noise).
+    "dedup_jaccard_prefix" -> QueryDef(
+      (spark, dir) => {
+        val thr = 0.9   // declared threshold
+        val gen = 0.89  // candidate-generation threshold (pround margin)
+        // Tokens become 64-bit xxhash64(lang, word) IDs up front: strings
+        // never shuffle (long arrays serialize ~5x smaller and intersect
+        // without comparisons on text), and folding lang into the hash
+        // makes the language block implicit in the band key. Collisions
+        // would need two words of ONE language at the same 64-bit value
+        // (~v^2 / 2^64) -- and nothing hashed ever crosses to the oracle.
+        val tokens = t(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("word"),
+            col("lang"))
+          .select(col("doc_id"), xxhash64(col("lang"), col("word")).as("h"))
+        val freq = tokens.groupBy("h").agg(cnt("f"))
+        val sorted = scopedPersist(tokens
+          .join(freq, Seq("h"))
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(f, h))), s -> s.h)")
+            .as("toks")))
+        val keyed = sorted
+          .withColumn("n", size(col("toks")))
+          .withColumn("plen",
+            (col("n") - ceil(col("n") * lit(gen)) + lit(1)).cast("int"))
+          .select(col("doc_id"), col("n"),
+            explode(expr("slice(toks, 1, plen)")).as("band"))
+        // NO hot-bucket cap here, unlike the LSH lanes: dropping a band
+        // would break the exact-result contract the oracle checks. The
+        // candidate bound is the prefix+size filter itself (sum of band
+        // sizes squared, minimized by the rarity order); a corpus whose
+        // prefix bands still explode is inherently quadratic under EXACT
+        // similarity join and belongs on the approximate lane
+        // (dedup_minhash_lsh).
+        val pairs = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
+          .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
+            Seq("band"))
+          .filter(col("d1") < col("d2") &&
+            col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
+          .select("d1", "d2").distinct()
+        // verify kernel: toks come out of array_sort with distinct
+        // elements, so intersection size is a codegen'd two-pointer merge
+        // (plans/SortedIntersectD) -- no per-row hash set, no intersection
+        // array materialized just to take its length
+        graft.plans.SortedIntersectD.register(spark)
+        // toks is in RARITY order ((f, h) sort -- what the prefix slice
+        // needs); the merge-walk kernel needs plain VALUE order, so the
+        // verify projections re-sort once per doc, map-side
+        pairs
+          .join(sorted.select(col("doc_id").as("d1"), array_sort(col("toks")).as("t1"))
+            .hint("shuffle_hash"), Seq("d1"))
+          .join(sorted.select(col("doc_id").as("d2"), array_sort(col("toks")).as("t2"))
+            .hint("shuffle_hash"), Seq("d2"))
+          .withColumn("inter",
+            graft.plans.SortedIntersectD.sortedIntersect(col("t1"), col("t2"))
+              .cast("double"))
+          .withColumn("ja", pround(col("inter")
+            / (size(col("t1")) + size(col("t2")) - col("inter")), 4))
+          .filter(col("ja") >= thr)
+          .select(col("d1"), col("d2"), col("ja"))
+          .orderBy(col("ja").desc, col("d1"), col("d2"))
+          .limit(300)
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, lang,
+             |list_distinct(string_split(text, ' ')) AS w FROM documents)
+             |SELECT d1, d2, ja FROM (
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |${proundSql("""CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             | / (len(a.w) + len(b.w) - CAST(len(list_intersect(a.w, b.w)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)} AS ja
+             |FROM ws a JOIN ws b ON a.lang = b.lang AND b.doc_id > a.doc_id)
+             |WHERE ja >= 0.9 ORDER BY ja DESC, d1, d2 LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

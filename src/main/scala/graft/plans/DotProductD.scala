@@ -108,5 +108,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((DotProductD.ident, DotProductD.info, DotProductD.builder))
     e.injectFunction((SimHash64D.ident, SimHash64D.info, SimHash64D.builder))
+    e.injectFunction((SortedIntersectD.ident, SortedIntersectD.info, SortedIntersectD.builder))
   }
 }

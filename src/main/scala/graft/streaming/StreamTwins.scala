@@ -281,4 +281,35 @@ object StreamTwins {
         }
       .toDF("user_id", "event_type", "len")
   }
+
+  /** SummingMergeTree as TRUE streaming state ≡ `cdc_summing_rollup`:
+    * per (user_id, event_type) the state is ONE running cents sum plus a
+    * merge count — the streaming form of the engine's background merge,
+    * where however many rows a key absorbs, exactly one row of state
+    * remains. Update mode emits the key's current merged row each
+    * micro-batch.
+    *
+    * Exactness: the double `value` becomes DECIMAL(14,2) cents IN THE
+    * DATAFRAME LAYER (the same cast the batch query's decimal sum
+    * starts from), so the Long state accumulates exact cents and the
+    * emitted `value_sum` = cents/100.0 reproduces the batch
+    * round(sum(dec),2)→double bit-for-bit under any batch slicing.
+    */
+  def summingRollupStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(e => (e._1, e._2))
+      .mapGroupsWithState[(Long, Long), (Long, String, Double, Long)](
+        GroupStateTimeout.NoTimeout) { case ((user, tpe), it, state) =>
+          var (cents, n) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { e => cents += e._3; n += 1 }
+          state.update((cents, n))
+          (user, tpe, cents.toDouble / 100.0, n)
+        }
+      .toDF("user_id", "event_type", "value_sum", "n_merged")
+  }
 }

@@ -282,4 +282,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "BroadcastHashJoin") + countOf(plan, "BroadcastNestedLoopJoin") >= 2,
       s"probe relations must broadcast over the corpus:\n$plan")
   }
+
+  test("cdc_summing_rollup / cdc_versioned_collapse: chained aggregates, no window, no join") {
+    for (q <- Seq("cdc_summing_rollup", "cdc_versioned_collapse")) {
+      val plan = executedPlan(q)
+      // merge-time summation / versioned collapse are partial+final agg
+      // chains — map-side combine IS the engine's background merge; a
+      // window or self-join here would serialize per-key history
+      assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+        s"$q must not window over the change stream:\n$plan")
+      assert(countOf(plan, "Join") === 0, s"$q must not join:\n$plan")
+      assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+        s"$q lost its partial+final aggregate shape:\n$plan")
+    }
+  }
+
+  test("join_runtime_bloom: probe side is pruned before its exchange; Bloom is broadcast") {
+    val plan = executedPlan("join_runtime_bloom")
+    // the Bloom map reaches lineitem via a broadcast nested-loop (scalar
+    // crossJoin of a one-row relation) — never a shuffle
+    assert(countOf(plan, "BroadcastNestedLoopJoin") >= 1,
+      s"Bloom map must broadcast over the probe side:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"scalar crossJoin must plan as a broadcast, not a cartesian:\n$plan")
+    // the membership filter (3 codegen bit tests on xxhash64(l_orderkey))
+    // must sit BELOW the probe side's exchange: prune-then-shuffle is the
+    // point
+    val exIdx = plan.indexOf("Exchange hashpartitioning(l_orderkey")
+    val filterIdx = plan.indexOf("xxhash64(l_orderkey")
+    assert(filterIdx >= 0, s"Bloom membership filter missing:\n$plan")
+    // the plan prints parents above children: a filter BELOW the probe
+    // exchange appears after it in the text
+    assert(exIdx < 0 || filterIdx > exIdx,
+      s"Bloom filter not below the probe exchange:\n$plan")
+  }
+
+  test("dedup_jaccard_prefix: token strings never shuffle; verify joins stay shuffled-hash") {
+    val plan = executedPlan("dedup_jaccard_prefix")
+    // candidate pairs and token arrays re-join via pinned shuffled-hash
+    // joins on doc_id (the dedup_minhash_verified pattern); the pair
+    // relation grows with the corpus and must never broadcast
+    assert(countOf(plan, "ShuffledHashJoin") >= 2,
+      s"verify joins lost their shuffle-hash pin:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"prefix selection is array slicing, never a window:\n$plan")
+    // tokens are xxhash64 longs from the first projection onward: the
+    // raw `word` string must be consumed map-side (inside the hashing
+    // project), never appear in any exchange's output schema
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected exchanges in:\n$plan")
+    assert(exchanges.forall(!_.contains("word")),
+      s"raw token strings leaked into a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -220,4 +220,34 @@ class DedupFunctionsSpec extends SparkSpec {
     }
     assert(fps(25L).nonEmpty, "a doc at exactly gram+window-1 words has one full window")
   }
+
+  test("sorted-intersect kernel equals array_intersect size on real sorted token sets") {
+    graft.plans.SortedIntersectD.register(spark)
+    // the producer contract of dedup_jaccard_prefix: per-doc DISTINCT
+    // token hashes, array_sort'd — compare the merge-walk kernel against
+    // the built-in on every same-lang doc pair of the real table
+    val toks = graft.core.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_sort(expr(
+          "transform(array_distinct(split(text, ' ')), w -> xxhash64(lang, w))"))
+          .as("toks"))
+    val diff = toks.as("a").join(toks.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("slow"),
+        graft.plans.SortedIntersectD.sortedIntersect(col("a.toks"), col("b.toks"))
+          .as("fast"))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(diff === 0L, "merge-walk intersect must equal array_intersect size")
+    // empty/disjoint edges
+    import spark.implicits._
+    val edge = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))).toDF("x", "y")
+      .select(graft.plans.SortedIntersectD.sortedIntersect(col("x"), col("y")).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge === Seq(0, 0, 3))
+  }
 }

@@ -399,4 +399,40 @@ class StreamTwinsSpec extends SparkSpec {
     assert(batch.forall { case (u, n) => closedPerUser.getOrElse(u, 0L) == n - 1 },
       "closed streak counts disagree with win_gaps_islands' n_streaks")
   }
+
+  test("summing rollup twin over the REAL events table converges to the batch merge") {
+    // cdc_summing_rollup's streaming form: one (cents, count) state per
+    // (user_id, event_type); Update mode re-emits a key's merged row each
+    // micro-batch, so the LAST emit per key is the final merged table and
+    // must equal the declared batch query (exact-cents state makes this
+    // bit-stable under any micro-batch slicing).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_sum")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamTwins.summingRollupStream(stream)
+      .writeStream.format("memory").queryName("sum_real")
+      .outputMode("update")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // last emit per key wins (memory sink appends each batch's updates)
+    val streamed = spark.table("sum_real").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap // later rows overwrite earlier ones per key
+    val batch = graft.Registry.all.toMap.apply("cdc_summing_rollup")
+      .fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(batch.forall { case (k, v) => streamed.get(k).contains(v) },
+      "streaming merged state diverges from the batch SummingMergeTree read")
+    // keys the batch filter dropped (all-zero sums) may exist in the
+    // stream; every OTHER streamed key must be in the batch result
+    assert(streamed.filter(_._2._1 != 0.0).keySet == batch.keySet,
+      "streamed non-zero keys diverge from the batch result")
+  }
 }
