@@ -156,6 +156,36 @@ object TextQueries {
       })
     }
 
+  /** Per-doc winnowed fingerprints `(doc_id, n_grams, fps)` — the md5
+    * 3-gram hash + window-min pass both `text_winnowing` and
+    * `dedup_winnowing_pairs` start from. Same opt-in sharing contract as
+    * vpCache: un-shared (ScalaTest) each query builds its own plan;
+    * under `graft.shared.pipeline` (Bench/Verify sweeps) the relation is
+    * built once per (session, partitions, sf) and localCheckpoint'ed so
+    * it survives the harness's per-query clearCache. Values identical by
+    * construction — the build is the exact expression chain both queries
+    * previously inlined.
+    */
+  private val winCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def winnowedDocs(spark: SparkSession, dir: String): DataFrame = {
+    def build = t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 6) // ≥ 4 gram-hashes needs ≥ 6 words
+      .withColumn("gh", expr(
+        s"transform(sequence(1, size(w) - 2), j -> ${hx("concat_ws(' ', slice(w, j, 3))")})"))
+      .filter(size(col("gh")) >= 4)
+      .select(col("doc_id"), size(col("gh")).as("n_grams"), expr(
+        "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))")
+        .as("fps"))
+    if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) build
+    else winCache.synchronized {
+      val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", ""))
+      winCache.getOrElseUpdate(key, build.localCheckpoint(true))
+    }
+  }
+
   private def verifiedShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (docs, pairs, _) = verifiedSharedAll(spark, dir)
     (docs, pairs)
@@ -1117,19 +1147,14 @@ object TextQueries {
     // shift positions, winnowed minima survive. Map-only per doc (two
     // nested HOF passes inside codegen), zero shuffle before the declared
     // sort; at 100 TB the fingerprint INDEX (explode + digest groupBy)
-    // reuses dedup_paragraphs' digest-only-shuffle shape.
+    // reuses dedup_paragraphs' digest-only-shuffle shape. The per-doc
+    // fingerprint relation is shared with dedup_winnowing_pairs under
+    // graft.shared.pipeline (winnowedDocs) — one md5 gram pass per sweep.
     "text_winnowing" -> QueryDef(
       (spark, dir) => {
-        t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 6) // ≥ 3 grams → ≥ 0 windows of 4 needs ≥ 6 words for 4 grams
-          .withColumn("gh", expr(
-            s"transform(sequence(1, size(w) - 2), j -> ${hx("concat_ws(' ', slice(w, j, 3))")})"))
-          .filter(size(col("gh")) >= 4)
-          .withColumn("fps", expr(
-            "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))"))
+        winnowedDocs(spark, dir)
           .select(col("doc_id"),
-            size(col("gh")).cast("long").as("n_grams"),
+            col("n_grams").cast("long").as("n_grams"),
             size(col("fps")).cast("long").as("n_fps"),
             array_min(col("fps")).as("min_fp"),
             array_max(col("fps")).as("max_fp"))
@@ -1162,15 +1187,8 @@ object TextQueries {
     // minhash/simhash families guards the boilerplate mega-bucket.
     "dedup_winnowing_pairs" -> QueryDef(
       (spark, dir) => {
-        val fps = t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 6)
-          .withColumn("gh", expr(
-            s"transform(sequence(1, size(w) - 2), j -> ${hx("concat_ws(' ', slice(w, j, 3))")})"))
-          .filter(size(col("gh")) >= 4)
-          .withColumn("fp", explode(expr(
-            "array_distinct(transform(sequence(1, size(gh) - 3), i -> array_min(slice(gh, i, 4))))")))
-          .select(col("doc_id"), col("fp"))
+        val fps = winnowedDocs(spark, dir)
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
           .scopedPersist()
         val capped = graft.functions.MinHash.capBands(fps, "fp", 100)
         capped.as("a")
@@ -1333,9 +1351,12 @@ object TextQueries {
     // shared tokens; consecutive windows can in principle chain across
     // different partner docs, so max_run_tokens is the tight upper bound
     // a suffix-array pass would refine). Scale shape: windows are
-    // digested in ONE map pass (posexplode of md5 digests — raw text
-    // never leaves the scan); the inverted index is a groupBy on the
-    // 32-char digest whose "shared" bit is min(doc_id) <> max(doc_id) —
+    // digested in ONE map pass (posexplode of 60-bit hx() digests — raw
+    // text never leaves the scan, and only 8-byte longs ever shuffle,
+    // not 32-char md5 strings: same digest family both engines, so any
+    // collision collides identically and the hash-match still binds);
+    // the inverted index is a groupBy on the
+    // digest whose "shared" bit is min(doc_id) <> max(doc_id) —
     // partial+final min/max agg, NO count-distinct shuffle and no
     // self-join, so no hot-bucket cap is needed (a digest repeated a
     // million times still folds to one row map-side); the flag rejoins
@@ -1345,12 +1366,17 @@ object TextQueries {
     "dedup_substring" -> QueryDef(
       (spark, dir) => {
         val k = 10
+        // persisted: both the shared-digest aggregate and the per-doc
+        // join consume it — unpersisted, the corpus-wide md5 window pass
+        // executes twice (at 100 TB this relation is the staged
+        // "instance table" a Lee-et-al pipeline materializes anyway)
         val inst = t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= k)
           .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+            s"transform(sequence(0, size(w) - $k), i -> ${hx(s"concat_ws(' ', slice(w, i + 1, $k))")})"))
             .as(Seq("pos", "dg")))
+          .scopedPersist()
         val shared = inst.groupBy("dg")
           .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
           .select(col("dg"), (col("mn") =!= col("mx")).as("shared"))
@@ -1385,7 +1411,7 @@ object TextQueries {
               |win AS (SELECT doc_id,
               |unnest(range(0, len(w) - 9)) AS pos,
               |unnest(list_transform(range(0, len(w) - 9),
-              |i -> md5(array_to_string(w[(i+1):(i+10)], ' ')))) AS dg
+              |i -> ${hxDuck("array_to_string(w[(i+1):(i+10)], ' ')")})) AS dg
               |FROM d WHERE len(w) >= 10),
               |sh AS (SELECT dg, (min(doc_id) <> max(doc_id)) AS shared FROM win GROUP BY dg),
               |j AS (SELECT doc_id, pos, shared FROM win JOIN sh USING (dg)),
