@@ -49,9 +49,19 @@ class BenchSpec extends SparkSpec {
     val qs = Seq("a", "b", "c").map(n => n -> tracked(n))
     Bench.runAll(spark, sf001, qs)
     // warmup pass + two measured passes, each covering every query before
-    // the next begins — never a,a,a,b,b,b
-    assert(order.toSeq === Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"),
-      s"expected three interleaved passes; got $order")
+    // the next begins — never a,a,a,b,b,b. Millisecond-scale queries can
+    // legitimately trigger the >3x tiebreak (a third run, inline after a
+    // query's second measurement), so collapse consecutive duplicates in
+    // the pass-2 tail before asserting the interleave.
+    val seen = order.toSeq
+    assert(seen.take(6) === Seq("a", "b", "c", "a", "b", "c"),
+      s"warmup + pass 1 must be interleaved; got $seen")
+    val tail = seen.drop(6).foldLeft(List.empty[String]) {
+      case (acc, x) if acc.headOption.contains(x) => acc
+      case (acc, x) => x :: acc
+    }.reverse
+    assert(tail === Seq("a", "b", "c"),
+      s"pass 2 must be interleaved (tiebreaks aside); got $seen")
   }
 
   test("canary series is recorded, chronological, and positive") {
@@ -82,5 +92,55 @@ class BenchSpec extends SparkSpec {
   test("steady queries keep exactly two runs") {
     val r = Bench.runAll(spark, sf001, Seq("ok" -> good)).results.head
     assert(r.runs.size === 2, s"no disagreement -> no third run; got ${r.runs}")
+  }
+
+  // ------------------------------------------------------------------
+  // Compact stdout line — the driver captures only the LAST 2000 chars
+  // of sbt output (BENCH_r2–r8 all have `parsed: null` because the full
+  // per-query JSON overflowed that window). The compact line must fit
+  // with room for sbt's `[success] Total time…` footer.
+  // ------------------------------------------------------------------
+
+  private def fakeSweep(n: Int, errs: Int = 0): Bench.Sweep = {
+    val rs = (1 to n).map { i =>
+      val e = if (i <= errs) Some("SomeException: " + ("x" * 500)) else None
+      Bench.Result(f"some_very_long_query_name_family_$i%03d", 1.234,
+        Seq(1.234, 1.3), e)
+    }
+    Bench.Sweep(rs, Seq.fill(40)(0.321), 8)
+  }
+
+  test("compact line fits the driver's 2000-char tail at full surface size") {
+    val line = Bench.renderCompact(fakeSweep(300, errs = 50),
+      "/root/testdata/sf0.1", "/root/repo/bench_full.json")
+    assert(line.length <= 1880, s"compact line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(line.contains("\"n_queries\":300"))
+    assert(line.contains("\"_more\":45"), "error overflow must be counted, not dumped")
+  }
+
+  test("compact line carries headline queries, slowest, agreement and canary stats") {
+    val sweep = Bench.Sweep(
+      Seq(Bench.Result("agg_pricing_summary", 0.5, Seq(0.5, 0.6), None),
+        Bench.Result("zz_heavy", 9.0, Seq(9.0, 29.0, 9.5), None)),
+      Seq(0.1, 0.2, 0.9), 8)
+    val line = Bench.renderCompact(sweep, "sf", "detail.json")
+    assert(line.contains("\"agg_pricing_summary\":0.500"))
+    assert(line.contains("\"slowest\":{\"zz_heavy\":9.000"))
+    assert(line.contains("\"value\":9.500"))
+    // one steady pair + one >1.5x pair -> 50%
+    assert(line.contains("\"pair_agree_pct\":50.0"))
+    assert(line.contains("\"canary_med\":0.2000"))
+    assert(line.contains("\"canary_max\":0.9000"))
+    assert(line.contains("\"detail\":\"detail.json\""))
+    assert(line.length <= 1880)
+  }
+
+  test("compact line is valid JSON shape (balanced, parseable keys)") {
+    val line = Bench.renderCompact(fakeSweep(127), "sf", "d.json")
+    // cheap structural check without a JSON lib: balanced braces/brackets
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(line.count(_ == '[') === line.count(_ == ']'))
+    assert(line.endsWith("}"))
   }
 }
