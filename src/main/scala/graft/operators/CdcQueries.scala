@@ -263,5 +263,69 @@ object CdcQueries {
              |FROM (SELECT user_id, CAST(event_id // 100 AS BIGINT) AS ver,
              |CASE WHEN value >= 50.0 THEN 1 ELSE -1 END AS sign FROM events)
              |GROUP BY user_id, ver) WHERE net <> 0
-             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // AggregatingMergeTree read-side semantics — the engine stores PARTIAL
+    // AGGREGATE STATES per key (one state per inserted part) and merges
+    // states on read, so the query is the two-level shape: per-(key, part)
+    // partials (part = the flush-batch granularity, event_id div 100 —
+    // the same batching buffer_flush_batches models), then a state-merge
+    // agg per key. Each partial is combinable (count/decimal-sum/min/max
+    // are the canonical mergeable states), so BOTH levels are
+    // partial-agg-combinable hash aggregates: two exchanges, no window,
+    // no join — the same plan at any scale, and level 1's output is
+    // bounded by |keys| x |parts touched|, exactly the state a real
+    // AggregatingMergeTree part holds. n_states counts merged partials —
+    // the read-amplification metric a CH operator watches.
+    "cdc_aggregating_merge" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("user_id"), expr("event_id div 100").as("batch"),
+            col("value"))
+          .groupBy(col("user_id"), col("batch"))
+          .agg(cnt("pc"), sum(dec(col("value"), 14, 2)).as("ps"),
+            min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("pc")).cast("long").as("n_rows"),
+            round(sum(col("ps")), 2).cast("double").as("value_sum"),
+            min(col("pmin")).as("value_min"),
+            max(col("pmax")).as("value_max"),
+            cnt("n_states"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(pc) AS BIGINT) AS n_rows,
+             |CAST(round(sum(ps), 2) AS DOUBLE) AS value_sum,
+             |min(pmin) AS value_min, max(pmax) AS value_max,
+             |CAST(count(*) AS BIGINT) AS n_states
+             |FROM (SELECT user_id, event_id // 100 AS batch, count(*) AS pc,
+             |sum(CAST(value AS DECIMAL(14,2))) AS ps,
+             |min(value) AS pmin, max(value) AS pmax
+             |FROM events GROUP BY user_id, event_id // 100)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // ReplacingMergeTree(ver, is_deleted) read-side semantics — CH 23.2+
+    // lets the replacing engine carry a DELETE TOMBSTONE: the max-version
+    // row wins per key, and if that winner is flagged deleted the key
+    // disappears entirely (FINAL drops it). Derived feed: key =
+    // (user_id, event_type), ver = event_id (unique => max_by is
+    // deterministic), deleted = value < 10 (~10% of rows). One
+    // partial-agg-combinable hash aggregate (max + max_by are both
+    // combinable states) + a post-agg filter — single exchange on the
+    // key, no window, no self-join; the tombstone drop costs nothing
+    // extra at any scale because it rides the same aggregate.
+    "cdc_replacing_tombstone" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("event_id")).cast("long").as("last_ver"),
+            max_by(col("value"), col("event_id")).as("last_value"))
+          .filter(col("last_value") >= 10.0)
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, last_ver, last_value FROM (
+             |SELECT user_id, event_type, CAST(max(event_id) AS BIGINT) AS last_ver,
+             |max_by(value, event_id) AS last_value
+             |FROM events GROUP BY user_id, event_type)
+             |WHERE last_value >= 10.0
+             |ORDER BY user_id, event_type""".stripMargin.replace("\n", " "))))
 }

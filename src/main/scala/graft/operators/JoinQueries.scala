@@ -451,5 +451,108 @@ object JoinQueries {
         .replace("PRDIV2", proundSql("r2.r / CAST(deg.deg AS DOUBLE)", 9))
         .replace("PRDAMP", proundSql(
           "CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(coalesce(s, 0) AS DOUBLE)", 9))),
+      tier = "E"),
+
+    // AS-OF join, NEAREST variant — completes the as-of family (latest =
+    // backward, tolerance = bounded backward, this = nearest in EITHER
+    // direction, ties to the past): for each purchase, the view whose
+    // event_id is closest in absolute distance. Same single-shuffle
+    // rewrite as join_asof_latest — no self-join: a backward running
+    // conditional max and a forward running conditional min over ONE
+    // (user_id, event_id) partition sort (two frames, one exchange, one
+    // sort), then a pure projection picks the closer candidate. State per
+    // direction is one value per key — exactly what a streaming twin
+    // would keep per side.
+    "join_asof_nearest" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byId = Window.partitionBy("user_id").orderBy("event_id")
+        val isView = when(col("event_type") === "view", col("event_id"))
+        val withCands = t(spark, dir, "events")
+          .withColumn("back", max(isView)
+            .over(byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("fwd", min(isView)
+            .over(byId.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        withCands
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(col("back").isNull, col("fwd"))
+              .when(col("fwd").isNull, col("back"))
+              .when(col("event_id") - col("back") <= col("fwd") - col("event_id"),
+                col("back"))
+              .otherwise(col("fwd")).as("near_view"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, near_view FROM (
+             |SELECT event_id, user_id, event_type,
+             |CASE WHEN back IS NULL THEN fwd WHEN fwd IS NULL THEN back
+             |WHEN event_id - back <= fwd - event_id THEN back ELSE fwd END AS near_view
+             |FROM (SELECT event_id, user_id, event_type,
+             |max(CASE WHEN event_type = 'view' THEN event_id END)
+             |OVER (PARTITION BY user_id ORDER BY event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+             |min(CASE WHEN event_type = 'view' THEN event_id END)
+             |OVER (PARTITION BY user_id ORDER BY event_id
+             |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd
+             |FROM events))
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Triangle counting over the part co-purchase graph (parts appearing
+    // in the same order are connected), with Doulion-style deterministic
+    // edge sampling (Tsourakakis et al., KDD'09): keep an edge iff a
+    // portable hash of its canonical (x<y) key ≡ 0 (mod 8), count
+    // triangles on the sampled graph, scale by 8^3 for the unbiased
+    // estimate. Scale shape, stage by stage: (1) per-order pair
+    // generation is bounded by order size (≤7 lineitems → ≤21 pairs per
+    // order — never a hot key); (2) sampling thins edges 8x BEFORE any
+    // self-join, shrinking wedge work ~512x — the knob a 100 TB run
+    // turns harder (mod 64 → ~260k x); (3) the canonical a<b<c
+    // orientation counts each triangle once and halves the wedge join;
+    // (4) wedges join edges on node keys — hash exchanges a
+    // 1000-executor cluster runs as-is; the sampled edge relation is
+    // persisted once and reused by all three sides. No window, no
+    // driver collect, no broadcast that grows with the graph.
+    "graph_triangle_count" -> QueryDef(
+      (spark, dir) => {
+        val keep = "cast(conv(substr(md5(concat(cast(x as string), ':', " +
+          "cast(y as string))), 1, 15), 16, 10) as bigint) % 8 = 0"
+        val po = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = scopedPersist(
+          po.as("a").join(po.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+            .distinct()
+            .filter(expr(keep)))
+        val wedges = edges.as("e1")
+          .join(edges.as("e2"), col("e1.y") === col("e2.x"))
+          .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+        val tris = wedges.as("w")
+          .join(edges.as("e3"),
+            col("w.a") === col("e3.x") && col("w.c") === col("e3.y"))
+          .agg(cnt("n_triangles"))
+        edges.agg(cnt("n_edges"))
+          .crossJoin(tris) // both sides are single-row aggregates — bounded
+          .select(col("n_edges"), col("n_triangles"),
+            (col("n_triangles") * 512L).cast("long").as("est_triangles"))
+      },
+      Some("""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |cp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+             |FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             |AND a.l_partkey < b.l_partkey),
+             |e AS (SELECT x, y FROM cp
+             |WHERE CAST('0x' || substr(md5(CAST(x AS VARCHAR) || ':' ||
+             |CAST(y AS VARCHAR)), 1, 15) AS BIGINT) % 8 = 0),
+             |w AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+             |FROM e e1 JOIN e e2 ON e1.y = e2.x),
+             |tr AS (SELECT a FROM w JOIN e e3 ON w.a = e3.x AND w.c = e3.y)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |CAST(count(*) AS BIGINT) AS n_triangles,
+             |CAST(count(*) * 512 AS BIGINT) AS est_triangles
+             |FROM tr""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

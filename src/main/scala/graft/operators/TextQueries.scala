@@ -2013,5 +2013,41 @@ object TextQueries {
              | / (len(a.w) + len(b.w) - CAST(len(list_intersect(a.w, b.w)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)} AS ja
              |FROM ws a JOIN ws b ON a.lang = b.lang AND b.doc_id > a.doc_id)
              |WHERE ja >= 0.9 ORDER BY ja DESC, d1, d2 LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // BPE training, the counting step — iteration 0 of byte-pair encoding
+    // (Sennrich et al., ACL'16) counts every adjacent symbol pair across
+    // the corpus and the most frequent pair becomes the first merge rule;
+    // each later iteration re-counts over the merged vocab. This declares
+    // the count step at character level: explode words, explode each
+    // word's adjacent char pairs (a map-side transform over
+    // sequence(1, len-1) — no join, no window), then ONE
+    // partial-agg-combinable count per pair. The pair keyspace is tiny
+    // (≤ alphabet², and ≤ vocab-bounded at later iterations), so the
+    // shuffle after map-side combine carries a few hundred rows per
+    // partition regardless of corpus size — the canonical
+    // word-count-shaped plan. Top-50 via TakeOrdered (no global sort).
+    // The length >= 2 guard is semantic on BOTH sides (a 1-char word has
+    // no pairs) and load-bearing on the Spark side: sequence(1, 0) steps
+    // DOWNWARD ([1, 0]), it is not empty like DuckDB's generate_series.
+    "text_bpe_pair_counts" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(cnt("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+             |SELECT substr(w, CAST(i AS INT), 2) AS pair FROM (
+             |SELECT unnest(string_split(text, ' ')) AS w FROM documents) t,
+             |LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+             |WHERE length(w) >= 2)
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

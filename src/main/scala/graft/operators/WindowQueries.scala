@@ -213,5 +213,38 @@ object WindowQueries {
              |FROM events)
              |GROUP BY user_id, event_type, grp)
              |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // cume_dist + nth_value — the two window functions the surface still
+    // lacked. cume_dist is rank-family (frame-less in both engines; the
+    // explicit-frame rule doesn't apply), and its peer groups are
+    // singletons here because the ordering (ts, event_id) is tie-free —
+    // event_id is unique — so both engines compute the identical
+    // k/n double division. nth_value rides an explicit ROWS frame
+    // (unbounded preceding → current row): "the 3rd value seen so far",
+    // null until three rows have arrived. Both windows share ONE
+    // partition+order (user_id; per-user history), so the plan is a
+    // single hash exchange + per-partition sort feeding both Window
+    // evals — no global window, no extra shuffle, skew bounded by a
+    // single user's history at any scale.
+    "win_cume_dist" -> QueryDef(
+      (spark, dir) => {
+        val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            cume_dist().over(byTs).as("cd"),
+            nth_value(col("value"), 3)
+              .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("v3"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, cd, v3 FROM (
+             |SELECT event_id, user_id,
+             |cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cd,
+             |nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
+             |FROM events)
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -334,4 +334,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.forall(!_.contains("word")),
       s"raw token strings leaked into a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("cdc_aggregating_merge: two chained state-merge aggregates, no window, no join") {
+    val plan = executedPlan("cdc_aggregating_merge")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"state merge must not window:\n$plan")
+    assert(countOf(plan, "Join") === 0, s"state merge must not join:\n$plan")
+    // per-(key, part) partials then the per-key merge — both levels
+    // partial-agg-combinable, ≥4 HashAggregate nodes (2 levels × 2 phases)
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 4,
+      s"lost the two-level state-merge aggregate shape:\n$plan")
+  }
+
+  test("join_asof_nearest: both direction frames ride ONE exchange and sort") {
+    val plan = executedPlan("join_asof_nearest")
+    // backward max and forward min share partition+order: one hash
+    // exchange on user_id, one sort, two Window evals stacked on it —
+    // a second exchange would mean the rewrite regressed to a self-join
+    assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
+      s"as-of nearest must shuffle ONCE on user_id:\n$plan")
+    assert(countOf(plan, "Join") === 0, s"as-of nearest must not self-join:\n$plan")
+    val sorts = countOf(plan, "Sort \\[user_id")
+    assert(sorts <= 1, s"both frames must reuse one partition sort:\n$plan")
+  }
+
+  test("graph_triangle_count: edges sampled before any self-join; joins stay shuffled") {
+    val plan = executedPlan("graph_triangle_count")
+    // the md5 sampling filter must gate the edge relation BEFORE the
+    // wedge/closure self-joins (the 512x work reduction is the point);
+    // InMemoryTableScan of the persisted edges on every join side
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"sampled edge relation must be persisted and reused:\n$plan")
+    // wedge + closure joins key on node ids — never a cartesian; the only
+    // nested-loop join is the final single-row-x-single-row count stitch
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"triangle joins must never go cartesian:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"triangle counting must not window:\n$plan")
+  }
+
+  test("win_cume_dist: both window functions share the per-user partition") {
+    val plan = executedPlan("win_cume_dist")
+    assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
+      s"cume_dist/nth_value must shuffle ONCE on user_id:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+  }
+
+  test("text_bpe_pair_counts: map-side explode + one combinable count — no join, no window") {
+    val plan = executedPlan("text_bpe_pair_counts")
+    assert(countOf(plan, "Join") === 0, s"pair counting must not join:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"pair counting must not window:\n$plan")
+    // the only exchange carries (pair, partial count) — the raw text
+    // column must never reach a shuffle
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text leaked into a shuffle:\n${exchanges.mkString("\n")}")
+    assert(countOf(plan, "Generate explode") >= 2,
+      s"words and pairs must explode map-side:\n$plan")
+  }
 }
