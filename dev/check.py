@@ -42,6 +42,12 @@ for name in sorted(oracle):
     for i in range(len(sdf)):
         for c in scols:
             a, b = sdf[c].iloc[i], odf[c].iloc[i]
+            # list/array cells (numpy arrays from DuckDB fetchdf) break
+            # scalar null checks — normalize to plain lists up front
+            if hasattr(a, "tolist"):
+                a = a.tolist()
+            if hasattr(b, "tolist"):
+                b = b.tolist()
             if a is None and b is None:
                 continue
             try:

@@ -24,10 +24,12 @@ package object core {
     * Explicit schemas come from the files themselves (parquet is
     * self-describing); never CSV/inferSchema (FIXTURES.md §2).
     *
-    * `events.ts` is TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL): read it as raw nanos via the legacy
-    * conf and truncate to a µs timestamp — the same floor-truncation DuckDB
-    * applies on read, so both engines see identical values (FIXTURES.md §1).
+    * `events.ts` arrived as TIMESTAMP(NANOS) in rounds ≤8 — which Spark 4
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL): read it as raw nanos
+    * via the legacy conf and truncate to a µs timestamp, the same
+    * floor-truncation DuckDB applies on read (FIXTURES.md §1). Since
+    * round 9 the driver writes TIMESTAMP(MICROS) (→ TimestampNTZ), which
+    * needs no transform; the LongType guard below handles either shape.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

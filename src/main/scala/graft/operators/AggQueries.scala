@@ -390,5 +390,139 @@ object AggQueries {
              |CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
              |FROM ev JOIN first ON ev.user_id = first.user_id
              |GROUP BY 1, 2 ORDER BY cohort_week, offset_w""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse windowFunnel(window)(ts, cond1, cond2, cond3) — the
+    // funnel-depth aggregate CH users reach for first: how far down
+    // view → click → purchase each user gets, where every step must land
+    // within 7 days of the PREVIOUS step's earliest completion. Chained
+    // running conditional mins over ONE per-user (ts, event_id) sort:
+    // t1 = earliest view so far; t2 = earliest click after-and-within
+    // 7d of t1; level 3 = a purchase after-and-within 7d of t2. The two
+    // stacked Window projections share the same partition+order, so the
+    // plan is one exchange + one sort + two Window evals + a per-user
+    // max-reduce + the O(4)-row level histogram — no self-join per
+    // funnel step (the naive form), state per user is two timestamps.
+    "agg_window_funnel" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val step = expr("INTERVAL 7 DAYS")
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("t1").isNotNull && col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + step, col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(max(when(col("t1").isNotNull, 1).otherwise(0)).as("l1"),
+            max(when(col("t2").isNotNull, 1).otherwise(0)).as("l2"),
+            max(when(col("event_type") === "purchase" && col("t2").isNotNull &&
+              col("ts") >= col("t2") && col("ts") <= col("t2") + step, 1)
+              .otherwise(0)).as("l3"))
+          .groupBy((col("l1") + col("l2") + col("l3")).cast("long").as("level"))
+          .agg(cnt("users"))
+          .orderBy(col("level"))
+      },
+      Some("""WITH s AS (
+             |SELECT user_id, event_id, ts, event_type,
+             |min(CASE WHEN event_type = 'view' THEN ts END)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+             |FROM events),
+             |s2 AS (
+             |SELECT user_id, event_id, ts, event_type, t1,
+             |min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+             |AND ts >= t1 AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+             |FROM s),
+             |s3 AS (
+             |SELECT user_id,
+             |max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS l1,
+             |max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+             |max(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+             |AND ts >= t2 AND ts <= t2 + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS l3
+             |FROM s2 GROUP BY user_id)
+             |SELECT CAST(l1 + l2 + l3 AS BIGINT) AS level,
+             |CAST(count(*) AS BIGINT) AS users
+             |FROM s3 GROUP BY 1 ORDER BY level""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse sequenceMatch — event-pattern predicates per user:
+    // '(?1).*(?2)' (a view somewhere before a purchase) and '(?1)(?2)'
+    // (a view IMMEDIATELY followed by a purchase). The any-gap form is a
+    // running seen-view flag over rows ... 1 PRECEDING (strictly-before
+    // semantics, tie-broken by event_id like CH breaks ties by sequence
+    // order); the adjacent form is one lag(). Both ride the same
+    // per-user sort — one exchange, two cheap window evals, then a
+    // per-user max-reduce folded to a single summary row (three scalar
+    // counts). No joins; per-user state is one bit + one string.
+    "agg_sequence_match" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("seen_view",
+            max(when(col("event_type") === "view", 1).otherwise(0))
+              .over(byTs.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "purchase" && col("seen_view") === 1, 1)
+              .otherwise(0)).as("m_any"),
+            max(when(col("event_type") === "purchase" && col("prev_type") === "view", 1)
+              .otherwise(0)).as("m_adj"))
+          .agg(cnt("users_total"),
+            sum(col("m_any")).cast("long").as("matched_any_gap"),
+            sum(col("m_adj")).cast("long").as("matched_adjacent"))
+      },
+      Some("""WITH s AS (
+             |SELECT user_id, event_type,
+             |max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_view,
+             |lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |FROM events),
+             |u AS (SELECT user_id,
+             |max(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN 1 ELSE 0 END) AS m_any,
+             |max(CASE WHEN event_type = 'purchase' AND prev_type = 'view' THEN 1 ELSE 0 END) AS m_adj
+             |FROM s GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS users_total,
+             |CAST(sum(m_any) AS BIGINT) AS matched_any_gap,
+             |CAST(sum(m_adj) AS BIGINT) AS matched_adjacent
+             |FROM u""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse groupArray — ordered array aggregation. collect_list is
+    // documented non-deterministic under parallel merge, so the declared
+    // form collects (ts, event_id, event_type) STRUCTS and array_sorts
+    // them post-agg — struct ordering is lexicographic by field, so the
+    // result is exactly ORDER BY (ts, event_id) regardless of partition
+    // merge order (the same trick DeterminismSpec relies on repo-wide).
+    // First 10 per user keeps the output row bounded; the aggregate
+    // itself is partial-combinable (list concat) with per-user state
+    // bounded by that user's history — one exchange, no window, no join.
+    // Declared output joins the array to one string — engines (and the
+    // driver's hasher) disagree on raw-array value comparison, strings
+    // are unambiguous.
+    "agg_group_array" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+          .groupBy("user_id")
+          .agg(array_join(
+            slice(expr("transform(array_sort(collect_list(e)), x -> x.event_type)"),
+              1, 10), ",").as("first_types"))
+          .orderBy(col("user_id"))
+          .limit(200)
+      },
+      Some("""SELECT user_id, array_to_string(types[1:10], ',') AS first_types FROM (
+             |SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+             |FROM events GROUP BY user_id)
+             |ORDER BY user_id LIMIT 200""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

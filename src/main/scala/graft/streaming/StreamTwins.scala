@@ -312,4 +312,57 @@ object StreamTwins {
         }
       .toDF("user_id", "event_type", "value_sum", "n_merged")
   }
+
+  /** join_asof_nearest's streaming form — the interesting one in the
+    * as-of family because "nearest" needs FUTURE knowledge: a purchase
+    * can't decide between its backward view and a not-yet-seen forward
+    * view. Per-user state is (lastView, pending purchases each carrying
+    * its own backward candidate). A purchase whose backward view is at
+    * distance 1 decides IMMEDIATELY (no future view can beat distance 1
+    * — ties go to the past); otherwise it buffers. The NEXT view closes
+    * every pending purchase: forward wins only when strictly closer.
+    * Purchases still pending at the end of input stay in state
+    * (append-mode convention, like scd2's open intervals) — a production
+    * deployment adds an event-time timeout to force the backward
+    * candidate after a horizon. Pending is bounded by the purchases
+    * between two consecutive views of ONE user — finite per key.
+    */
+  def nearestViewStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[
+        (Option[Long], List[(Long, Option[Long])]),
+        (Long, Long, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var (lastView, pending) =
+            state.getOption.getOrElse((Option.empty[Long], List.empty[(Long, Option[Long])]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+          it.toSeq.sortBy(_._1).foreach { case (id, _, tpe) =>
+            if (tpe == "view") {
+              pending.reverse.foreach { case (p, back) =>
+                val near = back match {
+                  case Some(b) if p - b <= id - p => b
+                  case _ => id
+                }
+                out += ((p, user, Some(near)))
+              }
+              pending = Nil
+              lastView = Some(id)
+            } else if (tpe == "purchase") {
+              lastView match {
+                case Some(b) if id - b <= 1 => out += ((id, user, Some(b)))
+                case back => pending = (id, back) :: pending
+              }
+            }
+          }
+          state.update((lastView, pending))
+          out.iterator
+        }
+      .toDF("event_id", "user_id", "near_view")
+  }
 }

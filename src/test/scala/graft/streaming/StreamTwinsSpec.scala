@@ -18,6 +18,20 @@ class StreamTwinsSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
 
+  /** The driver's events.ts arrived as TIMESTAMP(NANOS) in earlier rounds
+    * (read as raw nanos Long under the legacy conf, then floored to µs)
+    * and as TIMESTAMP(MICROS) since round 9 — normalize either shape,
+    * exactly like core.t() does for batch reads.
+    */
+  private def normalizeTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // watermarks demand TIMESTAMP (LTZ); the session runs UTC, so the
+      // cast is a pure re-tag of the same micros
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    else df
+
   // user 1: events at 0, 29' (same session), 61' (31' gap → new session)
   // user 2: events at 0, 31' (new session), 40' (same session)
   private val fixture = Seq(
@@ -146,8 +160,7 @@ class StreamTwinsSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       dir.resolve("events_000.parquet"))
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamTwins.tumblingCounts(stream)
       .writeStream.format("memory").queryName("twin_real")
       .outputMode("complete") // bounded input: emit all windows, final tick
@@ -174,8 +187,7 @@ class StreamTwinsSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       dir.resolve("events_000.parquet"))
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamTwins.sessionCounts(stream)
       .writeStream.format("memory").queryName("sess_real")
       .outputMode("complete")
@@ -207,8 +219,7 @@ class StreamTwinsSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       dir.resolve("events_000.parquet"))
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamTwins.intervalJoinStream(stream)
       .writeStream.format("memory").queryName("ivj_real")
       .outputMode("append")
@@ -434,5 +445,48 @@ class StreamTwinsSpec extends SparkSpec {
     // stream; every OTHER streamed key must be in the batch result
     assert(streamed.filter(_._2._1 != 0.0).keySet == batch.keySet,
       "streamed non-zero keys diverge from the batch result")
+  }
+
+  test("nearest-view twin over the REAL events table matches decided batch rows") {
+    // join_asof_nearest's streaming form: a purchase defers its decision
+    // until the next view proves which side is closer (unless its
+    // backward view is at distance 1 — unbeatable). Replaying the real
+    // events: every streamed decision must equal the batch query's
+    // near_view, and every batch purchase MISSING from the stream must
+    // be one the stream legitimately left pending — i.e. no later view
+    // exists for that user.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_nearest")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamTwins.nearestViewStream(stream)
+      .writeStream.format("memory").queryName("nearest_real")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val streamed = toMap(spark.table("nearest_real").collect())
+    val batch = toMap(graft.Registry.all.toMap.apply("join_asof_nearest")
+      .fn(spark, sf001).collect())
+    assert(streamed.nonEmpty && batch.nonEmpty)
+    assert(streamed.forall { case (id, nv) => batch.get(id).forall(_ == nv) },
+      "a streamed nearest decision diverges from the batch query")
+    // purchases the stream left pending: only legal when no later view
+    val ev = graft.core.t(spark, sf001, "events")
+      .select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lastViewByUser = ev.filter(_._3 == "view").groupBy(_._2)
+      .view.mapValues(_.map(_._1).max).toMap
+    val userOf = ev.map(e => e._1 -> e._2).toMap
+    val pendingIds = batch.keySet -- streamed.keySet
+    assert(pendingIds.forall { id =>
+      lastViewByUser.get(userOf(id)).forall(_ < id)
+    }, "stream left a purchase pending although a later view existed")
   }
 }
