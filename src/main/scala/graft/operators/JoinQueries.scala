@@ -526,8 +526,12 @@ object JoinQueries {
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
             .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-            .distinct()
-            .filter(expr(keep)))
+            // sample BEFORE the distinct: the md5 gate depends only on
+            // (x, y), so filter∘distinct ≡ distinct∘filter — but this
+            // order shrinks the dedup exchange 8x (don't rely on the
+            // optimizer to push a conv/md5 projection through the agg)
+            .filter(expr(keep))
+            .distinct())
         val wedges = edges.as("e1")
           .join(edges.as("e2"), col("e1.y") === col("e2.x"))
           .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))

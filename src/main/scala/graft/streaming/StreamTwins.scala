@@ -327,6 +327,54 @@ object StreamTwins {
     * candidate after a horizon. Pending is bounded by the purchases
     * between two consecutive views of ONE user — finite per key.
     */
+  /** agg_window_funnel's streaming form — the CH windowFunnel state
+    * machine per user: t1 = first view's ts (the batch running-min over
+    * an ascending stream is simply the first), t2 = first click at-or-
+    * after t1 within the window, level 3 = any purchase at-or-after t2
+    * within the window. State is two timestamps + one bit; each level
+    * INCREASE appends a transition row (user, event_id, new_level), so
+    * the funnel histogram at any point is one count over each user's max
+    * emitted level. Identical semantics to the batch query's chained
+    * conditional-min windows because event time arrives ascending per
+    * replayed batch (ties broken by event_id, like the batch ORDER BY).
+    */
+  def windowFunnelStream(events: DataFrame,
+                         windowUs: Long = 7L * 86400 * 1000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[
+        (Option[Long], Option[Long], Boolean), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var (t1, t2, l3) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], false))
+          def level: Int =
+            (if (t1.isDefined) 1 else 0) + (if (t2.isDefined) 1 else 0) +
+              (if (l3) 1 else 0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          it.toSeq.sortBy(e => (e._4, e._1)).foreach { case (id, _, tpe, ts) =>
+            val before = level
+            tpe match {
+              case "view" if t1.isEmpty => t1 = Some(ts)
+              case "click" if t2.isEmpty &&
+                t1.exists(a => ts >= a && ts <= a + windowUs) => t2 = Some(ts)
+              case "purchase" if !l3 &&
+                t2.exists(b => ts >= b && ts <= b + windowUs) => l3 = true
+              case _ => ()
+            }
+            if (level > before) out += ((user, id, level.toLong))
+          }
+          state.update((t1, t2, l3))
+          out.iterator
+        }
+      .toDF("user_id", "event_id", "level")
+  }
+
   def nearestViewStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -489,4 +489,36 @@ class StreamTwinsSpec extends SparkSpec {
       lastViewByUser.get(userOf(id)).forall(_ < id)
     }, "stream left a purchase pending although a later view existed")
   }
+
+  test("window-funnel twin over the REAL events table reproduces the batch histogram") {
+    // agg_window_funnel's streaming form appends one row per LEVEL
+    // INCREASE; each user's max emitted level (0 when nothing emitted)
+    // must histogram exactly to the declared batch query's output.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_funnel")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = StreamTwins.windowFunnelStream(stream)
+      .writeStream.format("memory").queryName("funnel_real")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val maxLevel = spark.table("funnel_real").collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val allUsers = graft.core.t(spark, sf001, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val streamedHist = allUsers.toSeq
+      .map(u => maxLevel.getOrElse(u, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batchHist = graft.Registry.all.toMap.apply("agg_window_funnel")
+      .fn(spark, sf001).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchHist.nonEmpty)
+    assert(streamedHist === batchHist,
+      "streaming funnel transitions diverge from the batch level histogram")
+  }
 }
