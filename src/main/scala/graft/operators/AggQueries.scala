@@ -524,5 +524,79 @@ object AggQueries {
              |SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
              |FROM events GROUP BY user_id)
              |ORDER BY user_id LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse ORDER BY … WITH FILL — gap filling for a sparse time
+    // series: daily counts of a rare event band, with MISSING days
+    // materialized as zero rows (what every dashboard needs before a
+    // moving average). Scale shape: the only corpus-sized work is the
+    // first partial+final day-count aggregate; the calendar is ONE
+    // scalar min/max aggregate exploded through sequence() (bounded by
+    // the day span, not the corpus) and the fill join runs
+    // calendar × day-counts — both already aggregate-sized. An empty
+    // series degrades to zero rows (sequence over nulls), not an error.
+    "agg_time_fill" -> QueryDef(
+      (spark, dir) => {
+        val d = t(spark, dir, "events")
+          .filter(col("event_type") === "purchase" &&
+            col("value") >= 120.0 && col("value") < 130.0)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(cnt("n"))
+        val cal = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        cal.join(d, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).cast("long").as("n"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE event_type = 'purchase'
+             |AND value >= 120.0 AND value < 130.0 GROUP BY 1),
+             |cal AS (SELECT CAST(unnest(generate_series(
+             |(SELECT min(day) FROM d), (SELECT max(day) FROM d), INTERVAL 1 DAY)) AS DATE) AS day)
+             |SELECT cal.day AS day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+             |FROM cal LEFT JOIN d ON cal.day = d.day
+             |ORDER BY day""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse quantileExactWeighted — exact weighted median per group
+    // (weight = event_id % 7 + 1, the deterministic stand-in for a
+    // repeat count). The naive form windows over the raw corpus — a
+    // per-type sort of EVERYTHING on a 5-way skewed key. The scalable
+    // form here aggregates FIRST: per-(type, value) weight sums (values
+    // are 2-dp in a bounded domain, so this relation is
+    // |types| × O(10^4) rows at ANY corpus size), then the cumulative
+    // window runs over that bounded relation, and the answer is the
+    // smallest value whose doubled running weight reaches the total.
+    // Ordering by value alone is total post-aggregation (values unique
+    // per group) — fully deterministic.
+    "agg_weighted_median" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = t(spark, dir, "events")
+          .select(col("event_type"), col("value"),
+            (col("event_id") % 7 + 1).as("wt"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("wt")).cast("long").as("w"))
+        val byVal = Window.partitionBy("event_type").orderBy("value")
+        g.withColumn("cum", sum(col("w"))
+            .over(byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("w"))
+            .over(Window.partitionBy("event_type")))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("event_type"))
+          .agg(min(col("value")).as("wmedian"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT event_type, value,
+             |CAST(sum(event_id % 7 + 1) AS BIGINT) AS w
+             |FROM events GROUP BY event_type, value),
+             |c AS (SELECT event_type, value, w,
+             |sum(w) OVER (PARTITION BY event_type ORDER BY value
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |sum(w) OVER (PARTITION BY event_type) AS tot
+             |FROM g)
+             |SELECT event_type, min(value) AS wmedian FROM c
+             |WHERE 2 * cum >= tot GROUP BY event_type
+             |ORDER BY event_type""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -373,6 +373,28 @@ class PlanShapeSpec extends SparkSpec {
       s"triangle counting must not window:\n$plan")
   }
 
+  test("agg_time_fill: corpus work is one aggregate; the fill join is never cartesian") {
+    val plan = executedPlan("agg_time_fill")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"gap filling must not window:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"calendar join must key on day, never cross:\n$plan")
+    // day-count aggregate keeps its partial+final (map-side combine) shape
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"day counts lost their partial+final shape:\n$plan")
+  }
+
+  test("agg_weighted_median: windows run over the pre-aggregated bounded relation") {
+    val plan = executedPlan("agg_weighted_median")
+    // the per-(type, value) weight aggregate must exist BELOW the windows —
+    // its exchange partitions on BOTH keys; windowing the raw corpus
+    // would show only the 5-way event_type exchange
+    assert(countOf(plan, "Exchange hashpartitioning\\(event_type[^,)]*, value") >= 1,
+      s"lost the pre-aggregation that bounds the window input:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+  }
+
   test("win_cume_dist: both window functions share the per-user partition") {
     val plan = executedPlan("win_cume_dist")
     assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
