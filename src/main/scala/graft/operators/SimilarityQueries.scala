@@ -602,6 +602,91 @@ object SimilarityQueries {
       },
       tier = "E"),
 
+    // PQ ASYMMETRIC DISTANCE search (Jégou et al., PAMI'11) — the query
+    // step that makes product quantization THE billion-scale ANN method:
+    // the corpus is stored as M=4 one-byte codes per vector
+    // (sim_pq_codes), a probe precomputes a tiny lookup table of partial
+    // distances to every sub-codebook entry, and each candidate's
+    // approximate distance is just M table lookups + adds — the probe's
+    // FULL vector never meets the corpus.
+    //
+    // Scale shape: corpus encoding is the sim_pq_codes aggregate (no
+    // window over the corpus); the LUT is |probes|·M·K = 200 rows,
+    // BROADCAST — the only corpus-sized work after encoding is one
+    // broadcast-join map pass over the (vec_id, m, code) rows plus a
+    // partial+final decimal sum per (probe, vec). Each partial distance
+    // becomes DECIMAL(18,9) BEFORE the 4-term sum, so the
+    // order-dependent double add can't diverge under partitioning; the
+    // per-probe top-3 window ranks on the exact decimal-sum double with
+    // vec_id tie-break.
+    "sim_pq_adc" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val M = 4
+        val sub = expr("slice(embedding, m * 16 + 1, 16)")
+        val withM = vecs(spark, dir)
+          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+          .withColumn("sub", sub)
+          .withColumn("ss", gdot("sub", "sub"))
+        val cb = vecs(spark, dir)
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+          .select(col("vec_id").as("cid"), col("m"), sub.as("csub"))
+          .withColumn("cc", gdot("csub", "csub"))
+        val codes = withM.join(broadcast(cb), Seq("m"))
+          .withColumn("pd", pround(
+            col("ss") - lit(2.0) * gdot("sub", "csub") + col("cc"), 9))
+          .groupBy("vec_id", "m")
+          .agg(min_by(col("cid"), struct(col("pd"), col("cid"))).as("code"))
+        val lut = vecs(spark, dir)
+          .filter(col("vec_id") < 5)
+          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+          .select(col("vec_id").as("probe"), col("m"), sub.as("qsub"))
+          .withColumn("qq", gdot("qsub", "qsub"))
+          .join(cb, Seq("m"))
+          .select(col("probe"), col("m"), col("cid").as("code"),
+            pround(col("qq") - lit(2.0) * gdot("qsub", "csub") + col("cc"), 9)
+              .cast(DecimalType(18, 9)).as("ld"))
+        val w = Window.partitionBy("probe").orderBy(col("adist"), col("cand"))
+        codes.join(broadcast(lut), Seq("m", "code"))
+          .groupBy(col("probe"), col("vec_id").as("cand"))
+          .agg(sum(col("ld")).as("dsum"))
+          .filter(col("probe") =!= col("cand"))
+          .withColumn("adist", col("dsum").cast("double"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"), col("adist"))
+          .orderBy(col("probe"), col("adist"), col("cand"))
+      },
+      Some {
+        val dist = "list_dot_product(ev.sub, ev.sub) - 2 * list_dot_product(ev.sub, cb.csub) + cb.cc"
+        val qdist = "q.qq - 2 * list_dot_product(q.qsub, cb.csub) + cb.cc"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+           |ev AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sub FROM e CROSS JOIN ms),
+           |cb AS (SELECT vec_id AS cid, m, sub AS csub, list_dot_product(sub, sub) AS cc
+           |FROM ev WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, m, cid AS code FROM (
+           |SELECT ev.vec_id, ev.m, cb.cid, ${proundSql(dist, 9)} AS pd,
+           |row_number() OVER (PARTITION BY ev.vec_id, ev.m
+           |ORDER BY ${proundSql(dist, 9)}, cb.cid) AS rn
+           |FROM ev JOIN cb ON ev.m = cb.m) WHERE rn = 1),
+           |q AS (SELECT vec_id AS probe, m, sub AS qsub,
+           |list_dot_product(sub, sub) AS qq FROM ev WHERE vec_id < 5),
+           |lut AS (SELECT q.probe, q.m, cb.cid AS code,
+           |CAST(${proundSql(qdist, 9)} AS DECIMAL(18,9)) AS ld
+           |FROM q JOIN cb ON q.m = cb.m),
+           |adc AS (SELECT probe, asg.vec_id AS cand, CAST(sum(ld) AS DOUBLE) AS adist
+           |FROM asg JOIN lut ON asg.m = lut.m AND asg.code = lut.code
+           |GROUP BY probe, asg.vec_id)
+           |SELECT probe, cand, adist FROM (
+           |SELECT probe, cand, adist,
+           |row_number() OVER (PARTITION BY probe ORDER BY adist, cand) AS rn
+           |FROM adc WHERE probe <> cand) WHERE rn <= 3
+           |ORDER BY probe, adist, cand""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // Maximum-inner-product search via the augmented-vector reduction
     // (Bachrach et al. / Shrivastava-Li): MIPS is NOT cosine — norms
     // matter — and cosine LSH is invalid for it directly. Appending

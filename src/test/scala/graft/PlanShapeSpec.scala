@@ -373,6 +373,23 @@ class PlanShapeSpec extends SparkSpec {
       s"triangle counting must not window:\n$plan")
   }
 
+  test("sim_pq_adc: codebook and LUT broadcast; encoding is an aggregate, not a window") {
+    val plan = executedPlan("sim_pq_adc")
+    // the probe's full vector must never meet the corpus: candidates see
+    // only the 200-row (probe, m, code) -> partial-distance LUT, and both
+    // the codebook join (encoding) and the LUT join are broadcasts
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"codebook/LUT must broadcast over the corpus:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"no cartesian anywhere in the ADC pipeline:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+    // corpus encoding is the min_by aggregate (sim_pq_codes shape);
+    // SortAggregate appears because min_by orders on a struct key
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+      s"encoding lost its aggregate shape:\n$plan")
+  }
+
   test("agg_time_fill: corpus work is one aggregate; the fill join is never cartesian") {
     val plan = executedPlan("agg_time_fill")
     assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
