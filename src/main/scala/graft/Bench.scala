@@ -163,7 +163,8 @@ object Bench {
     "text_tokenize_wordcount", "text_quality_score", "text_lang_id",
     "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_substring", "sim_cosine_topk", "sim_ivf_topk", "ann_lsh_topk",
-    "graph_pagerank", "multimodal_meta_extract")
+    "graph_pagerank", "multimodal_meta_extract",
+    "agg_window_funnel", "agg_time_fill", "sim_pq_adc", "graph_triangle_count")
 
   private def fmtMap(entries: Seq[(String, Double)]): String =
     entries.map { case (k, v) => s"${jstr(k)}:${f"$v%.3f"}" }.mkString("{", ",", "}")
