@@ -500,6 +500,36 @@ object JoinQueries {
              |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // AS-OF join, FORWARD variant — the fourth family member ("the next
+    // view AFTER each purchase": the follow-up-attribution direction;
+    // latest = backward, tolerance = bounded backward, nearest = both).
+    // One forward running conditional min over the same single
+    // (user_id, event_id) partition sort — one exchange, one frame, no
+    // self-join; a streaming twin is the nearestViewStream pending
+    // buffer with the backward candidate ignored.
+    "join_asof_forward" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byId = Window.partitionBy("user_id").orderBy("event_id")
+        t(spark, dir, "events")
+          .withColumn("next_view",
+            min(when(col("event_type") === "view", col("event_id")))
+              .over(byId.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("next_view"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT event_id, user_id, next_view FROM (
+             |SELECT event_id, user_id, event_type,
+             |min(CASE WHEN event_type = 'view' THEN event_id END)
+             |OVER (PARTITION BY user_id ORDER BY event_id
+             |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view
+             |FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Triangle counting over the part co-purchase graph (parts appearing
     // in the same order are connected), with Doulion-style deterministic
     // edge sampling (Tsourakakis et al., KDD'09): keep an edge iff a

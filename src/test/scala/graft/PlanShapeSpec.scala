@@ -346,16 +346,18 @@ class PlanShapeSpec extends SparkSpec {
       s"lost the two-level state-merge aggregate shape:\n$plan")
   }
 
-  test("join_asof_nearest: both direction frames ride ONE exchange and sort") {
-    val plan = executedPlan("join_asof_nearest")
-    // backward max and forward min share partition+order: one hash
-    // exchange on user_id, one sort, two Window evals stacked on it —
-    // a second exchange would mean the rewrite regressed to a self-join
-    assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
-      s"as-of nearest must shuffle ONCE on user_id:\n$plan")
-    assert(countOf(plan, "Join") === 0, s"as-of nearest must not self-join:\n$plan")
-    val sorts = countOf(plan, "Sort \\[user_id")
-    assert(sorts <= 1, s"both frames must reuse one partition sort:\n$plan")
+  test("join_asof_nearest / join_asof_forward: frames ride ONE exchange and sort") {
+    for (q <- Seq("join_asof_nearest", "join_asof_forward")) {
+      val plan = executedPlan(q)
+      // the direction frames share partition+order: one hash exchange on
+      // user_id, one sort, Window evals stacked on it — a second
+      // exchange would mean the rewrite regressed to a self-join
+      assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
+        s"$q must shuffle ONCE on user_id:\n$plan")
+      assert(countOf(plan, "Join") === 0, s"$q must not self-join:\n$plan")
+      val sorts = countOf(plan, "Sort \\[user_id")
+      assert(sorts <= 1, s"$q frames must reuse one partition sort:\n$plan")
+    }
   }
 
   test("graph_triangle_count: edges sampled before any self-join; joins stay shuffled") {
