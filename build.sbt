@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which broke
+// the driver's JSON-line parse of Bench's compact stdout record (BENCH_r09
+// showed the full line present in the tail yet `parsed: null` — the prefix,
+// not the length, was the blocker).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -120,6 +120,13 @@ object Bench {
     Sweep(results, canary.toSeq, canaryEvery)
   }
 
+  /** Locale-stable double formatting: the f-interpolator uses the JVM
+    * default locale, which under a comma-decimal locale (de_DE, tr_TR)
+    * would render `0,123` — invalid JSON. Locale.ROOT pins the dot.
+    */
+  private def fmtD(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -142,7 +149,7 @@ object Bench {
     val errs = results.collect { case Result(n, _, _, Some(e)) => s"${jstr(n)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_.sec).sum
-    val can = sweep.canary.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val can = sweep.canary.map(c => fmtD("%.4f", c)).mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$raw,"errors":$errs,"canary":$can,"canary_every":${sweep.canaryEvery},"sf":"$sfDir"}"""
   }
 
@@ -167,7 +174,7 @@ object Bench {
     "agg_window_funnel", "agg_time_fill", "sim_pq_adc", "graph_triangle_count")
 
   private def fmtMap(entries: Seq[(String, Double)]): String =
-    entries.map { case (k, v) => s"${jstr(k)}:${f"$v%.3f"}" }.mkString("{", ",", "}")
+    entries.map { case (k, v) => s"${jstr(k)}:${fmtD("%.3f", v)}" }.mkString("{", ",", "}")
 
   /** The driver's ONE stdout JSON line, guaranteed to fit its 2000-char
     * tail capture (sbt's `[success] Total time…` footer takes ~80 of
@@ -203,10 +210,10 @@ object Bench {
     val canMed = if (canSorted.isEmpty) 0.0 else canSorted(canSorted.size / 2)
     val canMax = if (canSorted.isEmpty) 0.0 else canSorted.last
     def render(heads: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${fmtD("%.3f", total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${fmtMap(heads)},"slowest":${fmtMap(slowest)},"errors":$errs,""" +
-        s""""pair_agree_pct":${f"$agree%.1f"},"canary_med":${f"$canMed%.4f"},""" +
-        s""""canary_max":${f"$canMax%.4f"},"canary_every":${sweep.canaryEvery},""" +
+        s""""pair_agree_pct":${fmtD("%.1f", agree)},"canary_med":${fmtD("%.4f", canMed)},""" +
+        s""""canary_max":${fmtD("%.4f", canMax)},"canary_every":${sweep.canaryEvery},""" +
         s""""detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}"""
     // belt-and-braces: if a pathological key/error set overflows the tail
     // budget, shed the headline map (slowest + summary stats remain)
@@ -255,6 +262,10 @@ object Bench {
     // queries) goes to a file; stdout gets ONLY the compact line, last,
     // so the driver's 2000-char tail capture can parse it (BENCH_r2–r8
     // all show `parsed: null` from the full line's head being truncated).
+    // Round 10: build.sbt sets `run / outputStrategy := StdoutOutput` so
+    // sbt passes this line through UN-prefixed — r9 showed the full line
+    // in the tail yet parsed:null because sbt's logger prepended
+    // "[info] " to it.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

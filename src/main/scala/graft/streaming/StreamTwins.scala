@@ -17,6 +17,19 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object StreamTwins {
 
+  /** Self-normalizing event-time column, mirroring `core.t()`: the legacy
+    * raw-nanos LongType `ts` (rounds ≤8 parquet shape) becomes a µs
+    * timestamp via integer division — a bare `cast("timestamp")` would
+    * interpret the long as SECONDS and silently wreck every window
+    * comparison. TimestampNTZ / Timestamp pass through a plain cast.
+    */
+  private def normTs(c: org.apache.spark.sql.Column, df: DataFrame) =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        timestamp_micros(floor(c.cast("long") / 1000).cast("long"))
+      case _ => c.cast("timestamp")
+    }
+
   /** Tumbling 1h count per event_type ≡ stream_tumbling_window. */
   def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
@@ -313,20 +326,6 @@ object StreamTwins {
       .toDF("user_id", "event_type", "value_sum", "n_merged")
   }
 
-  /** join_asof_nearest's streaming form — the interesting one in the
-    * as-of family because "nearest" needs FUTURE knowledge: a purchase
-    * can't decide between its backward view and a not-yet-seen forward
-    * view. Per-user state is (lastView, pending purchases each carrying
-    * its own backward candidate). A purchase whose backward view is at
-    * distance 1 decides IMMEDIATELY (no future view can beat distance 1
-    * — ties go to the past); otherwise it buffers. The NEXT view closes
-    * every pending purchase: forward wins only when strictly closer.
-    * Purchases still pending at the end of input stay in state
-    * (append-mode convention, like scd2's open intervals) — a production
-    * deployment adds an event-time timeout to force the backward
-    * candidate after a horizon. Pending is bounded by the purchases
-    * between two consecutive views of ONE user — finite per key.
-    */
   /** agg_window_funnel's streaming form — the CH windowFunnel state
     * machine per user: t1 = first view's ts (the batch running-min over
     * an ascending stream is simply the first), t2 = first click at-or-
@@ -344,7 +343,7 @@ object StreamTwins {
     import spark.implicits._
     events
       .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+        unix_micros(normTs(col("ts"), events)).as("tsu"))
       .as[(Long, Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[
@@ -375,6 +374,20 @@ object StreamTwins {
       .toDF("user_id", "event_id", "level")
   }
 
+  /** join_asof_nearest's streaming form — the interesting one in the
+    * as-of family because "nearest" needs FUTURE knowledge: a purchase
+    * can't decide between its backward view and a not-yet-seen forward
+    * view. Per-user state is (lastView, pending purchases each carrying
+    * its own backward candidate). A purchase whose backward view is at
+    * distance 1 decides IMMEDIATELY (no future view can beat distance 1
+    * — ties go to the past); otherwise it buffers. The NEXT view closes
+    * every pending purchase: forward wins only when strictly closer.
+    * Purchases still pending at the end of input stay in state
+    * (append-mode convention, like scd2's open intervals) — a production
+    * deployment adds an event-time timeout to force the backward
+    * candidate after a horizon. Pending is bounded by the purchases
+    * between two consecutive views of ONE user — finite per key.
+    */
   def nearestViewStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
