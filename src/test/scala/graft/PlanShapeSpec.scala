@@ -435,4 +435,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Generate explode") >= 2,
       s"words and pairs must explode map-side:\n$plan")
   }
+
+  test("sim_ann_rerank: everything small broadcasts; exact re-rank never shuffles the corpus") {
+    val plan = executedPlan("sim_ann_rerank")
+    // codebook, probe-cell map, LUT, shortlist, and probe vectors all
+    // broadcast — the corpus side streams past each of them
+    assert(countOf(plan, "BroadcastHashJoin") >= 3,
+      s"ADC/rerank joins must broadcast over the corpus:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"no cartesian anywhere in the pipeline:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+    // IVF assignment + PQ encoding stay partial+final aggregates
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+      s"assignment/encoding lost their aggregate shape:\n$plan")
+    // exactly three windows — probe-cell rank, ADC shortlist top-R, and
+    // the exact re-rank top-3 — each partitioned by probe over a
+    // probe-bounded relation
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 3,
+      s"a corpus-sized window crept in:\n$plan")
+  }
 }
