@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -598,5 +599,87 @@ object AggQueries {
              |SELECT event_type, min(value) AS wmedian FROM c
              |WHERE 2 * cum >= tot GROUP BY event_type
              |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Approximate percentiles from a FIXED-SIZE sketch — the third
+    // portable sketch beside HLL (rows-only) and count-min
+    // (oracle-checked), and what one actually runs at 100 TB instead of
+    // the sort-based exact `percentile` (CH quantileTDigest signature).
+    // Engine-native sketches (Spark approx_percentile, DuckDB
+    // approx_quantile) use different algorithms and can't cross-check,
+    // so — the sketch_count_min precedent — the sketch here is built
+    // from PORTABLE arithmetic: a per-type 256-bin equi-width histogram.
+    // Estimate = midpoint of the first bin whose cumulative count
+    // reaches ceil(p·n). Declared output carries the estimate AND the
+    // exact truth side by side, plus the bin width — the calibration
+    // report an approximate quantile ships with (ApproxSketchSpec
+    // asserts |approx − exact| ≤ bin_w).
+    //
+    // Scale shape: the histogram is ≤ |types|·256 rows — the
+    // groupBy(type, bin) partials combine map-side, so the shuffle
+    // carries a bounded relation regardless of corpus size, and the
+    // cumulative window runs over that bounded relation only. The
+    // min/max pre-pass is one narrow partial+final aggregate. The exact
+    // side is the expensive half — at scale you keep only the sketch;
+    // this query is the calibration that says what that buys you.
+    "agg_approx_percentile" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 256
+        val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+        val stats = ev.groupBy("event_type")
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"), cnt("n"),
+            pround(expr("percentile(value, 0.5)"), 2).as("exact_p50"),
+            pround(expr("percentile(value, 0.9)"), 2).as("exact_p90"))
+        // identical IEEE order on both engines: ((v−mn)/(mx−mn))·B, floor,
+        // clamp to B−1 (v == mx lands in the last bin); degenerate
+        // single-value groups guard the division
+        val hist = ev
+          .join(broadcast(stats.select(col("event_type"), col("mn"), col("mx"))),
+            Seq("event_type"))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(floor(((col("value") - col("mn")) / (col("mx") - col("mn"))) * B),
+              lit(B - 1L))).otherwise(0L).cast("int"))
+          .groupBy("event_type", "bin").agg(cnt("c"))
+        val cum = hist.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val est = cum
+          .join(broadcast(stats.select(col("event_type"), col("n"))), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col("bin"))).as("b50"),
+            min(when(col("cum") >= ceil(col("n") * 0.9), col("bin"))).as("b90"))
+        def mid(b: Column) =
+          col("mn") + ((col("mx") - col("mn")) / B) * (b.cast("double") + 0.5)
+        est.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            pround((col("mx") - col("mn")) / B, 6).as("bin_w"),
+            pround(mid(col("b50")), 2).as("approx_p50"), col("exact_p50"),
+            pround(mid(col("b90")), 2).as("approx_p90"), col("exact_p90"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, value FROM events),
+             |st AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+             |CAST(count(*) AS BIGINT) AS n,
+             |${proundSql("quantile_cont(value, 0.5)", 2)} AS exact_p50,
+             |${proundSql("quantile_cont(value, 0.9)", 2)} AS exact_p90
+             |FROM ev GROUP BY event_type),
+             |h AS (SELECT ev.event_type,
+             |CAST(CASE WHEN mx > mn
+             |THEN least(floor(((value - mn) / (mx - mn)) * 256), 255) ELSE 0 END AS INT) AS bin,
+             |CAST(count(*) AS BIGINT) AS c
+             |FROM ev JOIN st ON ev.event_type = st.event_type GROUP BY 1, 2),
+             |cum AS (SELECT event_type, bin,
+             |sum(c) OVER (PARTITION BY event_type ORDER BY bin
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+             |est AS (SELECT cum.event_type,
+             |min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS b50,
+             |min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS b90
+             |FROM cum JOIN st ON cum.event_type = st.event_type GROUP BY 1)
+             |SELECT st.event_type, n, ${proundSql("(mx - mn) / 256", 6)} AS bin_w,
+             |${proundSql("mn + ((mx - mn) / 256) * (CAST(b50 AS DOUBLE) + 0.5)", 2)} AS approx_p50, exact_p50,
+             |${proundSql("mn + ((mx - mn) / 256) * (CAST(b90 AS DOUBLE) + 0.5)", 2)} AS approx_p90, exact_p90
+             |FROM est JOIN st ON est.event_type = st.event_type
+             |ORDER BY st.event_type""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
