@@ -1747,6 +1747,51 @@ object TextQueries {
               |GROUP BY tp.w, tp.exact ORDER BY exact DESC, word""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // Approximate heavy-hitter top-K — the CH `topK` (space-saving)
+    // signature, completing the sketch surface beside HLL, count-min,
+    // and approx-percentile. The textbook space-saving / Misra-Gries
+    // merge is arrival-order-dependent, so its result would change with
+    // partitioning (DeterminismSpec forbids that); the DETERMINISTIC
+    // distributed form used here hash-splits the vocabulary into 8
+    // lanes and keeps a bounded top-5 candidate list per lane. Because
+    // a word's whole count lives in exactly one lane, candidate counts
+    // are EXACT — the approximation is pure truncation: a top-20 word
+    // is missed only when ≥5 heavier words share its lane (the same
+    // failure mode as space-saving counter eviction, made
+    // deterministic). Declared output: global top-20 of the ≤40
+    // candidates; ApproxSketchSpec grades recall vs the exact top-20.
+    //
+    // Scale shape: per-word counts combine map-side (the shuffle
+    // carries distinct words once, like any word count); the rank
+    // window runs per lane over the POST-aggregate vocab relation —
+    // never the corpus — and everything after it is ≤ 40 rows ending
+    // in a TakeOrdered, no global window. The merged candidate state
+    // (8 lanes × 5) is fixed-size regardless of corpus size — the
+    // space-saving property the CH signature promises.
+    "sketch_topk" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counted = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .withColumn("lane", expr(hx("concat('topk|', w)")) % 8)
+          .groupBy("lane", "w").agg(cnt("c"))
+        val lw = Window.partitionBy("lane").orderBy(col("c").desc, col("w"))
+        counted
+          .withColumn("rn", row_number().over(lw))
+          .filter(col("rn") <= 5)
+          .orderBy(col("c").desc, col("w")).limit(20)
+          .select(col("w").as("word"), col("c").as("est"))
+      },
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+              |lc AS (SELECT (${hxDuck("'topk|' || w")}) % 8 AS lane, w,
+              |CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+              |cand AS (SELECT w, c FROM (
+              |SELECT w, c, row_number() OVER (PARTITION BY lane ORDER BY c DESC, w) AS rn
+              |FROM lc) WHERE rn <= 5)
+              |SELECT w AS word, c AS est FROM cand
+              |ORDER BY c DESC, w LIMIT 20""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // Bloom-filter prefilter for incremental ingest — the membership
     // gate that sits in FRONT of dedup_incremental at scale: the existing
     // corpus's content digests build a 1024-bit / k=3 Bloom filter

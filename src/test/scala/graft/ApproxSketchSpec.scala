@@ -44,4 +44,27 @@ class ApproxSketchSpec extends SparkSpec {
       assert(e90 <= w / 2 + s90, s"$et: p90 error $e90 > ${w / 2} + $s90")
     }
   }
+
+  test("sketch_topk: candidate counts are exact; recall vs exact top-20 measured") {
+    val approx = Registry.all.toMap.apply("sketch_topk").fn(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    graft.core.releaseQueryCaches(spark)
+    val exact = t(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("w")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val exactMap = exact.toMap
+    // lane truncation can only DROP words, never miscount them: every
+    // candidate the sketch returns must carry its exact global count
+    approx.foreach { case (w, c) =>
+      assert(exactMap.get(w).forall(_ == c) || !exactMap.contains(w),
+        s"sketch count for '$w' ($c) disagrees with exact (${exactMap.get(w)})")
+    }
+    val recall = approx.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 20.0
+    info(f"sketch_topk recall@20 = $recall%.2f")
+    // 8 lanes x 5 slots = 40 bounded counters; a miss needs >=5 of the
+    // top-20 hashing into one lane — rare, but graded, not assumed
+    assert(recall >= 0.7, s"recall@20 $recall below the 0.7 floor")
+  }
 }
