@@ -327,5 +327,69 @@ object CdcQueries {
              |max_by(value, event_id) AS last_value
              |FROM events GROUP BY user_id, event_type)
              |WHERE last_value >= 10.0
-             |ORDER BY user_id, event_type""".stripMargin.replace("\n", " "))))
+             |ORDER BY user_id, event_type""".stripMargin.replace("\n", " "))),
+
+    // GraphiteMergeTree age-tiered rollup — the last MergeTree family
+    // member: metrics downsample as they age. Retention config modeled:
+    // raw (per-second) for the newest day, hourly for the newest week,
+    // daily beyond — ages measured from the table's max day so the
+    // query is deterministic (no wall clock). All boundaries are
+    // INTEGER day/hour arithmetic (the agg_retention_cohorts trick):
+    // day = datediff from a fixed epoch, raw bucket = day·86400 +
+    // h·3600 + m·60 + s — identical integer ops on both engines, no
+    // interval types, no timezone dependence.
+    //
+    // Scale shape: TWO CHAINED partial+final aggregates, mirroring how
+    // the CH engine itself merges progressively — first everything
+    // rolls to the raw ingest granularity (per metric-second, decimal
+    // partial sums, map-side combinable), then tier buckets re-aggregate
+    // those partials (hourly/daily sums are sums OF sums — never a
+    // second corpus pass, never a window). The max-day scalar broadcasts;
+    // nothing else crosses an exchange except (metric, bucket) partials.
+    "cdc_graphite_rollup" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+              .cast("long").as("day"),
+            hour(col("ts")).cast("long").as("h"),
+            minute(col("ts")).cast("long").as("mi"),
+            second(col("ts")).cast("long").as("s"),
+            col("value"))
+        // stage 1: roll to the raw ingest granularity (metric-second)
+        val raw = ev.groupBy(col("event_type"), col("day"), col("h"),
+            (col("day") * 86400 + col("h") * 3600 + col("mi") * 60 + col("s")).as("sec_id"))
+          .agg(cnt("pc"), sum(dec(col("value"), 14, 2)).as("ps"))
+        val maxd = raw.agg(max(col("day")).as("maxd"))
+        // stage 2: tier from age, re-aggregate stage-1 partials
+        raw.crossJoin(broadcast(maxd))
+          .withColumn("tier", when(col("maxd") - col("day") < 1, "raw")
+            .when(col("maxd") - col("day") < 7, "hourly").otherwise("daily"))
+          .withColumn("bucket", when(col("tier") === "raw", col("sec_id"))
+            .when(col("tier") === "hourly", col("day") * 24 + col("h"))
+            .otherwise(col("day")))
+          .groupBy(col("event_type"), col("tier"), col("bucket"))
+          .agg(sum(col("pc")).cast("long").as("n"),
+            round(sum(col("ps")), 2).cast("double").as("value_sum"))
+          .orderBy(col("event_type"), col("tier"), col("bucket"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+             |CAST(hour(ts) AS BIGINT) AS h, CAST(minute(ts) AS BIGINT) AS mi,
+             |CAST(second(ts) AS BIGINT) AS s, value FROM events),
+             |raw AS (SELECT event_type, day, h,
+             |day * 86400 + h * 3600 + mi * 60 + s AS sec_id,
+             |count(*) AS pc, sum(CAST(value AS DECIMAL(14,2))) AS ps
+             |FROM ev GROUP BY 1, 2, 3, 4),
+             |m AS (SELECT max(day) AS maxd FROM raw),
+             |tiered AS (SELECT event_type,
+             |CASE WHEN maxd - day < 1 THEN 'raw'
+             |WHEN maxd - day < 7 THEN 'hourly' ELSE 'daily' END AS tier,
+             |CASE WHEN maxd - day < 1 THEN sec_id
+             |WHEN maxd - day < 7 THEN day * 24 + h ELSE day END AS bucket,
+             |pc, ps FROM raw CROSS JOIN m)
+             |SELECT event_type, tier, bucket, CAST(sum(pc) AS BIGINT) AS n,
+             |CAST(round(sum(ps), 2) AS DOUBLE) AS value_sum
+             |FROM tiered GROUP BY 1, 2, 3
+             |ORDER BY event_type, tier, bucket""".stripMargin.replace("\n", " "))))
 }
