@@ -436,6 +436,29 @@ class PlanShapeSpec extends SparkSpec {
       s"words and pairs must explode map-side:\n$plan")
   }
 
+  test("graph_pagerank: persisted graph reused across iterations; ranks never broadcast") {
+    val plan = executedPlan("graph_pagerank")
+    // the three scopedPersisted relations (edges, deg, edgesDeg) must
+    // materialize once each and feed every unrolled iteration — their
+    // scans are distinguished by output column signature (a cached
+    // subtree reprints per consumer, so occurrence counts overstate)
+    val imtsSigs = "InMemoryTableScan \\[[^\\]]*\\]".r.findAllIn(plan).toSet
+    assert(imtsSigs.size >= 3,
+      s"persisted graph relations missing — iterations rebuild the graph:\n$plan")
+    // all six per-iteration joins (3x edgesDeg jo ranks, 3x deg jo contrib)
+    // stay shuffle-side: the rank relation is node-count-sized and must
+    // NEVER broadcast (unbounded at real scale)
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") >= 6,
+      s"a rank-iteration join left the shuffle path:\n$plan")
+    // (a total-broadcast count is NOT pinnable here: the cached subtrees
+    // print their AQE-final plans, where tiny-SF size stats legitimately
+    // convert build-side joins to broadcasts — the >= 6 shuffle-join pin
+    // above is what proves the planner never chose to broadcast ranks)
+    assert(countOf(plan, "CartesianProduct") === 0, s"no cartesian:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"pagerank must not window:\n$plan")
+  }
+
   test("sim_ann_rerank: everything small broadcasts; exact re-rank never shuffles the corpus") {
     val plan = executedPlan("sim_ann_rerank")
     // codebook, probe-cell map, LUT, shortlist, and probe vectors all
