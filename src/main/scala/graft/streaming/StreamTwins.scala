@@ -374,6 +374,52 @@ object StreamTwins {
       .toDF("user_id", "event_id", "level")
   }
 
+  /** agg_sequence_match's streaming form (VERDICT r09 #6) — the CH
+    * sequenceMatch '(?1).*(?2)' (view … purchase, any gap) and the
+    * adjacent variant, as TWO BITS of per-user state plus the previous
+    * event type: seenView = some view occurred strictly before the
+    * current event; prevType = the immediately preceding event's type.
+    * A purchase emits (user, event_id, 1) the FIRST time it lands after
+    * any earlier view and (user, event_id, 2) the first time it lands
+    * immediately after a view, so the batch query's per-user m_any/m_adj
+    * flags are exactly "a row with that flag exists". Identical to the
+    * batch windowed form because events replay in ascending
+    * (ts, event_id) order per user — the same argument as
+    * windowFunnelStream; state survives micro-batch boundaries, so
+    * adjacency across a batch split is preserved.
+    */
+  def sequenceMatchStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(normTs(col("ts"), events)).as("tsu"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[
+        (Boolean, Option[String], Boolean, Boolean), (Long, Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var (seenView, prevType, anyEmitted, adjEmitted) =
+            state.getOption.getOrElse(
+              (false, Option.empty[String], false, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          it.toSeq.sortBy(e => (e._4, e._1)).foreach { case (id, _, tpe, _) =>
+            if (tpe == "purchase") {
+              if (seenView && !anyEmitted) { anyEmitted = true; out += ((user, id, 1)) }
+              if (prevType.contains("view") && !adjEmitted) {
+                adjEmitted = true; out += ((user, id, 2))
+              }
+            }
+            if (tpe == "view") seenView = true
+            prevType = Some(tpe)
+          }
+          state.update((seenView, prevType, anyEmitted, adjEmitted))
+          out.iterator
+        }
+      .toDF("user_id", "event_id", "flag")
+  }
+
   /** join_asof_nearest's streaming form — the interesting one in the
     * as-of family because "nearest" needs FUTURE knowledge: a purchase
     * can't decide between its backward view and a not-yet-seen forward

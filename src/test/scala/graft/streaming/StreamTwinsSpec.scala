@@ -521,4 +521,35 @@ class StreamTwinsSpec extends SparkSpec {
     assert(streamedHist === batchHist,
       "streaming funnel transitions diverge from the batch level histogram")
   }
+
+  test("sequence-match twin over the REAL events table matches the batch counts") {
+    // agg_sequence_match's streaming form appends one row per user the
+    // first time each pattern (view..purchase any-gap, view->purchase
+    // adjacent) completes; distinct users per flag must equal the batch
+    // query's matched_any_gap / matched_adjacent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_seq")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = StreamTwins.sequenceMatchStream(stream)
+      .writeStream.format("memory").queryName("seq_real")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("seq_real").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    val anyUsers = emitted.filter(_._2 == 1).map(_._1).distinct.length.toLong
+    val adjUsers = emitted.filter(_._2 == 2).map(_._1).distinct.length.toLong
+    val batch = graft.Registry.all.toMap.apply("agg_sequence_match")
+      .fn(spark, sf001).collect().head
+    assert(batch.getLong(1) > 0, "fixture must exercise the any-gap pattern")
+    assert(anyUsers === batch.getLong(1),
+      s"any-gap matches diverge: streamed $anyUsers vs batch ${batch.getLong(1)}")
+    assert(adjUsers === batch.getLong(2),
+      s"adjacent matches diverge: streamed $adjUsers vs batch ${batch.getLong(2)}")
+  }
 }
