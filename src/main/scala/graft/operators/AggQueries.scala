@@ -511,13 +511,20 @@ object AggQueries {
     // are unambiguous.
     "agg_group_array" -> QueryDef(
       (spark, dir) => {
+        // CAPPED accumulation (VERDICT r09 #7): graft_group_array_n is a
+        // TypedImperativeAggregate whose buffer is a size-10 max-heap —
+        // per-key state is bounded BEFORE any sort, CH groupArray(N)
+        // semantics, instead of collect_list materializing the whole
+        // per-user history and slicing after. Same declared output
+        // (first 10 event types by (ts, event_id)) bit-for-bit; the
+        // result is partition-order-independent because "N smallest by a
+        // unique key" is a pure function of the input set.
+        graft.plans.GroupArrayN.register(spark)
         t(spark, dir, "events")
-          .select(col("user_id"),
-            struct(col("ts"), col("event_id"), col("event_type")).as("e"))
           .groupBy("user_id")
           .agg(array_join(
-            slice(expr("transform(array_sort(collect_list(e)), x -> x.event_type)"),
-              1, 10), ",").as("first_types"))
+            expr("graft_group_array_n(unix_micros(cast(ts as timestamp)), event_id, event_type, 10)"),
+            ",").as("first_types"))
           .orderBy(col("user_id"))
           .limit(200)
       },

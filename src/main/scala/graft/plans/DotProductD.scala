@@ -109,5 +109,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((DotProductD.ident, DotProductD.info, DotProductD.builder))
     e.injectFunction((SimHash64D.ident, SimHash64D.info, SimHash64D.builder))
     e.injectFunction((SortedIntersectD.ident, SortedIntersectD.info, SortedIntersectD.builder))
+    e.injectFunction((GroupArrayN.ident, GroupArrayN.info, GroupArrayN.builder))
   }
 }
