@@ -436,6 +436,49 @@ class PlanShapeSpec extends SparkSpec {
       s"words and pairs must explode map-side:\n$plan")
   }
 
+  test("agg_approx_percentile: corpus work is two aggregates; windows only over the bounded histogram") {
+    val plan = executedPlan("agg_approx_percentile")
+    // the stats pre-pass and the histogram are both partial+final
+    // aggregates (map-side combine keeps the shuffle bounded); the only
+    // window is the cumulative sum over the <= |types|*256 histogram
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 4,
+      s"stats/histogram lost their partial+final shape:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      s"a second window crept in:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0, s"no cartesian:\n$plan")
+  }
+
+  test("sketch_topk: rank windows run per lane over the post-aggregate vocab, never the corpus") {
+    val plan = executedPlan("sketch_topk")
+    // word counts must combine map-side BEFORE the lane-rank window: the
+    // window's input is the (lane, word, count) aggregate, so an
+    // Exchange on (lane, w) or the count aggregate must sit below it
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"per-word counts lost their partial+final shape:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      s"only the per-lane rank window is allowed:\n$plan")
+    // the final top-20 is a TakeOrdered over <= 40 candidates, never a
+    // global sort exchange
+    assert(countOf(plan, "TakeOrderedAndProject") >= 1,
+      s"global top-k lost its TakeOrdered shape:\n$plan")
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text leaked into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("cdc_graphite_rollup: two chained aggregates, no window, max-day broadcasts") {
+    val plan = executedPlan("cdc_graphite_rollup")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"tiering must not window:\n$plan")
+    // raw-granularity partial+final, then tier-bucket partial+final
+    assert(countOf(plan, "HashAggregate") >= 4,
+      s"the chained aggregate pair lost its shape:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"the max-day scalar must broadcast-join, never cartesian:\n$plan")
+  }
+
   test("graph_pagerank: persisted graph reused across iterations; ranks never broadcast") {
     val plan = executedPlan("graph_pagerank")
     // the three scopedPersisted relations (edges, deg, edgesDeg) must
