@@ -497,6 +497,50 @@ object AggQueries {
              |FROM u""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // ClickHouse sequenceCount('(?1).*(?2)')(ts, view, purchase) — how
+    // many NON-OVERLAPPING view→purchase chains each user completes
+    // (sequenceMatch above answers "at least one?"; this counts them,
+    // restarting the search after each match — the CH automaton). The
+    // automaton is sequential, but for a 2-step pattern it has a closed
+    // windowed form: compress the event stream to view/purchase rows and
+    // count the purchases whose IMMEDIATELY PRECEDING view-or-purchase
+    // event is a view — each such boundary is exactly one automaton
+    // match (extra views while armed are ignored; extra purchases while
+    // disarmed are ignored — both collapse into runs, and matches are
+    // the v-run→p-run adjacencies). One per-user exchange + sort + one
+    // lag window over the pre-filtered rows, then a two-level count —
+    // no self-join, no per-row state, scale shape identical to
+    // agg_sequence_match.
+    "agg_sequence_count" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val vp = t(spark, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+        vp.groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase" && col("prev") === "view", 1L)
+            .otherwise(0L)).as("m"))
+          .agg(cnt("users_total"),
+            sum(col("m")).cast("long").as("seq_count_total"),
+            sum(when(col("m") > 0, 1L).otherwise(0L)).cast("long").as("users_matched"),
+            max(col("m")).cast("long").as("max_per_user"))
+      },
+      Some("""WITH vp AS (
+             |SELECT user_id, event_type,
+             |lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |FROM events WHERE event_type IN ('view', 'purchase')),
+             |u AS (SELECT user_id,
+             |sum(CASE WHEN event_type = 'purchase' AND prev = 'view' THEN 1 ELSE 0 END) AS m
+             |FROM vp GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS users_total,
+             |CAST(sum(m) AS BIGINT) AS seq_count_total,
+             |CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_matched,
+             |CAST(max(m) AS BIGINT) AS max_per_user
+             |FROM u""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // ClickHouse groupArray — ordered array aggregation. collect_list is
     // documented non-deterministic under parallel merge, so the declared
     // form collects (ts, event_id, event_type) STRUCTS and array_sorts
