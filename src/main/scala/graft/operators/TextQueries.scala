@@ -2094,5 +2094,87 @@ object TextQueries {
              |LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
              |WHERE length(w) >= 2)
              |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // The actual BPE TRAINING loop (Sennrich et al. 2016), three merge
+    // rounds unrolled: count adjacent symbol pairs weighted by word
+    // frequency, take the most frequent pair (ties: lexicographic),
+    // merge it everywhere, repeat. text_bpe_pair_counts is one round's
+    // counting step; this is the iteration that actually produces a
+    // merge table — the declared output IS that table (round, pair,
+    // count), i.e. the tokenizer artifact a training pipeline ships.
+    //
+    // Scale shape: exactly how production BPE trainers run — the corpus
+    // crosses ONE exchange (the word-frequency count); every round
+    // after that operates on the VOCAB relation (distinct words ≪
+    // corpus), the per-round argmax is a TakeOrdered over the
+    // alphabet²-bounded pair counts, and the winning pair broadcasts
+    // into the merge step. Merges use a parenthesized symbol encoding
+    // ("(a)(b)(c)"), so replace('(a)(b)' → '(ab)') is the exact
+    // leftmost-non-overlapping merge both engines implement natively —
+    // no UDF, no per-row loop.
+    "text_bpe_merge_iterate" -> QueryDef(
+      (spark, dir) => {
+        val vocab0 = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(cnt("freq"))
+          .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("freq"))
+        def topPair(vocab: DataFrame): DataFrame =
+          vocab.filter(size(col("syms")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] as a, syms[i] as b))"))
+              .as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).cast("long").as("n"))
+            .orderBy(col("n").desc, col("a"), col("b"))
+            .limit(1)
+        def applyMerge(vocab: DataFrame, top: DataFrame): DataFrame =
+          vocab.crossJoin(broadcast(top))
+            .withColumn("s", concat(lit("("), concat_ws(")(", col("syms")), lit(")")))
+            .withColumn("s2", expr(
+              "replace(s, '(' || a || ')(' || b || ')', '(' || a || b || ')')"))
+            .select(expr("split(substring(s2, 2, length(s2) - 2), '\\\\)\\\\(')")
+              .as("syms"), col("freq"))
+        val t1 = topPair(vocab0).scopedPersist()
+        val v1 = applyMerge(vocab0, t1)
+        val t2 = topPair(v1).scopedPersist()
+        val v2 = applyMerge(v1, t2)
+        val t3 = topPair(v2)
+        t1.select(lit(1L).as("round"), col("a").as("left_sym"),
+            col("b").as("right_sym"), col("n").as("pair_count"))
+          .unionAll(t2.select(lit(2L).as("round"), col("a"), col("b"), col("n")))
+          .unionAll(t3.select(lit(3L).as("round"), col("a"), col("b"), col("n")))
+          .orderBy(col("round"))
+      },
+      Some("""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+             |v0 AS (SELECT list_filter(string_split(w, ''), x -> x <> '') AS syms, freq FROM wc),
+             |p1 AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, freq
+             |FROM v0, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+             |WHERE len(syms) >= 2),
+             |t1 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p1
+             |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+             |v1 AS (SELECT string_split(substr(s2, 2, length(s2) - 2), ')(') AS syms, freq FROM (
+             |SELECT replace('(' || array_to_string(syms, ')(') || ')',
+             |'(' || a || ')(' || b || ')', '(' || a || b || ')') AS s2, freq
+             |FROM v0 CROSS JOIN t1)),
+             |p2 AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, freq
+             |FROM v1, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+             |WHERE len(syms) >= 2),
+             |t2 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p2
+             |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+             |v2 AS (SELECT string_split(substr(s2, 2, length(s2) - 2), ')(') AS syms, freq FROM (
+             |SELECT replace('(' || array_to_string(syms, ')(') || ')',
+             |'(' || a || ')(' || b || ')', '(' || a || b || ')') AS s2, freq
+             |FROM v1 CROSS JOIN t2)),
+             |p3 AS (SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, freq
+             |FROM v2, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+             |WHERE len(syms) >= 2),
+             |t3 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p3
+             |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)
+             |SELECT 1 AS round, a AS left_sym, b AS right_sym, n AS pair_count FROM t1
+             |UNION ALL SELECT 2, a, b, n FROM t2
+             |UNION ALL SELECT 3, a, b, n FROM t3
+             |ORDER BY round""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
