@@ -2176,5 +2176,103 @@ object TextQueries {
              |UNION ALL SELECT 2, a, b, n FROM t2
              |UNION ALL SELECT 3, a, b, n FROM t3
              |ORDER BY round""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Quality-bucketed curriculum mixing — the composition a training-mix
+    // pipeline actually runs: score every document (text_quality_score's
+    // formula), find per-language quality TERCILES from the bounded
+    // histogram sketch (the agg_approx_percentile machinery — never a
+    // corpus sort), then keep 10% of the low bucket, 50% of mid, 100%
+    // of high via the deterministic portable-hash gate
+    // (sample_stratified's membership trick). Declared output: the mix
+    // accounting per (lang, bucket) — candidates, kept, target rate.
+    //
+    // Scale shape: scoring is map-only; the histogram shuffle is
+    // ≤ |langs|·64 rows (map-side combined) and the cumulative window
+    // runs per lang over that bounded relation; thresholds broadcast
+    // back; the keep decision is a stateless hash compare, so the
+    // corpus crosses exactly ONE exchange (the final per-(lang, bucket)
+    // count). No sort of the corpus anywhere.
+    "sample_quality_mix" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stops = inList(Stopwords)
+        val score = s"0.5 * least(1.0, cast(n_chars as double) / 500.0) + " +
+          s"0.5 * (cast(size(filter(w, x -> x IN $stops)) as double) / cast(size(w) as double))"
+        val scored = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"),
+            expr(s"cast(${proundSql(score, 4)} as double)").as("q"))
+          .scopedPersist()
+        val stats = scored.groupBy("lang")
+          .agg(min(col("q")).as("mn"), max(col("q")).as("mx"), cnt("n"))
+        val hist = scored
+          .join(broadcast(stats.select(col("lang"), col("mn"), col("mx"))), Seq("lang"))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(floor(((col("q") - col("mn")) / (col("mx") - col("mn"))) * 64),
+              lit(63L))).otherwise(0L).cast("int"))
+          .groupBy("lang", "bin").agg(cnt("c"))
+        val cum = hist.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("lang").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val th = cum
+          .join(broadcast(stats.select(col("lang"), col("n"))), Seq("lang"))
+          .groupBy("lang")
+          .agg(min(when(col("cum") >= ceil(col("n") / 3.0), col("bin"))).as("b33"),
+            min(when(col("cum") >= ceil(col("n") * 2.0 / 3.0), col("bin"))).as("b66"))
+          .join(stats.select(col("lang"), col("mn"), col("mx")), Seq("lang"))
+          .select(col("lang"),
+            (col("mn") + ((col("mx") - col("mn")) / 64)
+              * (col("b33").cast("double") + 0.5)).as("t33"),
+            (col("mn") + ((col("mx") - col("mn")) / 64)
+              * (col("b66").cast("double") + 0.5)).as("t66"))
+        scored.join(broadcast(th), Seq("lang"))
+          .withColumn("bucket", when(col("q") < col("t33"), "low")
+            .when(col("q") < col("t66"), "mid").otherwise("high"))
+          .withColumn("rate", when(col("bucket") === "low", 10L)
+            .when(col("bucket") === "mid", 50L).otherwise(100L))
+          .withColumn("keep",
+            expr(s"${hx("cast(doc_id as string)")} % 100") < col("rate"))
+          .groupBy("lang", "bucket")
+          .agg(cnt("docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            max(col("rate")).cast("long").as("target_pct"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some {
+        val scoreDuck = "0.5 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0) + " +
+          "0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN " +
+          inList(Stopwords) + ")) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+        s"""WITH scored AS (SELECT doc_id, lang,
+           |CAST(${proundSql(scoreDuck, 4)} AS DOUBLE) AS q FROM documents),
+           |st AS (SELECT lang, min(q) AS mn, max(q) AS mx,
+           |CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY lang),
+           |h AS (SELECT scored.lang,
+           |CAST(CASE WHEN mx > mn
+           |THEN least(floor(((q - mn) / (mx - mn)) * 64), 63) ELSE 0 END AS INT) AS bin,
+           |CAST(count(*) AS BIGINT) AS c
+           |FROM scored JOIN st ON scored.lang = st.lang GROUP BY 1, 2),
+           |cum AS (SELECT lang, bin, sum(c) OVER (PARTITION BY lang ORDER BY bin
+           |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+           |b AS (SELECT cum.lang,
+           |min(CASE WHEN cum >= ceil(n / 3.0) THEN bin END) AS b33,
+           |min(CASE WHEN cum >= ceil(n * 2.0 / 3.0) THEN bin END) AS b66
+           |FROM cum JOIN st ON cum.lang = st.lang GROUP BY 1),
+           |th AS (SELECT b.lang,
+           |mn + ((mx - mn) / 64) * (CAST(b33 AS DOUBLE) + 0.5) AS t33,
+           |mn + ((mx - mn) / 64) * (CAST(b66 AS DOUBLE) + 0.5) AS t66
+           |FROM b JOIN st ON b.lang = st.lang),
+           |asg AS (SELECT scored.lang, doc_id, q,
+           |CASE WHEN q < t33 THEN 'low' WHEN q < t66 THEN 'mid' ELSE 'high' END AS bucket
+           |FROM scored JOIN th ON scored.lang = th.lang),
+           |r AS (SELECT lang, doc_id, bucket,
+           |CASE bucket WHEN 'low' THEN 10 WHEN 'mid' THEN 50 ELSE 100 END AS rate
+           |FROM asg)
+           |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(CASE WHEN ${hxDuck("CAST(doc_id AS VARCHAR)")} % 100 < rate
+           |THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           |CAST(max(rate) AS BIGINT) AS target_pct
+           |FROM r GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
