@@ -374,6 +374,45 @@ object StreamTwins {
       .toDF("user_id", "event_id", "level")
   }
 
+  /** cdc_graphite_rollup's streaming form — STAGE 1 (raw-granularity
+    * partials) as continuously-maintained per-key state: key =
+    * (event_type, day, hour, second-id), state = (count, exact cents),
+    * emitted on every update. Stage 2 (age tiering) deliberately stays a
+    * READ-SIDE view over this state — a row's tier changes as the
+    * max-day frontier advances, which per-key state cannot see; that is
+    * exactly how GraphiteMergeTree itself behaves (rows retier at
+    * merge/read time, not at insert time). The cents encoding is the
+    * summingRollupStream trick: DECIMAL(14,2)·100 accumulated as Long,
+    * so tier sums reproduce the batch round(sum(decimal), 2) → double
+    * bit-for-bit under any batch slicing.
+    */
+  def graphiteRawStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), normTs(col("ts"), events).as("tst"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .select(col("event_type"),
+        datediff(col("tst").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"),
+        hour(col("tst")).cast("long").as("h"),
+        (datediff(col("tst").cast("date"), lit("1995-01-01").cast("date")).cast("long") * 86400
+          + hour(col("tst")).cast("long") * 3600
+          + minute(col("tst")).cast("long") * 60
+          + second(col("tst")).cast("long")).as("sec_id"),
+        col("cents"))
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(e => (e._1, e._2, e._3, e._4))
+      .mapGroupsWithState[(Long, Long), (String, Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { case ((tpe, day, h, secId), it, state) =>
+          var (pc, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { e => pc += 1; cents += e._5 }
+          state.update((pc, cents))
+          (tpe, day, h, secId, pc, cents)
+        }
+      .toDF("event_type", "day", "h", "sec_id", "pc", "cents")
+  }
+
   /** agg_sequence_match's streaming form (VERDICT r09 #6) — the CH
     * sequenceMatch '(?1).*(?2)' (view … purchase, any gap) and the
     * adjacent variant, as TWO BITS of per-user state plus the previous

@@ -552,4 +552,49 @@ class StreamTwinsSpec extends SparkSpec {
     assert(adjUsers === batch.getLong(2),
       s"adjacent matches diverge: streamed $adjUsers vs batch ${batch.getLong(2)}")
   }
+
+  test("graphite raw-partial twin over the REAL events table retiers to the batch rollup") {
+    // the stream maintains stage-1 raw partials; applying the batch
+    // query's stage-2 tiering over the CONVERGED state must reproduce
+    // cdc_graphite_rollup exactly (the read-side retier is the
+    // GraphiteMergeTree merge-time semantic).
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sf001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_graphite")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events_000.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = StreamTwins.graphiteRawStream(stream)
+      .writeStream.format("memory").queryName("graphite_raw")
+      .outputMode("update")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // converged state = the last emission per key
+    val raw = spark.table("graphite_raw")
+      .groupBy("event_type", "day", "h", "sec_id")
+      .agg(last(col("pc")).as("pc"), last(col("cents")).as("cents"))
+    val maxd = raw.agg(max(col("day")).as("maxd"))
+    val streamed = raw.crossJoin(broadcast(maxd))
+      .withColumn("tier", when(col("maxd") - col("day") < 1, "raw")
+        .when(col("maxd") - col("day") < 7, "hourly").otherwise("daily"))
+      .withColumn("bucket", when(col("tier") === "raw", col("sec_id"))
+        .when(col("tier") === "hourly", col("day") * 24 + col("h"))
+        .otherwise(col("day")))
+      .groupBy("event_type", "tier", "bucket")
+      .agg(sum(col("pc")).cast("long").as("n"),
+        (sum(col("cents")).cast("double") / 100.0).as("value_sum"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val batch = graft.Registry.all.toMap.apply("cdc_graphite_rollup")
+      .fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(batch.nonEmpty && batch.keySet.exists(_._2 == "raw"))
+    assert(streamed === batch,
+      "retiered streaming partials diverge from the batch rollup")
+  }
 }
