@@ -497,6 +497,58 @@ object AggQueries {
              |FROM u""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // ClickHouse retention(cond1, cond2, …) — the stepwise cohort
+    // aggregate: per user, flag[0] = anchor condition ever true (viewed
+    // in week 0 of the corpus), flag[i>0] = anchor AND condition i
+    // (clicked in week 1 / purchased in week 2) — CH multiplies every
+    // later flag by the anchor, so a user who clicked but never viewed
+    // counts for nothing. Summing the flags gives the retention funnel
+    // agg_retention_cohorts generalizes; this is the CH signature form.
+    // Scale shape: the min-day frontier is one scalar aggregate
+    // broadcast back; per-user flags are one combinable max-aggregate
+    // pass; the final sums are a second bounded aggregate. No window,
+    // no join beyond the scalar, two exchanges total.
+    "agg_retention_flags" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+              .cast("long").as("day"))
+        val mind = ev.agg(min(col("day")).as("mind"))
+        ev.crossJoin(broadcast(mind))
+          .withColumn("off", col("day") - col("mind"))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "view"
+              && col("off") >= 0 && col("off") < 7, 1L).otherwise(0L)).as("f0"),
+            max(when(col("event_type") === "click"
+              && col("off") >= 7 && col("off") < 14, 1L).otherwise(0L)).as("f1"),
+            max(when(col("event_type") === "purchase"
+              && col("off") >= 14 && col("off") < 21, 1L).otherwise(0L)).as("f2"))
+          .agg(cnt("users_total"),
+            sum(col("f0")).cast("long").as("r0"),
+            sum(col("f0") * col("f1")).cast("long").as("r1"),
+            sum(col("f0") * col("f2")).cast("long").as("r2"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+             |FROM events),
+             |m AS (SELECT min(day) AS mind FROM ev),
+             |u AS (SELECT user_id,
+             |max(CASE WHEN event_type = 'view' AND day - mind >= 0 AND day - mind < 7
+             |THEN 1 ELSE 0 END) AS f0,
+             |max(CASE WHEN event_type = 'click' AND day - mind >= 7 AND day - mind < 14
+             |THEN 1 ELSE 0 END) AS f1,
+             |max(CASE WHEN event_type = 'purchase' AND day - mind >= 14 AND day - mind < 21
+             |THEN 1 ELSE 0 END) AS f2
+             |FROM ev CROSS JOIN m GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS users_total,
+             |CAST(sum(f0) AS BIGINT) AS r0,
+             |CAST(sum(f0 * f1) AS BIGINT) AS r1,
+             |CAST(sum(f0 * f2) AS BIGINT) AS r2
+             |FROM u""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // ClickHouse sequenceCount('(?1).*(?2)')(ts, view, purchase) — how
     // many NON-OVERLAPPING view→purchase chains each user completes
     // (sequenceMatch above answers "at least one?"; this counts them,
@@ -539,6 +591,43 @@ object AggQueries {
              |CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_matched,
              |CAST(max(m) AS BIGINT) AS max_per_user
              |FROM u""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // ClickHouse deltaSum — the monotone-increase accumulator for
+    // counter-style series (how much did the value RISE, ignoring
+    // resets/drops): per (user, type) series ordered by (ts, event_id),
+    // sum only the positive step-to-step differences. One lag window
+    // over a single (user_id, event_type) exchange+sort, differences
+    // taken in DECIMAL(14,2) so the sum is exact and partition-order
+    // free, then one bounded per-type aggregate — no self-join (the
+    // naive form pairs each row with its successor).
+    "agg_delta_sum" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            dec(col("value"), 14, 2).as("v"))
+          .withColumn("d", col("v") - lag(col("v"), 1).over(w))
+          .groupBy("event_type")
+          .agg(
+            round(sum(when(col("d") > 0, col("d")).otherwise(lit(0).cast("decimal(14,2)"))), 2)
+              .cast("double").as("delta_sum"),
+            sum(when(col("d") > 0, 1L).otherwise(0L)).cast("long").as("n_rises"),
+            cnt("n_rows"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH s AS (SELECT event_type,
+             |CAST(value AS DECIMAL(14,2)) -
+             |lag(CAST(value AS DECIMAL(14,2)), 1)
+             |OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS d
+             |FROM events)
+             |SELECT event_type,
+             |CAST(round(sum(CASE WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS delta_sum,
+             |CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rises,
+             |CAST(count(*) AS BIGINT) AS n_rows
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
     // ClickHouse groupArray — ordered array aggregation. collect_list is

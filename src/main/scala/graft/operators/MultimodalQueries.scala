@@ -105,5 +105,79 @@ object MultimodalQueries {
            |FROM f a JOIN f b ON a.asset_id < 5 AND b.asset_id <> a.asset_id)
            |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Perceptual-hash near-dup over the media lane — the image/video
+    // dedup step every multimodal corpus runs (pHash-style): binarize
+    // each asset's feature vector against its own mean into a 16-bit
+    // fingerprint, band the fingerprint (2 bands × 8 bits), pair up
+    // bucket-mates, verify by Hamming distance. Declared output: the
+    // near-dup pair histogram by distance ≤ 4 — the calibration view a
+    // dedup threshold is chosen from. The encoder is the documented
+    // md5-derived stub; the PIPELINE (binary → features → fingerprint →
+    // banded self-join → Hamming verify) is the contract and is
+    // hash-checked end-to-end.
+    //
+    // Scale shape: the dedup_simhash_pairs shape on the media lane —
+    // fingerprints are one map pass (two sequential folds inside
+    // codegen); the self-join keys on (band, bucket) so only
+    // bucket-mates meet; hot buckets (> 200 members) are EXCLUDED via a
+    // broadcast semi-join against the bounded (≤ 2·256-row) bucket-size
+    // relation — the banded-LSH cap knob, documented as such. At
+    // production scale the fingerprint is 64-bit with 16-bit bands; the
+    // 16-bit stub keeps the declared constant oracle-checkable.
+    "multimodal_dedup_phash" -> QueryDef(
+      (spark, dir) => {
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "text")
+        val fp = graft.multimodal.Multimodal.stubFeatures(assets)
+          .withColumn("fv", expr("transform(features, x -> cast(x as double))"))
+          .withColumn("m", expr("aggregate(fv, 0D, (a, x) -> a + x) / 16.0"))
+          .withColumn("fp", expr(
+            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + IF(fv[i] > m, shiftleft(1L, cast(i as int)), 0L))"))
+          .select(col("asset_id"), col("fp"))
+          .scopedPersist()
+        val bands = fp
+          .select(col("asset_id"), col("fp"), explode(expr("sequence(0, 1)")).as("b"))
+          .withColumn("nib", expr("shiftright(fp, cast(b * 8 as int)) & 255"))
+        val sized = bands.groupBy("b", "nib").agg(cnt("sz"))
+        val kept = bands.join(broadcast(sized.filter(col("sz") <= 200)),
+          Seq("b", "nib"), "left_semi")
+        val pairs = kept.select(col("b"), col("nib"),
+            col("asset_id").as("a1"), col("fp").as("f1"))
+          .join(kept.select(col("b"), col("nib"),
+            col("asset_id").as("a2"), col("fp").as("f2")), Seq("b", "nib"))
+          .filter(col("a1") < col("a2"))
+          .select("a1", "a2", "f1", "f2").distinct()
+        pairs
+          .withColumn("d", expr("bit_count(f1 ^ f2)").cast("long"))
+          .filter(col("d") <= 4)
+          .groupBy("d").agg(cnt("n_pairs"))
+          .orderBy(col("d"))
+      },
+      Some {
+        val lanes = (0 until 16).map { i =>
+          s"CAST(CAST(CAST('0x' || substr(md5(text), ${(i % 7) * 4 + 1}, 4) AS BIGINT) / 65535.0 AS REAL) AS DOUBLE)"
+        }
+        val msum = lanes.mkString("(", " + ", ") / 16.0")
+        val fpSum = lanes.zipWithIndex
+          .map { case (l, i) => s"CASE WHEN $l > m THEN ${1L << i} ELSE 0 END" }
+          .mkString(" + ")
+        s"""WITH f AS (SELECT doc_id AS asset_id, CAST($fpSum AS BIGINT) AS fp
+           |FROM (SELECT doc_id, text, $msum AS m FROM documents)),
+           |bands AS (SELECT asset_id, fp, b, (fp >> (b * 8)) & 255 AS nib
+           |FROM f CROSS JOIN (SELECT unnest([0, 1]) AS b)),
+           |sized AS (SELECT b, nib, count(*) AS sz FROM bands GROUP BY 1, 2),
+           |kept AS (SELECT bands.* FROM bands JOIN sized
+           |ON bands.b = sized.b AND bands.nib = sized.nib AND sized.sz <= 200),
+           |pairs AS (SELECT DISTINCT x.asset_id AS a1, y.asset_id AS a2,
+           |x.fp AS f1, y.fp AS f2
+           |FROM kept x JOIN kept y ON x.b = y.b AND x.nib = y.nib
+           |AND x.asset_id < y.asset_id)
+           |SELECT CAST(bit_count(xor(f1, f2)) AS BIGINT) AS d,
+           |CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs WHERE bit_count(xor(f1, f2)) <= 4
+           |GROUP BY 1 ORDER BY d""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

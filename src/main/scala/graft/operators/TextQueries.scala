@@ -2096,6 +2096,40 @@ object TextQueries {
              |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin.replace("\n", " ")),
       tier = "E"),
 
+    // ClickHouse topKWeighted — the weighted space-saving variant of
+    // sketch_topk: candidates rank by an integer WEIGHT sum (here the
+    // containing document's n_chars — "which words dominate by volume")
+    // instead of plain occurrence counts. Same deterministic lane
+    // construction and the same bounded-state argument: 8 lanes × 5
+    // slots, a word's whole weight lives in one lane so candidate
+    // weights are exact, approximation is pure truncation, per-word
+    // weight sums combine map-side, the only window runs per lane over
+    // the post-aggregate vocab, and the final top-20 is a TakeOrdered.
+    "sketch_topk_weighted" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counted = t(spark, dir, "documents")
+          .select(col("n_chars"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("lane", expr(hx("concat('topk|', w)")) % 8)
+          .groupBy("lane", "w")
+          .agg(sum(col("n_chars")).cast("long").as("wt"))
+        val lw = Window.partitionBy("lane").orderBy(col("wt").desc, col("w"))
+        counted
+          .withColumn("rn", row_number().over(lw))
+          .filter(col("rn") <= 5)
+          .orderBy(col("wt").desc, col("w")).limit(20)
+          .select(col("w").as("word"), col("wt").as("weight"))
+      },
+      Some(s"""WITH w AS (SELECT n_chars, unnest(string_split(text, ' ')) AS w FROM documents),
+              |lc AS (SELECT (${hxDuck("'topk|' || w")}) % 8 AS lane, w,
+              |CAST(sum(n_chars) AS BIGINT) AS wt FROM w GROUP BY 1, 2),
+              |cand AS (SELECT w, wt FROM (
+              |SELECT w, wt, row_number() OVER (PARTITION BY lane ORDER BY wt DESC, w) AS rn
+              |FROM lc) WHERE rn <= 5)
+              |SELECT w AS word, wt AS weight FROM cand
+              |ORDER BY wt DESC, w LIMIT 20""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // The actual BPE TRAINING loop (Sennrich et al. 2016), three merge
     // rounds unrolled: count adjacent symbol pairs weighted by word
     // frequency, take the most frequent pair (ties: lexicographic),

@@ -246,5 +246,45 @@ object WindowQueries {
              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
              |FROM events)
              |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // RANGE frame over event TIME — the frame shape every declared
+    // window so far lacks (all are ROWS frames): per user, the trailing
+    // ONE HOUR of activity, i.e. "events and spend in the last hour at
+    // each event". ROWS frames can't express this (row counts ≠ time
+    // spans); RANGE over an integer seconds key can, identically on
+    // both engines (the portable day/hour/min/sec arithmetic — no
+    // interval types). Peers with the same second share one frame, so
+    // the output is deterministic without an event_id tiebreak in the
+    // ORDER. Scale shape: one user_id exchange + per-partition sort —
+    // the same single-shuffle profile as every other window here; the
+    // frame bound is evaluated inside the window operator, no
+    // self-join (the naive form is events x events on a time predicate).
+    "win_range_frame" -> QueryDef(
+      (spark, dir) => {
+        val secs = (datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long") * 86400 + hour(col("ts")).cast("long") * 3600
+          + minute(col("ts")).cast("long") * 60 + second(col("ts")).cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("secs")
+          .rangeBetween(-3600L, Window.currentRow)
+        events(spark, dir)
+          .withColumn("secs", secs)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).cast("long").as("n_1h"),
+            pround(sum(dec(col("value"), 14, 2)).over(w).cast("double"), 2).as("sum_1h"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some(s"""SELECT event_id, user_id, n_1h, sum_1h FROM (
+             |SELECT event_id, user_id,
+             |CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |${proundSql("CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)", 2)} AS sum_1h
+             |FROM (SELECT event_id, user_id, value,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) * 86400
+             | + CAST(hour(ts) AS BIGINT) * 3600 + CAST(minute(ts) AS BIGINT) * 60
+             | + CAST(second(ts) AS BIGINT) AS secs FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY secs
+             |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+             |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
