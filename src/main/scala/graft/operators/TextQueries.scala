@@ -2149,10 +2149,15 @@ object TextQueries {
     // no UDF, no per-row loop.
     "text_bpe_merge_iterate" -> QueryDef(
       (spark, dir) => {
+        // persisted: every vocab relation below is read TWICE (pair
+        // count + merge step) — without the persist the corpus-sized
+        // word count would re-execute once per consumer, four corpus
+        // scans instead of the one the scale contract claims
         val vocab0 = t(spark, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(cnt("freq"))
           .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("freq"))
+          .scopedPersist()
         def topPair(vocab: DataFrame): DataFrame =
           vocab.filter(size(col("syms")) >= 2)
             .select(col("freq"), explode(expr(
@@ -2170,9 +2175,9 @@ object TextQueries {
             .select(expr("split(substring(s2, 2, length(s2) - 2), '\\\\)\\\\(')")
               .as("syms"), col("freq"))
         val t1 = topPair(vocab0).scopedPersist()
-        val v1 = applyMerge(vocab0, t1)
+        val v1 = applyMerge(vocab0, t1).scopedPersist()
         val t2 = topPair(v1).scopedPersist()
-        val v2 = applyMerge(v1, t2)
+        val v2 = applyMerge(v1, t2).scopedPersist()
         val t3 = topPair(v2)
         t1.select(lit(1L).as("round"), col("a").as("left_sym"),
             col("b").as("right_sym"), col("n").as("pair_count"))

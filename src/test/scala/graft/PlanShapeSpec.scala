@@ -479,6 +479,39 @@ class PlanShapeSpec extends SparkSpec {
       s"the max-day scalar must broadcast-join, never cartesian:\n$plan")
   }
 
+  test("win_range_frame: one per-user exchange, no time self-join") {
+    val plan = executedPlan("win_range_frame")
+    assert(countOf(plan, "Exchange hashpartitioning\\(user_id") === 1,
+      s"the RANGE frame must ride ONE user_id shuffle:\n$plan")
+    assert(countOf(plan, "Join") === 0,
+      s"time-window sums must not self-join:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global window allowed:\n$plan")
+  }
+
+  test("agg_delta_sum: one series exchange feeds the lag window, then bounded aggs") {
+    val plan = executedPlan("agg_delta_sum")
+    assert(countOf(plan, "Exchange hashpartitioning\\(user_id[^,)]*, event_type") === 1,
+      s"the lag window must ride ONE (user, type) shuffle:\n$plan")
+    assert(countOf(plan, "Join") === 0, s"deltas must not self-join:\n$plan")
+    assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+      s"per-type sums lost their partial+final shape:\n$plan")
+  }
+
+  test("multimodal_dedup_phash: asset bytes never shuffle; cap is a broadcast semi-join") {
+    val plan = executedPlan("multimodal_dedup_phash")
+    // fingerprints are computed map-side; every exchange carries only
+    // (asset_id, fp, band, bucket) narrow rows — the binary payload and
+    // the feature arrays must never cross a shuffle
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("bytes") && !e.contains("features")),
+      s"media payload leaked into a shuffle:\n${exchanges.mkString("\n")}")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"bucket-mate pairing must key on (band, bucket):\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"the hot-bucket cap must be a broadcast semi-join:\n$plan")
+  }
+
   test("graph_pagerank: persisted graph reused across iterations; ranks never broadcast") {
     val plan = executedPlan("graph_pagerank")
     // the three scopedPersisted relations (edges, deg, edgesDeg) must
