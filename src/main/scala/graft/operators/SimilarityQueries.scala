@@ -38,6 +38,74 @@ object SimilarityQueries {
     t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
   }
 
+  // ------------------------------------------------------------------
+  // Shared IVF/PQ index builds (the graph-build precedent): the IVF
+  // centroid assignment is built IDENTICALLY by sim_ivf_topk,
+  // sim_ivf_nprobe, and dedup_semantic (and sim_ann_rerank derives its
+  // cell map from it), and the PQ code table identically by sim_pq_adc
+  // and sim_ann_rerank — each a full corpus pass re-run per query per
+  // harness pass. Under `graft.shared.pipeline` each builds once per
+  // (session, partitions, sf) and is localCheckpoint'ed
+  // session-lifetime; un-shared every query keeps its inline
+  // scopedPersist plan. Values identical by construction — the build IS
+  // the expression chain the queries previously inlined.
+  // ------------------------------------------------------------------
+
+  private val simCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def sharedOr(spark: SparkSession, key: String, dir: String)
+                      (build: => DataFrame): DataFrame =
+    if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) scopedPersist(build)
+    else simCache.synchronized {
+      simCache.getOrElseUpdate(
+        (spark, dir + "#" + key, spark.conf.get("spark.sql.shuffle.partitions", "")),
+        build.localCheckpoint(true))
+    }
+
+  /** Corpus IVF assignment `(vec_id, cid, v, nv)` — the broadcast-
+    * centroid max_by aggregate shared by the IVF family.
+    */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    sharedOr(spark, "ivf", dir) {
+      val cents = vecs(spark, dir)
+        .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          sqrt(gdot("embedding", "embedding")).as("cn"))
+      vecs(spark, dir)
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", pround(
+          gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cid"), col("embedding").as("v")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
+        .withColumn("nv", sqrt(gdot("v", "v")))
+    }
+
+  /** Corpus PQ code table `(vec_id, m, code)` — the broadcast-codebook
+    * min_by aggregate shared by the ADC family.
+    */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    sharedOr(spark, "pq", dir) {
+      val M = 4
+      val sub = expr("slice(embedding, m * 16 + 1, 16)")
+      val cb = vecs(spark, dir)
+        .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+        .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+        .select(col("vec_id").as("ccid"), col("m"), sub.as("csub"))
+        .withColumn("cc", gdot("csub", "csub"))
+      vecs(spark, dir)
+        .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
+        .withColumn("sub", sub)
+        .withColumn("ss", gdot("sub", "sub"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("pd", pround(
+          col("ss") - lit(2.0) * gdot("sub", "csub") + col("cc"), 9))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("ccid"), struct(col("pd"), col("ccid"))).as("code"))
+    }
+
   /** The LSH-bucketed ANN pipeline (see `ann_lsh_topk` for the full scale
     * rationale): 4 fixed hyperplanes → 16 sign buckets, probes search only
     * their own bucket, per-probe top-3. Shared by the declared query and
@@ -98,29 +166,17 @@ object SimilarityQueries {
       .filter(col("vec_id") >= 480 && col("vec_id") < 490)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         sqrt(gdot("embedding", "embedding")).as("cn"))
-    // (1) IVF cell per vector — pround(9)'d csim so a last-ulp fold
-    // divergence can't flip an assignment (the sim_ivf_topk argument)
-    val assigned = vecs(spark, dir)
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", pround(
-        gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"))
-    // (2) PQ codes per (vector, subspace)
-    val withM = vecs(spark, dir)
-      .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
-      .withColumn("sub", sub)
-      .withColumn("ss", gdot("sub", "sub"))
+    // (1) IVF cell per vector — the shared assignment build (the winning
+    // (cid, v) row is the same whichever payload the max_by carries)
+    val assigned = ivfAssigned(spark, dir).select(col("vec_id"), col("cid"))
+    // (2) PQ codes per (vector, subspace) — the shared code table; the
+    // codebook rebuilds inline (40 bounded rows) for the LUT below
     val cb = vecs(spark, dir)
       .filter(col("vec_id") >= 480 && col("vec_id") < 490)
       .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
       .select(col("vec_id").as("ccid"), col("m"), sub.as("csub"))
       .withColumn("cc", gdot("csub", "csub"))
-    val codes = withM.join(broadcast(cb), Seq("m"))
-      .withColumn("pd", pround(
-        col("ss") - lit(2.0) * gdot("sub", "csub") + col("cc"), 9))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("ccid"), struct(col("pd"), col("ccid"))).as("code"))
+    val codes = pqCodes(spark, dir)
     // cell id + codes in one narrow corpus relation; both inputs are
     // aggregates already hashed by vec_id, so this join adds no exchange
     val enc = codes.join(assigned, Seq("vec_id"))
@@ -213,10 +269,6 @@ object SimilarityQueries {
     // all-pairs.
     "sim_ivf_topk" -> QueryDef(
       (spark, dir) => {
-        val cents = vecs(spark, dir)
-          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-            sqrt(gdot("embedding", "embedding")).as("cn"))
         // persist: probes and candidate lists both derive from `assigned`.
         // Centroid argmax is ONE partial+final max_by aggregate: ordering
         // key (csim, -cid) keeps the max similarity and breaks exact ties
@@ -232,16 +284,8 @@ object SimilarityQueries {
         // bit-identical-fold assumption: a last-ulp divergence on a
         // near-tie cannot flip the assignment, because within 1e-9 the
         // two sides see the SAME rounded value and break the tie on cid.
-        val assigned = vecs(spark, dir)
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", pround(
-            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
-          .groupBy("vec_id")
-          .agg(max_by(struct(col("cid"), col("embedding").as("v")),
-            struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
-          .withColumn("nv", sqrt(gdot("v", "v")))
-          .scopedPersist()
+        // (Build shared with the IVF family via [[ivfAssigned]].)
+        val assigned = ivfAssigned(spark, dir)
         val probes = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe"), col("cid").as("pcid"),
             col("v").as("pv"), col("nv").as("pn"))
@@ -286,16 +330,8 @@ object SimilarityQueries {
           .filter(col("vec_id") >= 480 && col("vec_id") < 490)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"),
             sqrt(gdot("embedding", "embedding")).as("cn"))
-        val assigned = vecs(spark, dir)
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", pround(
-            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
-          .groupBy("vec_id")
-          .agg(max_by(struct(col("cid"), col("embedding").as("v")),
-            struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
-          .withColumn("nv", sqrt(gdot("v", "v")))
-          .scopedPersist()
+        // corpus assignment shared with the IVF family ([[ivfAssigned]])
+        val assigned = ivfAssigned(spark, dir)
         // probe → its 2 nearest cells: a bounded (#probes × K) relation;
         // the rank window partitions by probe (pround(9)'d csim, cid
         // tie-break — same portability argument as the assignment argmax).
@@ -452,20 +488,8 @@ object SimilarityQueries {
     // members co-locate once; drops rejoin on vec_id.
     "dedup_semantic" -> QueryDef(
       (spark, dir) => {
-        val cents = vecs(spark, dir)
-          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-            sqrt(gdot("embedding", "embedding")).as("cn"))
-        val assigned = vecs(spark, dir)
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", pround(
-            gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
-          .groupBy("vec_id")
-          .agg(max_by(struct(col("cid"), col("embedding").as("v")),
-            struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
-          .withColumn("nv", sqrt(gdot("v", "v")))
-          .scopedPersist()
+        // corpus assignment shared with the IVF family ([[ivfAssigned]])
+        val assigned = ivfAssigned(spark, dir)
         val a = assigned.select(col("cid"), col("vec_id").as("v1"),
           col("v").as("e1"), col("nv").as("n1"))
         val b = assigned.select(col("cid"), col("vec_id").as("v2"),
@@ -711,20 +735,14 @@ object SimilarityQueries {
         import org.apache.spark.sql.types.DecimalType
         val M = 4
         val sub = expr("slice(embedding, m * 16 + 1, 16)")
-        val withM = vecs(spark, dir)
-          .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
-          .withColumn("sub", sub)
-          .withColumn("ss", gdot("sub", "sub"))
+        // corpus code table shared with sim_ann_rerank ([[pqCodes]]);
+        // the 40-row codebook rebuilds inline for the LUT
         val cb = vecs(spark, dir)
           .filter(col("vec_id") >= 480 && col("vec_id") < 490)
           .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
           .select(col("vec_id").as("cid"), col("m"), sub.as("csub"))
           .withColumn("cc", gdot("csub", "csub"))
-        val codes = withM.join(broadcast(cb), Seq("m"))
-          .withColumn("pd", pround(
-            col("ss") - lit(2.0) * gdot("sub", "csub") + col("cc"), 9))
-          .groupBy("vec_id", "m")
-          .agg(min_by(col("cid"), struct(col("pd"), col("cid"))).as("code"))
+        val codes = pqCodes(spark, dir)
         val lut = vecs(spark, dir)
           .filter(col("vec_id") < 5)
           .withColumn("m", explode(array((0 until M).map(lit(_)): _*)))
