@@ -821,5 +821,185 @@ object AggQueries {
              |${proundSql("mn + ((mx - mn) / 256) * (CAST(b90 AS DOUBLE) + 0.5)", 2)} AS approx_p90, exact_p90
              |FROM est JOIN st ON est.event_type = st.event_type
              |ORDER BY st.event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // CH argMin/argMax signatures: the companion-column value at each
+    // group's extremum. Native min_by/max_by (and DuckDB arg_min/arg_max)
+    // break ties ARBITRARILY — unusable in a hash-matched contract — so
+    // the declared form is the deterministic two-level shape: (1) one
+    // partial+final agg finds each group's extremal value; (2) that
+    // O(|groups|)-row relation broadcasts back and a second agg takes the
+    // MIN companion among rows AT the extremum. Two bounded shuffles,
+    // nothing grows with the corpus; the equality probe is exact because
+    // both sides compare the identical parquet double, no arithmetic.
+    "agg_argminmax" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val ex = ev.groupBy("event_type")
+          .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        ev.join(broadcast(ex), Seq("event_type"))
+          .groupBy(col("event_type"), col("min_v"), col("max_v"))
+          .agg(
+            min(when(col("value") === col("min_v"), col("user_id"))).as("argmin_user"),
+            min(when(col("value") === col("max_v"), col("user_id"))).as("argmax_user"))
+          .select(col("event_type"), col("min_v"), col("argmin_user"),
+            col("max_v"), col("argmax_user"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ex AS (SELECT event_type, min(value) AS min_v, max(value) AS max_v
+             |FROM events GROUP BY event_type)
+             |SELECT e.event_type, ex.min_v,
+             |min(CASE WHEN e.value = ex.min_v THEN e.user_id END) AS argmin_user,
+             |ex.max_v,
+             |min(CASE WHEN e.value = ex.max_v THEN e.user_id END) AS argmax_user
+             |FROM events e JOIN ex ON e.event_type = ex.event_type
+             |GROUP BY e.event_type, ex.min_v, ex.max_v
+             |ORDER BY e.event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // CH simpleLinearRegression / ANSI regr_slope+regr_intercept, in the
+    // moments discipline of agg_corr_stats: the five power sums
+    // n/Σx/Σy/Σx²/Σxy are EXACT decimal aggregates ((12,2)×(12,2)
+    // products stay in decimal), one map-side-combined shuffle of five
+    // numbers per group, and both slope and intercept come from
+    // closed-form fixed IEEE sequences over those exact sums — intercept
+    // uses the closed form (Σy·Σx² − Σx·Σxy)/(nΣx² − Σx²) rather than
+    // the rounded slope, so no rounding error compounds. The engine-
+    // native regr_* are Welford-style and partition-order-dependent in
+    // the last ulp; the moments form is also the only shape that
+    // map-side-combines at 100 TB.
+    "agg_linreg" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(cnt("n"),
+            sum(dec(col("l_quantity"), 12, 2)).as("sx"),
+            sum(dec(col("l_extendedprice"), 12, 2)).as("sy"),
+            sum(dec(col("l_quantity"), 12, 2) * dec(col("l_quantity"), 12, 2)).as("sxx"),
+            sum(dec(col("l_quantity"), 12, 2) * dec(col("l_extendedprice"), 12, 2)).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            pround((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")), 6).as("slope_r"),
+            pround((col("sy").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sxy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")), 4).as("intercept_r"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        val n = "CAST(n AS DOUBLE)"
+        val sx = "CAST(sx AS DOUBLE)"
+        val sy = "CAST(sy AS DOUBLE)"
+        val sxx = "CAST(sxx AS DOUBLE)"
+        val sxy = "CAST(sxy AS DOUBLE)"
+        s"""SELECT l_returnflag, n,
+           |${proundSql(s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)", 6)} AS slope_r,
+           |${proundSql(s"($sy * $sxx - $sx * $sxy) / ($n * $sxx - $sx * $sx)", 4)} AS intercept_r
+           |FROM (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+           |sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+           |sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+           |sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+           |FROM lineitem GROUP BY l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // CH skewPop/kurtPop: population skewness and excess kurtosis from
+    // EXACT third/fourth power sums. The higher powers are staged through
+    // explicit intermediate casts so both engines stay inside decimal
+    // exactness: x=(14,2) → x²=(29,4)→cast (18,4) → x³=(33,6),
+    // x⁴=(37,8); every product is exact (value² < 10¹⁴ by domain) and
+    // every sum map-side-combines — the shuffle carries five numbers per
+    // group at any corpus size. Central moments and the final
+    // skew = m₃/m₂^1.5, kurt = m₄/m₂² − 3 are fixed IEEE sequences over
+    // those exact sums, identical on both engines (pround(4) guards
+    // nothing but formatting). The engine-native skewness()/kurtosis()
+    // disagree between Spark (population) and DuckDB (sample) AND are
+    // order-dependent — the moments form is the portable one.
+    "agg_skew_kurt" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = dec(col("value"), 14, 2)
+        val x2 = (x * x).cast(DecimalType(18, 4))
+        val sums = t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(cnt("n"), sum(x).as("s1"), sum(x2).as("s2"),
+            sum(x2 * x).as("s3"), sum(x2 * x2).as("s4"))
+        val n = col("n").cast("double")
+        val m = col("s1").cast("double") / n
+        val m2 = col("s2").cast("double") / n - m * m
+        val m3 = (col("s3").cast("double") / n - lit(3.0) * m * (col("s2").cast("double") / n)
+          + lit(2.0) * m * m * m)
+        val m4 = (col("s4").cast("double") / n - lit(4.0) * m * (col("s3").cast("double") / n)
+          + lit(6.0) * m * m * (col("s2").cast("double") / n) - lit(3.0) * m * m * m * m)
+        sums.select(col("event_type"), col("n"),
+            pround(m, 4).as("mean_r"),
+            // m2^1.5 as m2·√m2 — sqrt is IEEE-correctly-rounded on both
+            // engines; pow(x, 1.5) is transcendental-libm and divergent
+            // in the last ulp (§7.3 rule 5)
+            pround(m3 / (m2 * sqrt(m2)), 4).as("skew_r"),
+            pround(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_r"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val n = "CAST(n AS DOUBLE)"
+        val m = s"(CAST(s1 AS DOUBLE) / $n)"
+        val m2 = s"(CAST(s2 AS DOUBLE) / $n - $m * $m)"
+        val m3 = s"(CAST(s3 AS DOUBLE) / $n - 3.0 * $m * (CAST(s2 AS DOUBLE) / $n) + 2.0 * $m * $m * $m)"
+        val m4 = s"(CAST(s4 AS DOUBLE) / $n - 4.0 * $m * (CAST(s3 AS DOUBLE) / $n) + 6.0 * $m * $m * (CAST(s2 AS DOUBLE) / $n) - 3.0 * $m * $m * $m * $m)"
+        s"""SELECT event_type, n,
+           |${proundSql(m, 4)} AS mean_r,
+           |${proundSql(s"$m3 / ($m2 * sqrt($m2))", 4)} AS skew_r,
+           |${proundSql(s"$m4 / ($m2 * $m2) - 3.0", 4)} AS kurt_r
+           |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |sum(CAST(value AS DECIMAL(14,2))) AS s1,
+           |sum(CAST(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)) AS DECIMAL(19,4))) AS s2,
+           |sum(CAST(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)) AS DECIMAL(19,4)) * CAST(value AS DECIMAL(14,2))) AS s3,
+           |sum(CAST(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)) AS DECIMAL(19,4)) * CAST(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)) AS DECIMAL(19,4))) AS s4
+           |FROM events GROUP BY event_type)
+           |ORDER BY event_type""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // CH maxIntersections: the peak number of simultaneously-open
+    // intervals — classic sweep-line as dataflow. Each event opens a
+    // deterministic interval [t, t + 30 + event_id mod 120 s); open/close
+    // become (+1/−1) boundary points, the running sum inside a PER-USER
+    // window (closes sort before opens at equal t — half-open semantics)
+    // is the live-interval count, and its per-user max is the answer.
+    // Scale shape: the only window is partitioned by user_id — per-key
+    // state is one counter, no corpus-wide ordering anywhere; the output
+    // folds to the O(distinct levels) concurrency histogram.
+    "agg_max_intersections" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(col("ts")).as("s"),
+            (unix_timestamp(col("ts")) + lit(30) + col("event_id") % 120).as("e"))
+        val pts = ev.select(col("user_id"), col("s").as("tp"), lit(1L).as("d"))
+          .unionAll(ev.select(col("user_id"), col("e").as("tp"), lit(-1L).as("d")))
+        val w = Window.partitionBy("user_id").orderBy(col("tp"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("live", sum(col("d")).over(w))
+          .groupBy("user_id").agg(max(col("live")).as("peak"))
+          .groupBy("peak").agg(cnt("users"))
+          .orderBy(col("peak"))
+      },
+      Some("""WITH iv AS (SELECT user_id,
+             |CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             |CAST(floor(epoch(ts)) AS BIGINT) + 30 + event_id % 120 AS e
+             |FROM events),
+             |pts AS (SELECT user_id, s AS tp, CAST(1 AS BIGINT) AS d FROM iv
+             |UNION ALL SELECT user_id, e AS tp, CAST(-1 AS BIGINT) AS d FROM iv),
+             |liv AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id
+             |ORDER BY tp, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+             |FROM pts),
+             |pk AS (SELECT user_id, max(live) AS peak FROM liv GROUP BY user_id)
+             |SELECT peak, CAST(count(*) AS BIGINT) AS users FROM pk
+             |GROUP BY peak ORDER BY peak""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

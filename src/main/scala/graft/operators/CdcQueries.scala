@@ -391,5 +391,44 @@ object CdcQueries {
              |SELECT event_type, tier, bucket, CAST(sum(pc) AS BIGINT) AS n,
              |CAST(round(sum(ps), 2) AS DOUBLE) AS value_sum
              |FROM tiered GROUP BY 1, 2, 3
-             |ORDER BY event_type, tier, bucket""".stripMargin.replace("\n", " "))))
+             |ORDER BY event_type, tier, bucket""".stripMargin.replace("\n", " "))),
+
+    // Data-skipping minmax index (ClickHouse `INDEX ... TYPE minmax`
+    // GRANULARITY, Parquet row-group stats): maintain per-granule
+    // (day-partition) min/max of the filter column, and answer "how much
+    // of the table can a predicate skip?". The index build is ONE
+    // partial+final aggregate (three numbers per granule — O(|granules|)
+    // regardless of corpus size), and the prune decision is evaluated on
+    // that bounded relation alone; the declared output reports, per
+    // event_type: total granules, granules a `value >= 300` predicate
+    // must scan (max >= 300), and the exact matching rows within the
+    // surviving granules — the effectiveness report a skipping index
+    // ships with. At 100 TB this is metadata-only pruning: the fact scan
+    // for the verify half is the same single pass that built the index.
+    "cdc_minmax_prune" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("event_type"), col("value"),
+            expr("datediff(cast(ts as date), date '1995-01-01')").cast("long").as("day"))
+        val idx = ev.groupBy(col("event_type"), col("day"))
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"), cnt("rows"),
+            sum(when(col("value") >= 300.0, 1L).otherwise(0L)).cast("long").as("hits"))
+        idx.groupBy("event_type")
+          .agg(cnt("granules"),
+            sum(when(col("mx") >= 300.0, 1L).otherwise(0L)).cast("long").as("scanned"),
+            sum(when(col("mx") >= 300.0, col("rows")).otherwise(0L)).cast("long").as("rows_scanned"),
+            sum(col("hits")).cast("long").as("rows_matched"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH idx AS (SELECT event_type,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+             |min(value) AS mn, max(value) AS mx,
+             |CAST(count(*) AS BIGINT) AS rows_,
+             |CAST(sum(CASE WHEN value >= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             |FROM events GROUP BY 1, 2)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS granules,
+             |CAST(sum(CASE WHEN mx >= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS scanned,
+             |CAST(sum(CASE WHEN mx >= 300.0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
+             |CAST(sum(hits) AS BIGINT) AS rows_matched
+             |FROM idx GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))))
 }

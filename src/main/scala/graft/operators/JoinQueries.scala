@@ -642,5 +642,45 @@ object JoinQueries {
              |CAST(count(*) AS BIGINT) AS n_triangles,
              |CAST(count(*) * 512 AS BIGINT) AS est_triangles
              |FROM tr""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Interval-overlap join via TEMPORAL BUCKETING — the scale answer to
+    // "find every pair of overlapping intervals". A naive overlap join is
+    // a range theta-join (quadratic per user at best, a cartesian at
+    // worst); the bucketed form turns it into an EQUI-join: with bucket
+    // width ≥ the max interval length (300 s ≥ 120 s here), any two
+    // overlapping intervals share at least one covered bucket, so
+    // exploding each side over its ≤2 covered buckets and equi-joining on
+    // (user, bucket) finds every candidate with ≤4-fold duplication,
+    // removed by the pair-distinct. Candidate volume is bounded by
+    // per-(user, bucket) density — never corpus × corpus — and Catalyst
+    // runs it as a plain shuffled hash join on the composite key. The
+    // overlap refine (a.s < b.e AND b.s < a.e, half-open) is exact.
+    "join_interval_overlap" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("s"),
+            (unix_timestamp(col("ts")) + lit(120L)).as("e"))
+        def buckets(d: DataFrame, p: String) = d
+          .select(col("user_id"), col("event_id").as(s"${p}_id"),
+            col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
+            explode(sequence(expr("s div 300"), expr("(e - 1) div 300"))).as("bk"))
+        val views = buckets(ev.filter(col("event_type") === "view"), "a")
+        val buys = buckets(ev.filter(col("event_type") === "purchase"), "b")
+        views.join(buys, Seq("user_id", "bk"))
+          .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+          .select(col("user_id"), col("a_id"), col("b_id")).distinct()
+          .groupBy("user_id").agg(cnt("overlap_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, event_type,
+             |CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             |CAST(floor(epoch(ts)) AS BIGINT) + 120 AS e FROM events)
+             |SELECT a.user_id, CAST(count(*) AS BIGINT) AS overlap_pairs
+             |FROM iv a JOIN iv b ON a.user_id = b.user_id
+             |AND a.event_type = 'view' AND b.event_type = 'purchase'
+             |AND a.s < b.e AND b.s < a.e
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

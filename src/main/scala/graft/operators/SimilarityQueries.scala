@@ -943,5 +943,63 @@ object SimilarityQueries {
            |FROM sl JOIN e ce ON ce.vec_id = sl.cand JOIN e pe ON pe.vec_id = sl.probe)
            |WHERE rn2 <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // kNN label-vote classification — the data-curation use of the ANN
+    // lane (label propagation / weak supervision): each unlabeled probe
+    // takes the majority label of its k=5 nearest labeled neighbors.
+    // Scale shape: the probe side is bounded BY DEFINITION (the batch
+    // being classified), so it broadcasts and the corpus never shuffles
+    // for the scoring pass — probe × corpus scoring is a map-only pass
+    // over the corpus, the top-k window partitions by probe (k rows of
+    // state each), and the vote is an O(|probes| × |labels|) aggregate.
+    // Swap the brute-force scorer for [[ivfAssigned]] cell restriction
+    // at higher corpus scales (the sim_ann_rerank composition); the vote
+    // logic is identical. Majority ties break to the SMALLER label id —
+    // deterministic, stated, and mirrored in the oracle.
+    "sim_knn_classify" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.DotProductD.register(spark)
+        val all = t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"),
+            sqrt(gdot("embedding", "embedding")).as("nv"))
+        val probes = all.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("probe"), col("embedding").as("pv"),
+            col("label").as("true_label"), col("nv").as("pn"))
+        val corpus = all.filter(col("vec_id") >= 20)
+        val kw = Window.partitionBy("probe").orderBy(col("sim").desc, col("vec_id"))
+        val neigh = broadcast(probes).join(corpus, col("vec_id") =!= col("probe"))
+          .withColumn("sim", pround(gdot("pv", "embedding") / (col("pn") * col("nv")), 6))
+          .withColumn("rn", row_number().over(kw))
+          .filter(col("rn") <= 5)
+        val votes = neigh.groupBy(col("probe"), col("true_label"), col("label"))
+          .agg(cnt("votes"))
+        val vw = Window.partitionBy("probe").orderBy(col("votes").desc, col("label"))
+        votes.withColumn("vr", row_number().over(vw))
+          .filter(col("vr") === 1)
+          .select(col("probe"), col("true_label"), col("label").as("pred_label"),
+            when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+          .orderBy(col("probe"))
+      },
+      Some {
+        val sim = proundSql(
+          "list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))", 6)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |CAST(label AS BIGINT) AS label FROM embeddings),
+           |p AS (SELECT vec_id AS probe, v, label AS true_label FROM e WHERE vec_id < 20),
+           |n AS (SELECT probe, true_label, label, vec_id FROM (
+           |SELECT p.probe, p.true_label, c.label, c.vec_id,
+           |row_number() OVER (PARTITION BY p.probe ORDER BY $sim DESC, c.vec_id) AS rn
+           |FROM p JOIN e c ON c.vec_id >= 20 AND c.vec_id <> p.probe)
+           |WHERE rn <= 5),
+           |v AS (SELECT probe, true_label, label,
+           |CAST(count(*) AS BIGINT) AS votes FROM n GROUP BY 1, 2, 3)
+           |SELECT probe, true_label, label AS pred_label,
+           |CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+           |FROM (SELECT probe, true_label, label,
+           |row_number() OVER (PARTITION BY probe ORDER BY votes DESC, label) AS vr
+           |FROM v) WHERE vr = 1 ORDER BY probe""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

@@ -158,5 +158,33 @@ object StreamQueries {
              |FROM events))
              |GROUP BY user_id, sid
              |ORDER BY dur_s DESC, user_id, sid LIMIT 100""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Streaming dedup semantics (`dropDuplicatesWithinWatermark`) in its
+    // batch-equivalent declared form: an at-least-once transport can
+    // replay (user, event_type) actions; the deduped stream keeps the
+    // FIRST occurrence per key per hour window. Batch twin = per-hour
+    // distinct-key count next to the raw count — exactly what the
+    // watermarked streaming state would emit after the watermark closes
+    // each hour. Scale shape: one partial+final agg keyed by
+    // (hour, user, type) then the per-hour fold — dedup state is bounded
+    // by the watermark horizon, never the stream length (the property
+    // that makes streaming dedup viable at all); the streaming twin
+    // (StreamTwins.dedupCountsStream) replays the same events through
+    // dropDuplicatesWithinWatermark and must match these counts.
+    "stream_dedup_watermark" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+            col("user_id"), col("event_type"))
+          .groupBy("h")
+          .agg(cnt("raw_events"),
+            countDistinct(col("user_id"), col("event_type")).cast("long").as("deduped"))
+          .orderBy(col("h"))
+      },
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             |CAST(count(*) AS BIGINT) AS raw_events,
+             |CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS deduped
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

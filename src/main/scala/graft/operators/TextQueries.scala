@@ -2313,5 +2313,35 @@ object TextQueries {
            |CAST(max(rate) AS BIGINT) AS target_pct
            |FROM r GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Deterministic train/validation/test split — the partition every
+    // training pipeline needs before anything else touches the corpus.
+    // Membership is the portable 60-bit doc hash mod 100 against fixed
+    // 80/10/10 boundaries: stable across engines, runs, partitionings,
+    // and INCREMENTAL corpus growth (a new document lands in a split
+    // without moving any existing one — the property rand()/TABLESAMPLE
+    // and row_number splits all lack, and why leakage-free splits hash).
+    // Scale shape: split assignment is a per-row codegen'd expression
+    // (zero shuffle), and the declared output is the O(|splits|×|langs|)
+    // audit table — counts and char volume per cell — that a curation
+    // run logs to prove the split ratios and checks drift against.
+    "sample_hash_split" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .withColumn("b", expr(s"${hx("cast(doc_id as string)")} % 100"))
+          .withColumn("split",
+            when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(cnt("docs"), sum(col("n_chars")).cast("long").as("chars"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+             |ELSE 'test' END AS split, lang,
+             |CAST(count(*) AS BIGINT) AS docs,
+             |CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM (SELECT lang, n_chars,
+             |${hxDuck("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
+             |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

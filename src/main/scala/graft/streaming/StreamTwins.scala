@@ -166,6 +166,26 @@ object StreamTwins {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Hourly deduplicated action counts ≡ `stream_dedup_watermark`'s
+    * `deduped` column: at-least-once replays of a (user, event_type)
+    * action inside an hour collapse to one, then a tumbling count per
+    * hour. Two chained stateful operators, both bounded: the dedup holds
+    * one key per (hour, user, type) inside the watermark horizon (state
+    * scales with the horizon, never the stream — the property that makes
+    * streaming dedup viable), and the windowed count is the same
+    * finalize-on-watermark agg as [[tumblingCounts]]. Append mode emits
+    * each hour exactly once, after the watermark passes its end.
+    */
+  def dedupCountsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ev = events.withColumn("ts", normTs(col("ts"), events))
+      .withColumn("h", date_trunc("hour", col("ts")))
+    ev.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h", "user_id", "event_type")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("deduped"))
+      .select(unix_timestamp(col("window.start")).as("h"), col("deduped"))
+  }
+
   /** STREAMING as-of join with bounded staleness ≡ `join_asof_tolerance`:
     * per user, each purchase matches the most recent view whose LSN is at
     * most `tolerance` behind. Per-key state is ONE long (the latest view

@@ -597,4 +597,36 @@ class StreamTwinsSpec extends SparkSpec {
     assert(streamed === batch,
       "retiered streaming partials diverge from the batch rollup")
   }
+
+  test("dedup-counts twin over the REAL events table matches the batch deduped column") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val real = graft.core.t(spark, sf001, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // replays: duplicate every 5th row (at-least-once redelivery) — the
+    // dedup must collapse them; sentinel 4h past the end flushes every
+    // real hour through the 2h watermark
+    val dups = real.zipWithIndex.collect { case (e, i) if i % 5 == 0 => e }
+    val sentinel = Ev(-1L, new Timestamp(real.map(_.ts.getTime).max + 4 * 3600 * 1000L),
+      999999L, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.dedupCountsStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_counts").outputMode("append").start()
+    mem.addData((real ++ dups).toSeq); q.processAllAvailable()
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_counts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.Registry.all.toMap.apply("stream_dedup_watermark")
+      .fn(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    // every real hour was flushed and matches; the sentinel's own hour
+    // (still open at stop) must be the only difference
+    assert(got.view.filterKeys(batch.contains).toMap === batch)
+    assert(batch.keySet.subsetOf(got.keySet),
+      s"hours not flushed: ${batch.keySet -- got.keySet}")
+  }
 }
