@@ -1001,5 +1001,51 @@ object AggQueries {
              |pk AS (SELECT user_id, max(live) AS peak FROM liv GROUP BY user_id)
              |SELECT peak, CAST(count(*) AS BIGINT) AS users FROM pk
              |GROUP BY peak ORDER BY peak""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // CH groupBitmapAnd/Or-style audience-overlap analytics: for every
+    // pair of event types, how many users did BOTH (∩), EITHER (∪), and
+    // the Jaccard overlap. The bitmap-engine shape without the bitmap:
+    // the distinct (user, type) relation is the bitmap's bit list —
+    // bounded by |users|·|types| — and the pair intersection is a
+    // SELF-JOIN ON USER of that relation (≤ |types|² rows per user, a
+    // constant), never a corpus scan; n_or falls out of
+    // inclusion-exclusion rather than a second pass. Per-type totals are
+    // a ≤|types|-row broadcast. At 100 TB the distinct() partial-aggs
+    // map-side and everything downstream is bounded by user count, not
+    // event count — exactly the job a roaring-bitmap engine does, in
+    // relational form.
+    "agg_bitmap_ops" -> QueryDef(
+      (spark, dir) => {
+        val ut = t(spark, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+          .scopedPersist()
+        val totals = ut.groupBy("event_type").agg(cnt("n"))
+        val pairs = ut.as("a")
+          .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+            && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(cnt("n_and"))
+        pairs
+          .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+          .withColumn("n_or", col("n_a") + col("n_b") - col("n_and"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_and"), col("n_or"),
+            pround(col("n_and").cast("double") / col("n_or").cast("double"), 6).as("jaccard"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |CAST(count(*) AS BIGINT) AS n_and
+             |FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |AND a.event_type < b.event_type GROUP BY 1, 2)
+             |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_and,
+             |ta.n + tb.n - n_and AS n_or,
+             |${proundSql("CAST(n_and AS DOUBLE) / CAST(ta.n + tb.n - n_and AS DOUBLE)", 6)} AS jaccard
+             |FROM p JOIN tot ta ON p.type_a = ta.event_type
+             |JOIN tot tb ON p.type_b = tb.event_type
+             |ORDER BY type_a, type_b""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

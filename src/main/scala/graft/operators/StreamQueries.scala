@@ -186,5 +186,37 @@ object StreamQueries {
              |CAST(count(*) AS BIGINT) AS raw_events,
              |CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS deduped
              |FROM events GROUP BY 1 ORDER BY h""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Windowed trending top-k — "top event types this hour", the
+    // dashboard query every event stream serves. Batch form: tumbling
+    // hour counts (partial+final agg, O(|hours|×|types|) — bounded),
+    // then a rank window over THAT bounded relation only, keep k=3.
+    // Ties rank by type name — total order, deterministic. As a stream:
+    // the hour counts finalize on watermark exactly like
+    // stream_tumbling_window; the per-window rank runs on each
+    // finalized window's ≤|types| rows in the sink's foreachBatch —
+    // state never exceeds the open windows. The corpus is never
+    // globally sorted; the only per-row work is the hour truncation.
+    "stream_hourly_topk" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(spark, dir, "events")
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+            col("event_type"))
+          .agg(cnt("cnt"))
+        val w = Window.partitionBy("h").orderBy(col("cnt").desc, col("event_type"))
+        counts.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("h"), col("rnk"), col("event_type"), col("cnt"))
+          .orderBy(col("h"), col("rnk"))
+      },
+      Some("""SELECT h, rnk, event_type, cnt FROM (
+             |SELECT h, event_type, cnt,
+             |CAST(row_number() OVER (PARTITION BY h ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+             |FROM (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             |event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2))
+             |WHERE rnk <= 3 ORDER BY h, rnk""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -137,6 +137,33 @@ class Round10OpsSpec extends SparkSpec {
     assert(train > 0.7 && train < 0.9, s"train share $train out of band")
   }
 
+  test("agg_bitmap_ops: pair overlaps match brute-force user-set algebra") {
+    val sets = events.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = q("agg_bitmap_ops").collect()
+    val types = sets.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val sa = sets(r.getAs[String]("type_a")); val sb = sets(r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_a") == sa.size && r.getAs[Long]("n_b") == sb.size)
+      assert(r.getAs[Long]("n_and") == (sa & sb).size)
+      assert(r.getAs[Long]("n_or") == (sa | sb).size)
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-5)
+    }
+  }
+
+  test("stream_hourly_topk: per-hour ranks match brute-force counts") {
+    val counts = events.groupBy(e => ((e._5 / 3600) * 3600, e._3))
+      .view.mapValues(_.length.toLong).toMap
+    q("stream_hourly_topk").collect().foreach { r =>
+      val h = r.getLong(0)
+      val top = counts.collect { case ((hh, tp), c) if hh == h => (tp, c) }
+        .toSeq.sortBy(v => (-v._2, v._1))
+      val (tp, c) = top(r.getLong(1).toInt - 1)
+      assert(r.getString(2) == tp && r.getLong(3) == c)
+    }
+  }
+
   test("stream_dedup_watermark: deduped <= raw per hour; totals match distinct") {
     val rows = q("stream_dedup_watermark").collect()
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
