@@ -554,4 +554,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 3,
       s"a corpus-sized window crept in:\n$plan")
   }
+
+  test("join_interval_overlap: bucketing turns the range join into an equi-join") {
+    val plan = executedPlan("join_interval_overlap")
+    assert(countOf(plan, "CartesianProduct") === 0, s"cartesian crept in:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"theta join survived — the bucket equi-key is not being used:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"no global ordering step belongs here:\n$plan")
+  }
+
+  test("sim_knn_classify: probes broadcast; the corpus is never sort-merged") {
+    val plan = executedPlan("sim_knn_classify")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      s"corpus must stream past broadcast probes:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0, s"cartesian crept in:\n$plan")
+    // two windows max — per-probe top-k and the vote rank, both
+    // partitioned by probe over probe-bounded relations
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 2,
+      s"a corpus-sized window crept in:\n$plan")
+  }
+
+  test("agg_bitmap_ops: pair intersection shuffles on user; totals broadcast") {
+    val plan = executedPlan("agg_bitmap_ops")
+    assert(countOf(plan, "CartesianProduct") === 0
+      && countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"the pair join must be an equi-join on user_id:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"per-type totals must broadcast back, not shuffle:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"no window belongs in the bitmap algebra:\n$plan")
+  }
+
+  test("cdc_minmax_prune / agg_skew_kurt / agg_linreg: pure partial+final aggregates") {
+    Seq("cdc_minmax_prune", "agg_skew_kurt", "agg_linreg").foreach { name =>
+      val plan = executedPlan(name)
+      assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+        s"$name must not window:\n$plan")
+      assert(countOf(plan, "SortMergeJoin") + countOf(plan, "CartesianProduct") === 0,
+        s"$name must not join the corpus:\n$plan")
+      assert(countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate") >= 2,
+        s"$name lost its partial+final aggregate shape:\n$plan")
+    }
+  }
+
+  test("agg_max_intersections / stream_hourly_topk: one bounded window each") {
+    Seq("agg_max_intersections" -> 1, "stream_hourly_topk" -> 1).foreach {
+      case (name, maxW) =>
+        val plan = executedPlan(name)
+        assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= maxW,
+          s"$name grew an extra window:\n$plan")
+        assert(countOf(plan, "Exchange SinglePartition") === 0,
+          s"$name must never order the corpus globally:\n$plan")
+    }
+  }
 }
