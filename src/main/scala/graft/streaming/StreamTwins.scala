@@ -145,6 +145,24 @@ object StreamTwins {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Hourly event-type counts ≡ `stream_hourly_topk`'s aggregate half:
+    * tumbling hour × type counts finalized on watermark (append mode).
+    * The rank half runs downstream on each FINALIZED window's ≤|types|
+    * rows — in production a foreachBatch over this stream (per closed
+    * window, sort ≤|types| rows, keep k), here the StreamTwinsSpec
+    * applies the identical rank to the emitted rows and matches the
+    * batch query. Splitting agg (streaming state) from rank (bounded
+    * post-processing) is the point: a rank window is not incrementally
+    * maintainable, a finalize-then-rank of a bounded relation is.
+    */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ev = events.withColumn("ts", normTs(col("ts"), events))
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("h"), col("event_type"), col("cnt"))
+  }
+
   /** STREAMING exact dedup — the ingest-time twin of `dedup_exact_docs`:
     * the first document with a given content digest passes, later copies
     * drop, across micro-batch boundaries. State is the digest set inside

@@ -629,4 +629,38 @@ class StreamTwinsSpec extends SparkSpec {
     assert(batch.keySet.subsetOf(got.keySet),
       s"hours not flushed: ${batch.keySet -- got.keySet}")
   }
+
+  test("hourly-topk twin over the REAL events table: finalized counts + rank match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val real = graft.core.t(spark, sf001, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val sentinel = Ev(-1L, new Timestamp(real.map(_.ts.getTime).max + 4 * 3600 * 1000L),
+      999999L, "view", 0.0)
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.hourlyTypeCounts(mem.toDF()).writeStream
+      .format("memory").queryName("hourly_counts").outputMode("append").start()
+    mem.addData(real.toSeq); q.processAllAvailable()
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+    // the production foreachBatch rank: per finalized hour, sort the
+    // <=|types| rows, keep 3 — plain Scala over the emitted relation
+    val got = spark.table("hourly_counts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (h, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, tp, c), i) => (h, i + 1L, tp, c) }
+      }.toSet
+    val batch = graft.Registry.all.toMap.apply("stream_hourly_topk")
+      .fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(batch.subsetOf(got), s"missing: ${batch -- got}")
+    // got may additionally contain the sentinel's own hour only
+    val extra = (got -- batch).map(_._1)
+    assert(extra.forall(_ == (sentinel.ts.getTime / 1000 / 3600) * 3600),
+      s"unexpected extra hours: $extra")
+  }
 }
