@@ -1047,5 +1047,74 @@ object AggQueries {
              |FROM p JOIN tot ta ON p.type_a = ta.event_type
              |JOIN tot tb ON p.type_b = tb.event_type
              |ORDER BY type_a, type_b""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // CH uniqUpTo(N): the exact distinct count while ≤ N, saturating at
+    // N+1 ("more than N") — the cardinality-guard aggregate. The declared
+    // form uses the custom graft_uniq_upto TypedImperativeAggregate
+    // (plans/UniqUpTo.scala): per-group state is a hash set HARD-CAPPED
+    // at N+1 longs, map-side combinable, so "does this key exceed N
+    // distinct?" costs O(N) state per group at ANY corpus size — the
+    // question count(DISTINCT) answers with O(distinct) shuffle state.
+    // Saturation is a pure function of the input set, so the result is
+    // partition-order-independent (UniqUpToSpec proves the law against
+    // least(count distinct, N+1) and DeterminismSpec re-partitions it).
+    "agg_uniq_upto" -> QueryDef(
+      (spark, dir) => {
+        graft.plans.UniqUpTo.register(spark)
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(expr("graft_uniq_upto(user_id, 10)").as("users_upto10"),
+            expr("graft_uniq_upto(user_id % 4, 10)").as("lanes_upto10"),
+            cnt("cnt"))
+          .withColumn("over_10", (col("users_upto10") > 10).cast("boolean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS users_upto10,
+             |CAST(least(count(DISTINCT user_id % 4), 11) AS BIGINT) AS lanes_upto10,
+             |CAST(count(*) AS BIGINT) AS cnt,
+             |least(count(DISTINCT user_id), 11) > 10 AS over_10
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // The CH -If combinator family (countIf/sumIf/avgIf/minIf/maxIf):
+    // conditional aggregates fused into ONE pass — the idiom that
+    // replaces five filtered subqueries with five conditional branches
+    // inside a single partial+final agg (one corpus scan, one bounded
+    // shuffle, all branches codegen'd). sumIf stays decimal-exact; avgIf
+    // is one double division of the exact pieces; minIf/maxIf on the
+    // raw parquet double need no rounding at all.
+    "agg_cond_combinators" -> QueryDef(
+      (spark, dir) => {
+        val hi = col("value") >= 100.0
+        t(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).cast("long").as("count_if"),
+            sum(when(hi, dec(col("value"), 14, 2)).otherwise(lit(0).cast("decimal(14,2)"))).as("s_dec"),
+            min(when(hi, col("value"))).as("min_if"),
+            max(when(hi, col("value"))).as("max_if"))
+          .select(col("event_type"), col("count_if"),
+            round(col("s_dec"), 2).cast("double").as("sum_if"),
+            // guard the empty-predicate group: avgIf of nothing is NULL
+            // (both engines), never a 0/0 NaN
+            when(col("count_if") > 0,
+              pround(col("s_dec").cast("double") / col("count_if").cast("double"), 4))
+              .as("avg_if"),
+            col("min_if"), col("max_if"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count_if,
+             |CAST(round(s_dec, 2) AS DOUBLE) AS sum_if,
+             |CASE WHEN count_if > 0
+             |THEN ${proundSql("CAST(s_dec AS DOUBLE) / CAST(count_if AS DOUBLE)", 4)} END AS avg_if,
+             |min_if, max_if FROM (SELECT event_type,
+             |CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS count_if,
+             |sum(CASE WHEN value >= 100.0 THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS s_dec,
+             |min(CASE WHEN value >= 100.0 THEN value END) AS min_if,
+             |max(CASE WHEN value >= 100.0 THEN value END) AS max_if
+             |FROM events GROUP BY event_type)
+             |ORDER BY event_type""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
