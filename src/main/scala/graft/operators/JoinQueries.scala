@@ -682,5 +682,81 @@ object JoinQueries {
              |AND a.event_type = 'view' AND b.event_type = 'purchase'
              |AND a.s < b.e AND b.s < a.e
              |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Label propagation communities (Raghavan et al. 2007) — the third
+    // graph lane beside centrality (pagerank) and cohesion (triangles):
+    // two SYNCHRONOUS rounds over the same sampled co-purchase edges as
+    // graph_triangle_count (shared build). Each round: every node takes
+    // the most frequent label among its neighbors PLUS ITSELF, ties to
+    // the smallest label — self-vote plus min-tie-break makes
+    // synchronous LPA fully deterministic (plain LPA breaks ties
+    // randomly and oscillates on bipartite structures). Scale shape per
+    // round: one equi-join of edges⋈labels co-partitioned on dst, one
+    // vote aggregate keyed (src, label) — map-side combinable, bounded
+    // by Σdeg — and a per-src rank window whose partitions are one
+    // node's ≤deg+1 candidate labels. The O(|nodes|) label relation is
+    // NEVER broadcast and never collected; rounds are unrolled exactly
+    // like pagerank's. The declared output is the community-size head
+    // (top 20), a total order.
+    "graph_community_lpa" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = triangleEdges(spark, dir)
+        // x < y everywhere, so the two directions are disjoint and the
+        // union of a distinct pair set is a distinct arc set
+        val und = scopedPersist(
+          e.select(col("x").as("src"), col("y").as("dst"))
+            .union(e.select(col("y").as("src"), col("x").as("dst"))))
+        var labels = und.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        val w = Window.partitionBy("src").orderBy(col("c").desc, col("label"))
+        for (_ <- 1 to 2) {
+          // each round's labels feed TWO consumers (the neighbor join and
+          // the self-vote union) — persist so a round computes once, the
+          // same discipline as pagerank's per-iteration relations
+          labels = scopedPersist(labels)
+          val nbr = und
+            .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+            .select(col("src"), col("label"))
+          val votes = nbr.union(labels.select(col("node").as("src"), col("label")))
+            .groupBy("src", "label").agg(cnt("c"))
+          labels = votes.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("label"))
+        }
+        labels.groupBy("label").agg(cnt("csize"))
+          .orderBy(col("csize").desc, col("label")).limit(20)
+          .select(col("label").as("community"), col("csize"))
+      },
+      Some("""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |cp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+             |FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             |AND a.l_partkey < b.l_partkey),
+             |e AS (SELECT x, y FROM cp
+             |WHERE CAST('0x' || substr(md5(CAST(x AS VARCHAR) || ':' ||
+             |CAST(y AS VARCHAR)), 1, 15) AS BIGINT) % 8 = 0),
+             |und AS (SELECT x AS src, y AS dst FROM e
+             |UNION ALL SELECT y AS src, x AS dst FROM e),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+             |v1 AS (SELECT src, label, CAST(count(*) AS BIGINT) AS c FROM (
+             |SELECT u.src, l.label FROM und u JOIN l0 l ON u.dst = l.node
+             |UNION ALL SELECT node AS src, label FROM l0)
+             |GROUP BY 1, 2),
+             |l1 AS (SELECT src AS node, label FROM (
+             |SELECT src, label,
+             |row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+             |FROM v1) WHERE rn = 1),
+             |v2 AS (SELECT src, label, CAST(count(*) AS BIGINT) AS c FROM (
+             |SELECT u.src, l.label FROM und u JOIN l1 l ON u.dst = l.node
+             |UNION ALL SELECT node AS src, label FROM l1)
+             |GROUP BY 1, 2),
+             |l2 AS (SELECT src AS node, label FROM (
+             |SELECT src, label,
+             |row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+             |FROM v2) WHERE rn = 1)
+             |SELECT label AS community, CAST(count(*) AS BIGINT) AS csize
+             |FROM l2 GROUP BY label
+             |ORDER BY csize DESC, label LIMIT 20""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -351,5 +351,54 @@ object ScanQueries {
              |CAST((SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
              |(SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) IS NOT NULL AS has_orders
              |FROM customer c ORDER BY c_custkey LIMIT 200""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Z-order (Morton) clustering key — the lakehouse OPTIMIZE ZORDER
+    // primitive: interleave the bits of two bounded dimensions so rows
+    // close in BOTH dimensions land in the same file/granule, making the
+    // minmax skipping index (cdc_minmax_prune) effective for predicates
+    // on EITHER column. The interleave is pure integer bit arithmetic
+    // (8 unrolled shift/mask terms per dimension — codegen'd, portable),
+    // and the declared output is the locality audit: per z-granule
+    // (top 4 bits → 16 granules), the span of each dimension. With
+    // z-ordering each granule covers ~1/4 of each dimension's domain
+    // (√16) instead of 1/16 of one and ALL of the other — the measured
+    // argument for why a z-sorted layout prunes two-predicate scans.
+    // Scale shape: the z-value is a per-row expression (zero shuffle);
+    // the audit is one partial+final agg to 16 rows.
+    "scan_zorder_layout" -> QueryDef(
+      (spark, dir) => {
+        def interleave(x: String, y: String): String =
+          (0 until 8).map(i =>
+            s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})")
+            .mkString(" + ")
+        val z = interleave("day", "ub")
+        t(spark, dir, "events")
+          .select(expr("datediff(cast(ts as date), date '1995-01-01') % 256").as("day"),
+            (col("user_id") % 256).as("ub"))
+          .withColumn("z", expr(z))
+          .groupBy((col("z") / 4096).cast("long").as("granule"))
+          .agg(cnt("rows_n"),
+            min(col("day")).as("day_min"), max(col("day")).as("day_max"),
+            min(col("ub")).as("ub_min"), max(col("ub")).as("ub_max"))
+          .withColumn("day_span", col("day_max") - col("day_min"))
+          .withColumn("ub_span", col("ub_max") - col("ub_min"))
+          .orderBy(col("granule"))
+      },
+      Some {
+        val inter = (0 until 8).map(i =>
+          s"((((day) >> $i) & 1) << ${2 * i}) + ((((ub) >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT
+           |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) % 256 AS BIGINT) AS day,
+           |user_id % 256 AS ub FROM events),
+           |zv AS (SELECT day, ub, $inter AS z FROM d)
+           |SELECT CAST(floor(z / 4096) AS BIGINT) AS granule,
+           |CAST(count(*) AS BIGINT) AS rows_n,
+           |min(day) AS day_min, max(day) AS day_max,
+           |min(ub) AS ub_min, max(ub) AS ub_max,
+           |max(day) - min(day) AS day_span, max(ub) - min(ub) AS ub_span
+           |FROM zv GROUP BY 1 ORDER BY granule""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }

@@ -286,5 +286,48 @@ object WindowQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY secs
              |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
              |ORDER BY event_id LIMIT 500""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Running DISTINCT count — the window composition for "breadth over
+    // time": a first-occurrence flag (row_number over (user, type) = 1)
+    // turned into a running sum per user gives, at every event, how many
+    // distinct event types the user has touched so far; the declared
+    // output is the adoption summary — events to reach breadth 3
+    // ("time-to-third-feature"), total breadth, event count. A naive
+    // running count(DISTINCT) window would re-scan the frame per row
+    // (quadratic); the flag+sum form is two linear window passes SHARING
+    // one (user) partitioning, then a bounded per-user agg. Ordering is
+    // total — (ts, event_id) — so flags, positions, and the summary are
+    // all deterministic.
+    "win_running_distinct" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byFirst = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .withColumn("flag",
+            when(row_number().over(byFirst) === 1, 1L).otherwise(0L))
+          .withColumn("run", sum(col("flag"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pos", row_number().over(byUser).cast("long"))
+          .groupBy("user_id")
+          .agg(cnt("n_events"),
+            max(col("run")).as("distinct_types"),
+            min(when(col("run") >= 3, col("pos"))).as("pos_to_3"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |max(run) AS distinct_types,
+             |min(CASE WHEN run >= 3 THEN pos END) AS pos_to_3
+             |FROM (SELECT user_id,
+             |CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run,
+             |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS pos
+             |FROM (SELECT user_id, event_type, ts, event_id,
+             |CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             |ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS flag
+             |FROM events))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -598,6 +598,53 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("graph_community_lpa: labels ride co-partitioned equi-joins, never broadcast") {
+    val plan = executedPlan("graph_community_lpa")
+    assert(countOf(plan, "CartesianProduct") === 0
+      && countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"vote joins must stay equi-joins:\n$plan")
+    // NOTE: at sf0.001 Catalyst may legitimately broadcast the tiny label
+    // relation (size-based choice, flips to shuffle join from stats at
+    // scale) — the pin is on JOIN KIND (equi), not on the exchange side.
+    // each round's label relation is persisted (two consumers: neighbor
+    // join + self-vote) — the cache scan must appear, or every round
+    // recomputes its predecessor twice
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-round label persist lost:\n$plan")
+  }
+
+  test("scan_zorder_layout: per-row interleave + one bounded aggregate") {
+    val plan = executedPlan("scan_zorder_layout")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"no window belongs in a layout audit:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "CartesianProduct") === 0,
+      s"no join belongs here:\n$plan")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"partial+final audit aggregate missing:\n$plan")
+  }
+
+  test("win_running_distinct: both window passes share one user exchange") {
+    val plan = executedPlan("win_running_distinct")
+    // flag window partitions by (user, type), run/pos by (user) — the
+    // (user, type) pass is a sort within the (user) partitioning, so at
+    // most two hash exchanges total may touch the corpus (scan side),
+    // and no single-partition exchange may exist
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"global ordering crept in:\n$plan")
+    assert(countOf(plan, "CartesianProduct") + countOf(plan, "SortMergeJoin") === 0,
+      s"no join belongs here:\n$plan")
+  }
+
+  test("agg_uniq_upto: the capped aggregate keeps partial+final shape") {
+    val plan = executedPlan("agg_uniq_upto")
+    assert(plan.contains("graft_uniq_upto"),
+      s"custom aggregate missing from the plan:\n$plan")
+    assert(countOf(plan, "ObjectHashAggregate") + countOf(plan, "SortAggregate") >= 2,
+      s"typed aggregate must run partial+final (map-side combine):\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"no window belongs here:\n$plan")
+  }
+
   test("agg_max_intersections / stream_hourly_topk: one bounded window each") {
     Seq("agg_max_intersections" -> 1, "stream_hourly_topk" -> 1).foreach {
       case (name, maxW) =>
