@@ -2343,5 +2343,67 @@ object TextQueries {
              |FROM (SELECT lang, n_chars,
              |${hxDuck("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
              |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Boilerplate stripping (CCNet line-dedup semantics): a segment that
+    // recurs across ≥3 DISTINCT documents of the same source is template
+    // boilerplate (nav bars, footers, license blurbs) and is removed
+    // EVERYWHERE — including its first occurrence, which is what
+    // separates this from dedup_paragraphs (keep-first global dedup):
+    // dedup keeps one copy of everything; boilerplate stripping keeps
+    // zero copies of the template. Scale shape: segment digests are a
+    // map pass; the frequency index is one partial+final agg keyed
+    // (source, dg) whose "boilerplate" bit is a count-distinct-docs ≥ 3
+    // test computed as a min/max-free exact count over the per-(doc,dg)
+    // distinct relation; the bit rejoins the instance relation on the
+    // digest key (equi, shuffled-hash — the boilerplate set is corpus-
+    // dependent, so no broadcast is assumed); output is the O(|sources|)
+    // effectiveness report.
+    "text_boilerplate_strip" -> QueryDef(
+      (spark, dir) => {
+        val seg = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("source"), explode(expr(
+            """transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
+              |i -> md5(concat_ws(' ', slice(w, i * 10 + 1, 10))))"""
+              .stripMargin.replace("\n", " "))).as("dg"))
+          .scopedPersist()
+        val bp = seg.select(col("source"), col("dg"), col("doc_id")).distinct()
+          .groupBy(col("source"), col("dg")).agg(cnt("ndocs"))
+          .filter(col("ndocs") >= 3)
+          .select(col("source"), col("dg"))
+        val removed = seg.join(bp, Seq("source", "dg"), "left_semi")
+          .groupBy("source")
+          .agg(cnt("removed_instances"),
+            countDistinct(col("dg")).cast("long").as("bp_segs"),
+            countDistinct(col("doc_id")).cast("long").as("affected_docs"))
+        seg.groupBy("source").agg(cnt("total_segs"))
+          .join(removed, Seq("source"), "left")
+          .select(col("source"), col("total_segs"),
+            coalesce(col("bp_segs"), lit(0L)).as("bp_segs"),
+            coalesce(col("removed_instances"), lit(0L)).as("removed_instances"),
+            coalesce(col("affected_docs"), lit(0L)).as("affected_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |seg AS (SELECT doc_id, source,
+             |unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+             |i -> md5(array_to_string(w[(i*10+1):(i*10+10)], ' ')))) AS dg FROM d),
+             |bp AS (SELECT source, dg FROM (
+             |SELECT source, dg, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+             |FROM seg GROUP BY 1, 2) WHERE ndocs >= 3),
+             |rem AS (SELECT s.source, CAST(count(*) AS BIGINT) AS removed_instances,
+             |CAST(count(DISTINCT s.dg) AS BIGINT) AS bp_segs,
+             |CAST(count(DISTINCT s.doc_id) AS BIGINT) AS affected_docs
+             |FROM seg s JOIN bp ON s.source = bp.source AND s.dg = bp.dg
+             |GROUP BY 1),
+             |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS total_segs
+             |FROM seg GROUP BY 1)
+             |SELECT tot.source, total_segs,
+             |COALESCE(bp_segs, 0) AS bp_segs,
+             |COALESCE(removed_instances, 0) AS removed_instances,
+             |COALESCE(affected_docs, 0) AS affected_docs
+             |FROM tot LEFT JOIN rem ON tot.source = rem.source
+             |ORDER BY tot.source""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
