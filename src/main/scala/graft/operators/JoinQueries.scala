@@ -661,11 +661,11 @@ object JoinQueries {
         val ev = t(spark, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_timestamp(col("ts")).as("s"),
-            (unix_timestamp(col("ts")) + lit(120L)).as("e"))
+            (unix_timestamp(col("ts")) + lit(900L)).as("e"))
         def buckets(d: DataFrame, p: String) = d
           .select(col("user_id"), col("event_id").as(s"${p}_id"),
             col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
-            explode(sequence(expr("s div 300"), expr("(e - 1) div 300"))).as("bk"))
+            explode(sequence(expr("s div 1800"), expr("(e - 1) div 1800"))).as("bk"))
         val views = buckets(ev.filter(col("event_type") === "view"), "a")
         val buys = buckets(ev.filter(col("event_type") === "purchase"), "b")
         views.join(buys, Seq("user_id", "bk"))
@@ -676,7 +676,7 @@ object JoinQueries {
       },
       Some("""WITH iv AS (SELECT user_id, event_id, event_type,
              |CAST(floor(epoch(ts)) AS BIGINT) AS s,
-             |CAST(floor(epoch(ts)) AS BIGINT) + 120 AS e FROM events)
+             |CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e FROM events)
              |SELECT a.user_id, CAST(count(*) AS BIGINT) AS overlap_pairs
              |FROM iv a JOIN iv b ON a.user_id = b.user_id
              |AND a.event_type = 'view' AND b.event_type = 'purchase'

@@ -77,8 +77,8 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("join_interval_overlap: bucketed equi-join equals the brute-force theta join") {
-    val views = events.filter(_._3 == "view").map(e => (e._2, e._1, e._5, e._5 + 120))
-    val buys = events.filter(_._3 == "purchase").map(e => (e._2, e._1, e._5, e._5 + 120))
+    val views = events.filter(_._3 == "view").map(e => (e._2, e._1, e._5, e._5 + 900))
+    val buys = events.filter(_._3 == "purchase").map(e => (e._2, e._1, e._5, e._5 + 900))
     val expected = views.flatMap { a =>
       buys.filter(b => b._1 == a._1 && a._3 < b._4 && b._3 < a._4).map(_ => a._1)
     }.groupBy(identity).map { case (u, v) => u -> v.length.toLong }
