@@ -1001,5 +1001,66 @@ object SimilarityQueries {
            |row_number() OVER (PARTITION BY probe ORDER BY votes DESC, label) AS vr
            |FROM v) WHERE vr = 1 ORDER BY probe""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // PORTABLE HyperLogLog — the oracle-checked twin of the engine-native
+    // approx_distinct_hll (which is rows-only because Spark's HLL++ and
+    // DuckDB's sketch can't cross-check). Here the WHOLE sketch is
+    // portable integer arithmetic both engines run identically:
+    // 60-bit md5 hash → register = h mod 64, rank = trailing zeros of
+    // (h div 64) + 1 via the bit_count((v & -v) − 1) identity — exact
+    // int ops, no log2 (IEEE log is libm-divergent); per-register max
+    // rank caps at 50; and the harmonic sum Σ 2^(−M_j) is EXACT integer
+    // arithmetic at scale 2^55 (empty registers contribute 2^55 each),
+    // so no float fold order can differ. Estimate = α₆₄·m²/Z with one
+    // double division at the end. Scale shape: the register relation is
+    // ≤ |groups|·64 rows after a map-side-combined max agg — the sketch
+    // IS re-aggregatable (max merges), which is the 100 TB point; the
+    // declared output carries estimate, exact truth, and relative error
+    // (HllPortableSpec asserts |err| within 3σ = 39% for m=64).
+    "sketch_hll_portable" -> QueryDef(
+      (spark, dir) => {
+        val m = 64
+        val h = "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"
+        val regs = t(spark, dir, "events")
+          .select(col("event_type"), expr(s"$h % $m").as("reg"),
+            expr(s"$h div $m").as("v"))
+          .withColumn("rho", least(expr("bit_count((v & -v) - 1) + 1"), lit(50)))
+          .groupBy(col("event_type"), col("reg"))
+          .agg(max(col("rho")).as("mr"))
+        val sums = regs.groupBy("event_type")
+          .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - mr as int))")).as("s_used"),
+            cnt("m_used"))
+          .withColumn("z_scaled",
+            col("s_used") + (lit(m.toLong) - col("m_used")) * expr("shiftleft(cast(1 as bigint), 55)"))
+        val exact = t(spark, dir, "events").groupBy("event_type").agg(cnt("exact_n"))
+        sums.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("exact_n"),
+            pround(lit(0.709) * lit(m.toDouble * m) /
+              (col("z_scaled").cast("double") / lit(math.pow(2.0, 55))), 2).as("hll_est"),
+            pround((lit(0.709) * lit(m.toDouble * m) /
+              (col("z_scaled").cast("double") / lit(math.pow(2.0, 55)))
+              - col("exact_n").cast("double")) / col("exact_n").cast("double"), 4).as("rel_err"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val h = "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+        val est = "0.709 * 4096.0 / (CAST(z_scaled AS DOUBLE) / 36028797018963968.0)"
+        s"""WITH r AS (SELECT event_type, $h % 64 AS reg,
+           |least(bit_count((($h // 64) & -($h // 64)) - 1) + 1, 50) AS rho
+           |FROM events),
+           |mx AS (SELECT event_type, reg, max(rho) AS mr FROM r GROUP BY 1, 2),
+           |s AS (SELECT event_type,
+           |CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mr AS INT)) AS BIGINT)
+           | + (64 - CAST(count(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 55) AS z_scaled
+           |FROM mx GROUP BY 1),
+           |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+           |FROM events GROUP BY 1)
+           |SELECT s.event_type, exact_n,
+           |${proundSql(est, 2)} AS hll_est,
+           |${proundSql(s"($est - CAST(exact_n AS DOUBLE)) / CAST(exact_n AS DOUBLE)", 4)} AS rel_err
+           |FROM s JOIN ex ON s.event_type = ex.event_type
+           |ORDER BY s.event_type""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
