@@ -179,5 +179,68 @@ object MultimodalQueries {
            |FROM pairs WHERE bit_count(xor(f1, f2)) <= 4
            |GROUP BY 1 ORDER BY d""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Audio VAD (voice-activity detection) segmentation — the audio-lane
+    // preprocessing every speech corpus needs: per-frame energy →
+    // speech/silence gate → contiguous speech SEGMENTS (the units that
+    // get transcribed/aligned). Per-frame "energy" is the documented
+    // deterministic stub (md5 of asset-hash + frame index — a real
+    // filterbank drops into the same per-frame expression); segments are
+    // the gaps-islands grouping (frame_idx − row_number over speech
+    // frames), both windows partitioned per asset — state is one
+    // counter per asset, never a corpus ordering. Output: the per-asset
+    // segmentation audit (frames, speech frames, segments, longest run)
+    // a VAD stage logs before shipping segments downstream.
+    "multimodal_audio_vad" -> QueryDef(
+      (spark, dir) => {
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "audio")
+        val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
+          .select(col("asset_id"), md5(col("bytes")).as("ah"),
+            col("n_frames").cast("long").as("n_frames"))
+        val frames = decoded
+          .select(col("asset_id"), col("ah"), col("n_frames"),
+            explode(expr("sequence(0L, n_frames - 1)")).as("fi"))
+          .withColumn("energy",
+            expr("cast(conv(substr(md5(concat(ah, '#', cast(fi as string))), 1, 4), 16, 10) as bigint) % 100"))
+        val speech = frames.filter(col("energy") >= 30)
+          .withColumn("grp", col("fi") - row_number().over(
+            Window.partitionBy("asset_id").orderBy("fi")))
+        val segs = speech.groupBy("asset_id", "grp").agg(cnt("seg_len"))
+          .groupBy("asset_id")
+          .agg(cnt("n_segments"), max(col("seg_len")).as("longest_seg"),
+            sum(col("seg_len")).cast("long").as("speech_frames"))
+        decoded.select(col("asset_id"), col("n_frames"))
+          .join(segs, Seq("asset_id"), "left")
+          .select(col("asset_id"), col("n_frames"),
+            coalesce(col("speech_frames"), lit(0L)).as("speech_frames"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+          .orderBy(col("asset_id"))
+          .limit(300)
+      },
+      Some("""WITH a AS (SELECT doc_id AS asset_id, md5(text) AS ah,
+             |CAST(floor(octet_length(CAST(text AS BLOB)) / 256.0) + 1 AS BIGINT) AS n_frames
+             |FROM documents),
+             |fr AS (SELECT asset_id, n_frames, ah,
+             |unnest(range(0, n_frames)) AS fi FROM a),
+             |en AS (SELECT asset_id, n_frames, fi,
+             |CAST('0x' || substr(md5(ah || '#' || CAST(fi AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS energy
+             |FROM fr),
+             |sp AS (SELECT asset_id, fi,
+             |fi - row_number() OVER (PARTITION BY asset_id ORDER BY fi) AS grp
+             |FROM en WHERE energy >= 30),
+             |sg AS (SELECT asset_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+             |FROM sp GROUP BY 1, 2),
+             |agg AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |max(seg_len) AS longest_seg, CAST(sum(seg_len) AS BIGINT) AS speech_frames
+             |FROM sg GROUP BY 1)
+             |SELECT a.asset_id, a.n_frames,
+             |COALESCE(speech_frames, 0) AS speech_frames,
+             |COALESCE(n_segments, 0) AS n_segments,
+             |COALESCE(longest_seg, 0) AS longest_seg
+             |FROM a LEFT JOIN agg ON a.asset_id = agg.asset_id
+             |ORDER BY a.asset_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
