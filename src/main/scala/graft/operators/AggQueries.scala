@@ -1116,5 +1116,53 @@ object AggQueries {
              |max(CASE WHEN value >= 100.0 THEN value END) AS max_if
              |FROM events GROUP BY event_type)
              |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Time-to-convert — the product-analytics latency funnel: per user,
+    // the gap between the FIRST view and the first purchase AT OR AFTER
+    // it, summarized as the conversion-latency distribution. Two-level
+    // shape: (1) one conditional agg folds each user to a single
+    // first-view timestamp (O(|users|) relation); (2) purchases join
+    // back on user (equi, shuffled-hash — both sides user-keyed) and a
+    // min-agg picks the first qualifying purchase; (3) the summary is
+    // one bounded agg over per-user latencies. The exact interpolated
+    // percentile is over |converters| values — the agg_median_quartiles
+    // trade-off note applies at 100 TB (switch to the
+    // agg_approx_percentile sketch when exactness isn't contractual).
+    "agg_time_to_convert" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("s"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("s")).as("v"))
+        // the >= v predicate lives IN the join condition — a post-join
+        // filter would drop viewers whose purchases all predate the view
+        // instead of keeping them as non-converters
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("s").as("ps"))
+        val lat = firstView
+          .join(pur, col("user_id") === col("pu") && col("ps") >= col("v"), "left")
+          .groupBy("user_id")
+          .agg(min(col("v")).as("v"), min(col("ps")).as("p"))
+          .select(col("user_id"), (col("p") - col("v")).as("lat"))
+        lat.agg(cnt("viewers"),
+            sum(when(col("lat").isNotNull, 1L).otherwise(0L)).cast("long").as("converted"),
+            pround(expr("percentile(lat, 0.5)"), 2).as("p50_s"),
+            pround(expr("percentile(lat, 0.9)"), 2).as("p90_s"),
+            max(col("lat")).as("max_s"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type,
+             |CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+             |fv AS (SELECT user_id, min(s) AS v FROM ev
+             |WHERE event_type = 'view' GROUP BY user_id),
+             |lat AS (SELECT fv.user_id, min(p.s) - fv.v AS lat
+             |FROM fv LEFT JOIN ev p ON p.user_id = fv.user_id
+             |AND p.event_type = 'purchase' AND p.s >= fv.v
+             |GROUP BY fv.user_id, fv.v)
+             |SELECT CAST(count(*) AS BIGINT) AS viewers,
+             |CAST(sum(CASE WHEN lat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+             |${proundSql("quantile_cont(lat, 0.5)", 2)} AS p50_s,
+             |${proundSql("quantile_cont(lat, 0.9)", 2)} AS p90_s,
+             |max(lat) AS max_s FROM lat""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

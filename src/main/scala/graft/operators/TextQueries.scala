@@ -2405,5 +2405,60 @@ object TextQueries {
              |COALESCE(affected_docs, 0) AS affected_docs
              |FROM tot LEFT JOIN rem ON tot.source = rem.source
              |ORDER BY tot.source""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Domain reweighting (DoReMi / Pile-style target mixes): given a
+    // TARGET language mix, compute each domain's importance weight
+    // w = target_share / corpus_share, and the effective sample size
+    // ESS = (Σ n·w)² / Σ n·w² — the diagnostic that says how much of
+    // the corpus a weighted objective actually uses (ESS/N → 1 means
+    // the mix matches, → 0 means a few upweighted domains dominate).
+    // The target mix here is the uniform 1/|langs| a balanced run wants;
+    // in production it is config. All shares are exact rationals until
+    // one final IEEE division sequence: w = (N / n) / L in doubles,
+    // Σ n·w and Σ n·w² folded over the per-lang relation SORTED BY LANG
+    // (the sample_temperature z-fold discipline — a parallel double sum
+    // would be partition-order-dependent). Scale shape: one per-lang
+    // count agg, one ≤|langs|-row fold, zero corpus re-reads.
+    "sample_domain_reweight" -> QueryDef(
+      (spark, dir) => {
+        val counts = t(spark, dir, "documents").groupBy("lang").agg(cnt("n"))
+        val tot = counts.agg(sum(col("n")).cast("long").as("big_n"),
+          cnt("langs"))
+        val weighted = counts.crossJoin(broadcast(tot))
+          .withColumn("w",
+            (col("big_n").cast("double") / col("n").cast("double"))
+              / col("langs").cast("double"))
+        // deterministic fold for the two ESS sums: sorted struct list
+        val ess = weighted.agg(expr(
+          """aggregate(sort_array(collect_list(struct(lang,
+            |cast(n as double) * w as nw,
+            |cast(n as double) * w * w as nww))),
+            |named_struct('s1', cast(0.0 as double), 's2', cast(0.0 as double)),
+            |(a, x) -> named_struct('s1', a.s1 + x.nw, 's2', a.s2 + x.nww))"""
+            .stripMargin.replace("\n", " ")).as("z"))
+          .select((col("z.s1") * col("z.s1") / col("z.s2")).as("ess_raw"))
+        weighted.crossJoin(broadcast(ess))
+          .select(col("lang"), col("n"),
+            pround(col("w"), 6).as("weight"),
+            pround(col("ess_raw"), 2).as("ess"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+             |CAST(count(*) AS BIGINT) AS langs FROM c),
+             |w AS (SELECT lang, n,
+             |(CAST(big_n AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(langs AS DOUBLE) AS w
+             |FROM c CROSS JOIN t),
+             |f AS (SELECT list(CAST(n AS DOUBLE) * w ORDER BY lang) AS nws,
+             |list(CAST(n AS DOUBLE) * w * w ORDER BY lang) AS nwws FROM w),
+             |e AS (SELECT
+             |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), nws), (a, x) -> a + x) AS s1,
+             |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), nwws), (a, x) -> a + x) AS s2
+             |FROM f)
+             |SELECT lang, n, ${proundSql("w", 6)} AS weight,
+             |${proundSql("s1 * s1 / s2", 2)} AS ess
+             |FROM w CROSS JOIN e ORDER BY lang""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
