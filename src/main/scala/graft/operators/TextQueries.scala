@@ -2460,5 +2460,94 @@ object TextQueries {
              |SELECT lang, n, ${proundSql("w", 6)} AS weight,
              |${proundSql("s1 * s1 / s2", 2)} AS ess
              |FROM w CROSS JOIN e ORDER BY lang""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // LSH band-configuration tuning — the calibration an operator runs
+    // BEFORE a 100 TB dedup sweep: from ONE set of 8 minhash lanes,
+    // measure candidate volume under three (bands × rows) splits —
+    // b4r2 (the production config of dedup_minhash_lsh), b2r4
+    // (precision-leaning: fewer, longer bands → higher similarity
+    // threshold), b8r1 (recall-leaning) — next to each config's S-curve
+    // threshold (1/b)^(1/r), precomputed as exact literals. Reading the
+    // table: candidate volume should track the threshold monotonically;
+    // a b8r1 volume explosion says the corpus is boilerplate-heavy and
+    // needs the longer bands. Scale shape: the signature pass runs ONCE
+    // (persisted), all 14 band keys explode in one Generator, the
+    // config id is inside the band key so one equi-join serves all
+    // three configs, and the hot-bucket cap applies per (config, band)
+    // exactly as in production.
+    "dedup_lsh_tuning" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+          .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
+        val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
+          d.withColumn(s"mh$i",
+            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+        }
+        def key(cfg: String, b: Int, lanes: Seq[Int]) =
+          md5(concat_ws("-", lit(cfg) +: lit(b.toString) +: lanes.map(i => col(s"mh$i")): _*))
+        val bandCols =
+          (0 until 4).map(b => struct(lit("b4r2").as("cfg"), key("b4r2", b, Seq(2 * b, 2 * b + 1)).as("k"))) ++
+          (0 until 2).map(b => struct(lit("b2r4").as("cfg"), key("b2r4", b, (4 * b until 4 * b + 4)).as("k"))) ++
+          (0 until 8).map(b => struct(lit("b8r1").as("cfg"), key("b8r1", b, Seq(b)).as("k")))
+        val bands = withMh
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.cfg").as("cfg"), col("bk.k").as("k"))
+          .scopedPersist()
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val pairs = capped.as("a")
+          .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.cfg").as("cfg"), col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .groupBy("cfg").agg(cnt("candidate_pairs"))
+        val meta = Seq(("b2r4", 2L, 4L, 0.8408964152537145),
+          ("b4r2", 4L, 2L, 0.5), ("b8r1", 8L, 1L, 0.125))
+        import spark.implicits._
+        meta.toDF("cfg", "bands", "rows_per_band", "s_threshold")
+          .join(pairs, Seq("cfg"), "left")
+          .select(col("cfg"), col("bands"), col("rows_per_band"),
+            pround(col("s_threshold"), 6).as("s_threshold"),
+            coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"))
+          .orderBy(col("cfg"))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        def keySql(cfg: String, b: Int, lanes: Seq[Int]) =
+          s"md5('$cfg' || '-' || '$b' || '-' || " +
+            lanes.map(i => s"mh$i").mkString(" || '-' || ") + ")"
+        val bandSelects =
+          ((0 until 4).map(b => s"SELECT doc_id, 'b4r2' AS cfg, ${keySql("b4r2", b, Seq(2 * b, 2 * b + 1))} AS k FROM mh") ++
+            (0 until 2).map(b => s"SELECT doc_id, 'b2r4' AS cfg, ${keySql("b2r4", b, (4 * b until 4 * b + 4))} AS k FROM mh") ++
+            (0 until 8).map(b => s"SELECT doc_id, 'b8r1' AS cfg, ${keySql("b8r1", b, Seq(b))} AS k FROM mh"))
+            .mkString(" UNION ALL ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |mh AS (SELECT doc_id, $mhCols FROM sh),
+           |bands AS ($bandSelects),
+           |bandsc AS (SELECT doc_id, cfg, k FROM (SELECT doc_id, cfg, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+           |p AS (SELECT cfg, CAST(count(*) AS BIGINT) AS candidate_pairs FROM (
+           |SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
+           |FROM bandsc a JOIN bandsc b ON a.k = b.k AND a.doc_id < b.doc_id)
+           |GROUP BY cfg),
+           |meta AS (SELECT * FROM (VALUES
+           |('b2r4', CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(0.8408964152537145 AS DOUBLE)),
+           |('b4r2', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(0.5 AS DOUBLE)),
+           |('b8r1', CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(0.125 AS DOUBLE)))
+           |AS m(cfg, bands, rows_per_band, s_threshold))
+           |SELECT meta.cfg, bands, rows_per_band,
+           |${proundSql("s_threshold", 6)} AS s_threshold,
+           |COALESCE(candidate_pairs, 0) AS candidate_pairs
+           |FROM meta LEFT JOIN p ON meta.cfg = p.cfg
+           |ORDER BY meta.cfg""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
