@@ -430,5 +430,50 @@ object CdcQueries {
              |CAST(sum(CASE WHEN mx >= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS scanned,
              |CAST(sum(CASE WHEN mx >= 300.0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
              |CAST(sum(hits) AS BIGINT) AS rows_matched
-             |FROM idx GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))))
+             |FROM idx GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Compaction planning (lakehouse OPTIMIZE / MergeTree background
+    // merges): small adjacent granules should merge into ~target-size
+    // files. The plan is PURE METADATA dataflow: from the per-(type, day)
+    // granule row counts (the cdc_minmax_prune index relation), assign
+    // each granule to a merge group by integer division of the RUNNING
+    // row count by the target size — consecutive granules share a group
+    // until the target fills, exactly the greedy bin-pack a compactor
+    // executes, and the day-ordered running sum makes the plan
+    // deterministic under any partitioning. Output: per (type, group):
+    // first/last day, granules merged, total rows — the merge manifest.
+    // Scale shape: one partial+final agg to O(|granules|) metadata, one
+    // per-type window over that bounded relation, one final agg; the
+    // corpus is read once and only for the index build.
+    "cdc_compaction_plan" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 600L
+        val idx = t(spark, dir, "events")
+          .select(col("event_type"),
+            expr("datediff(cast(ts as date), date '1995-01-01')").cast("long").as("day"))
+          .groupBy("event_type", "day").agg(cnt("rows_n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        idx
+          // group = which target-size bin the granule's LAST row lands in
+          .withColumn("grp", ((sum(col("rows_n")).over(w) - 1L) / target).cast("long"))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("day")).as("from_day"), max(col("day")).as("to_day"),
+            cnt("granules"), sum(col("rows_n")).cast("long").as("rows_total"))
+          .orderBy(col("event_type"), col("grp"))
+      },
+      Some("""WITH idx AS (SELECT event_type,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+             |CAST(count(*) AS BIGINT) AS rows_n
+             |FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, day, rows_n,
+             |CAST(floor((sum(rows_n) OVER (PARTITION BY event_type ORDER BY day
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 600.0) AS BIGINT) AS grp
+             |FROM idx)
+             |SELECT event_type, grp, min(day) AS from_day, max(day) AS to_day,
+             |CAST(count(*) AS BIGINT) AS granules,
+             |CAST(sum(rows_n) AS BIGINT) AS rows_total
+             |FROM g GROUP BY 1, 2
+             |ORDER BY event_type, grp""".stripMargin.replace("\n", " "))))
 }

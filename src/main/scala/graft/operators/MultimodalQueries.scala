@@ -242,5 +242,68 @@ object MultimodalQueries {
              |COALESCE(longest_seg, 0) AS longest_seg
              |FROM a LEFT JOIN agg ON a.asset_id = agg.asset_id
              |ORDER BY a.asset_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Video scene-cut detection — the video twin of the VAD shape: a cut
+    // is a frame whose feature distance to the PREVIOUS frame exceeds a
+    // threshold (real pipelines diff color histograms / embeddings; the
+    // per-frame feature here is the documented deterministic stub, and a
+    // real extractor drops into the same per-frame expression). The diff
+    // is one lag window per asset — per-key state is a single previous
+    // value — and scenes = cuts + 1. Output: the per-asset shot audit
+    // (frames, cuts, scenes, longest shot in frames) a sampling stage
+    // reads to pick one keyframe per scene. No corpus ordering, no
+    // shuffle beyond the per-asset windows.
+    "multimodal_video_scenes" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val assets = graft.multimodal.Multimodal.assetsFrom(
+          t(spark, dir, "documents"), "doc_id", "text", "video")
+        val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
+          .select(col("asset_id"), md5(col("bytes")).as("ah"),
+            col("n_frames").cast("long").as("n_frames"))
+        val byAsset = Window.partitionBy("asset_id").orderBy("fi")
+        val frames = decoded
+          .select(col("asset_id"), col("ah"), col("n_frames"),
+            explode(expr("sequence(0L, n_frames - 1)")).as("fi"))
+          .withColumn("feat",
+            expr("cast(conv(substr(md5(concat(ah, '@', cast(fi as string))), 1, 4), 16, 10) as bigint) % 256"))
+          .withColumn("cut",
+            when(abs(col("feat") - lag(col("feat"), 1).over(byAsset)) >= 128, 1L)
+              .otherwise(0L))
+        val shots = frames
+          .withColumn("shot", sum(col("cut")).over(
+            byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("asset_id", "shot").agg(cnt("shot_len"))
+          .groupBy("asset_id")
+          .agg(cnt("scenes"), max(col("shot_len")).as("longest_shot"))
+        decoded.select(col("asset_id"), col("n_frames"))
+          .join(shots, Seq("asset_id"))
+          .select(col("asset_id"), col("n_frames"),
+            (col("scenes") - 1L).as("cuts"), col("scenes"), col("longest_shot"))
+          .orderBy(col("asset_id"))
+          .limit(300)
+      },
+      Some("""WITH a AS (SELECT doc_id AS asset_id, md5(text) AS ah,
+             |CAST(floor(octet_length(CAST(text AS BLOB)) / 256.0) + 1 AS BIGINT) AS n_frames
+             |FROM documents),
+             |fr AS (SELECT asset_id, ah, n_frames,
+             |unnest(range(0, n_frames)) AS fi FROM a),
+             |ft AS (SELECT asset_id, n_frames, fi,
+             |CAST('0x' || substr(md5(ah || '@' || CAST(fi AS VARCHAR)), 1, 4) AS BIGINT) % 256 AS feat
+             |FROM fr),
+             |ct AS (SELECT asset_id, n_frames, fi,
+             |CASE WHEN abs(feat - lag(feat) OVER (PARTITION BY asset_id ORDER BY fi)) >= 128
+             |THEN 1 ELSE 0 END AS cut FROM ft),
+             |sh AS (SELECT asset_id, n_frames,
+             |CAST(sum(cut) OVER (PARTITION BY asset_id ORDER BY fi
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot
+             |FROM ct),
+             |sl AS (SELECT asset_id, n_frames, shot,
+             |CAST(count(*) AS BIGINT) AS shot_len FROM sh GROUP BY 1, 2, 3),
+             |agg AS (SELECT asset_id, n_frames, CAST(count(*) AS BIGINT) AS scenes,
+             |max(shot_len) AS longest_shot FROM sl GROUP BY 1, 2)
+             |SELECT asset_id, n_frames, scenes - 1 AS cuts, scenes, longest_shot
+             |FROM agg ORDER BY asset_id LIMIT 300""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
