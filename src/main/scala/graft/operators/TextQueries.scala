@@ -2425,10 +2425,12 @@ object TextQueries {
         val counts = t(spark, dir, "documents").groupBy("lang").agg(cnt("n"))
         val tot = counts.agg(sum(col("n")).cast("long").as("big_n"),
           cnt("langs"))
-        val weighted = counts.crossJoin(broadcast(tot))
+        // persisted: both the ESS fold and the final projection read the
+        // weighted relation — unpersisted, the corpus count agg runs twice
+        val weighted = scopedPersist(counts.crossJoin(broadcast(tot))
           .withColumn("w",
             (col("big_n").cast("double") / col("n").cast("double"))
-              / col("langs").cast("double"))
+              / col("langs").cast("double")))
         // deterministic fold for the two ESS sums: sorted struct list
         val ess = weighted.agg(expr(
           """aggregate(sort_array(collect_list(struct(lang,

@@ -645,6 +645,51 @@ class PlanShapeSpec extends SparkSpec {
       s"no window belongs here:\n$plan")
   }
 
+  test("dedup_lsh_tuning: one signature pass, equi band join, broadcast cap") {
+    val plan = executedPlan("dedup_lsh_tuning")
+    assert(countOf(plan, "CartesianProduct") === 0
+      && countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"the band join must stay an equi-join on the band key:\n$plan")
+    // the persisted band relation feeds both join sides and the cap —
+    // without the cache scan the shingle/minhash pass runs per branch
+    assert(plan.contains("InMemoryTableScan"),
+      s"band-relation persist lost:\n$plan")
+  }
+
+  test("cdc_compaction_plan: metadata-only planning after one corpus agg") {
+    val plan = executedPlan("cdc_compaction_plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "CartesianProduct") === 0,
+      s"no join belongs in a compaction plan:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      s"only the per-type running sum may window:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"the plan must never order the corpus globally:\n$plan")
+  }
+
+  test("multimodal vad/scenes: per-asset windows only, no corpus ordering") {
+    Seq("multimodal_audio_vad", "multimodal_video_scenes").foreach { name =>
+      val plan = executedPlan(name)
+      assert(countOf(plan, "Exchange SinglePartition") === 0,
+        s"$name must not globally sort (TakeOrdered handles the head):\n$plan")
+      assert(countOf(plan, "CartesianProduct") === 0, s"$name: cartesian:\n$plan")
+    }
+  }
+
+  test("sample_domain_reweight / agg_time_to_convert: bounded joins, no corpus window") {
+    Seq("sample_domain_reweight", "agg_time_to_convert").foreach { name =>
+      val plan = executedPlan(name)
+      assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+        s"$name must not window the corpus:\n$plan")
+      // reweight's crosses are counts×tot and weighted×ess — scalar or
+      // ≤|langs|-row sides by construction (the cached weighted relation
+      // reprints its internal cross at each consumer, so a text count
+      // over-reports); the binding pin is that the CORPUS side never
+      // sort-merges against anything
+      assert(countOf(plan, "SortMergeJoin") === 0,
+        s"$name: corpus must not sort-merge:\n$plan")
+    }
+  }
+
   test("agg_max_intersections / stream_hourly_topk: one bounded window each") {
     Seq("agg_max_intersections" -> 1, "stream_hourly_topk" -> 1).foreach {
       case (name, maxW) =>
