@@ -1164,5 +1164,42 @@ object AggQueries {
              |${proundSql("quantile_cont(lat, 0.5)", 2)} AS p50_s,
              |${proundSql("quantile_cont(lat, 0.9)", 2)} AS p90_s,
              |max(lat) AS max_s FROM lat""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // First-order behavioral transition matrix — P(next = b | current = a)
+    // over each user's event sequence: the Markov model behind "what do
+    // users do after X" product analytics and next-event prediction
+    // baselines. One lag window per user (a single value of state),
+    // a pair-count agg bounded by |types|² post-combine, and row
+    // normalization against the broadcast per-source totals — the
+    // transition probability is one double division over exact counts.
+    // Sequence order is total ((ts, event_id)), so the pair counts are
+    // deterministic under any partitioning.
+    "agg_transition_matrix" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = t(spark, dir, "events")
+          .withColumn("next_t", lead(col("event_type"), 1).over(byUser))
+          .filter(col("next_t").isNotNull)
+          .groupBy(col("event_type").as("from_t"), col("next_t").as("to_t"))
+          .agg(cnt("n"))
+        val totals = pairs.groupBy("from_t")
+          .agg(sum(col("n")).cast("long").as("row_n"))
+        pairs.join(broadcast(totals), Seq("from_t"))
+          .select(col("from_t"), col("to_t"), col("n"),
+            pround(col("n").cast("double") / col("row_n").cast("double"), 6).as("p"))
+          .orderBy(col("from_t"), col("to_t"))
+      },
+      Some(s"""WITH seq AS (SELECT event_type AS from_t,
+             |lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_t
+             |FROM events),
+             |p AS (SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS n
+             |FROM seq WHERE to_t IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_t, CAST(sum(n) AS BIGINT) AS row_n FROM p GROUP BY 1)
+             |SELECT p.from_t, to_t, n,
+             |${proundSql("CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)", 6)} AS p
+             |FROM p JOIN t ON p.from_t = t.from_t
+             |ORDER BY p.from_t, to_t""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
