@@ -374,7 +374,7 @@ object ScanQueries {
             .mkString(" + ")
         val z = interleave("day", "ub")
         t(spark, dir, "events")
-          .select(expr("datediff(cast(ts as date), date '1995-01-01') % 256").as("day"),
+          .select(expr("datediff(cast(ts as date), date '1995-01-01') % 256").cast("long").as("day"),
             (col("user_id") % 256).as("ub"))
           .withColumn("z", expr(z))
           .groupBy((col("z") / 4096).cast("long").as("granule"))
