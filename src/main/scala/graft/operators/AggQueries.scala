@@ -1201,5 +1201,50 @@ object AggQueries {
              |${proundSql("CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)", 6)} AS p
              |FROM p JOIN t ON p.from_t = t.from_t
              |ORDER BY p.from_t, to_t""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Time-decayed sum (CH exponentialTimeDecayedSum signature, half-life
+    // form): recent activity counts more, weight halves per day of age.
+    // The decay is QUANTIZED TO WHOLE DAYS so the whole aggregate stays
+    // exact integer/decimal arithmetic: weight = 2^(-age_d) with age_d a
+    // bounded integer → each term is cents · 2^(maxAge − age_d), an exact
+    // long product summed in DECIMAL(38,0) (map-side combinable — no
+    // float fold order exists to diverge), and the final
+    // S / 2^maxAge / 100 is one fixed IEEE sequence. A continuous-time
+    // decay (2^(−age/86400.0)) would put libm pow in the aggregate —
+    // order-independent only in exact arithmetic, so the day quantum IS
+    // the portability design, stated in the output name. The frontier
+    // (max day) broadcasts as a scalar, same as cdc_graphite_rollup.
+    "agg_time_decay" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("event_type"), col("value"),
+            expr("datediff(cast(ts as date), date '1995-01-01')").cast("long").as("day"))
+        val frontier = ev.agg(max(col("day")).as("maxd"))
+        ev.crossJoin(broadcast(frontier))
+          .withColumn("age_d", least(col("maxd") - col("day"), lit(40L)))
+          .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .withColumn("term",
+            (col("cents") * expr("shiftleft(cast(1 as bigint), cast(40 - age_d as int))"))
+              .cast("decimal(38,0)"))
+          .groupBy("event_type")
+          .agg(cnt("cnt"), sum(col("term")).as("s"))
+          .select(col("event_type"), col("cnt"),
+            pround(col("s").cast("double") / lit(math.pow(2.0, 40)) / lit(100.0), 4)
+              .as("decayed_sum_halflife_1d"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, value,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+             |FROM events),
+             |f AS (SELECT max(day) AS maxd FROM ev),
+             |tm AS (SELECT event_type,
+             |CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             | * (CAST(1 AS BIGINT) << CAST(40 - least(maxd - day, 40) AS INT))
+             | AS DECIMAL(38,0)) AS term
+             |FROM ev CROSS JOIN f)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |${proundSql("CAST(sum(term) AS DOUBLE) / 1099511627776.0 / 100.0", 4)} AS decayed_sum_halflife_1d
+             |FROM tm GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -227,6 +227,39 @@ object StreamTwins {
     * consumer in this module. State scales as O(live keys) × one struct,
     * partitioned by key hash — the lead() window's shuffle, incremental.
     */
+  /** agg_transition_matrix's pair feed as TRUE streaming state: per user
+    * the state is ONE string — the last event type seen; every arriving
+    * event emits the (from, to) transition it completes and replaces the
+    * state. The downstream matrix is a plain incremental count over this
+    * append stream (counts only grow, so any sink can maintain them).
+    * Rows within a micro-batch are processed in (event-time, event_id)
+    * order (sorted here — iterator order is not guaranteed); across
+    * batches the per-user last type persists in state, so
+    * batch-boundary transitions are emitted exactly once.
+    */
+  def transitionPairsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.withColumn("ts", normTs(col("ts"), events))
+    ev.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (user, it, state) =>
+          var cur = state.getOption
+          val out = it.toSeq.sortBy(e => (e._3, e._4)).flatMap { e =>
+            val pair = cur.map(c => (user, c, e._2))
+            cur = Some(e._2)
+            pair
+          }
+          cur.foreach(state.update)
+          out.iterator
+        }
+      .toDF("user_id", "from_t", "to_t")
+  }
+
   def scd2HistoryStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -663,4 +663,29 @@ class StreamTwinsSpec extends SparkSpec {
     assert(extra.forall(_ == (sentinel.ts.getTime / 1000 / 3600) * 3600),
       s"unexpected extra hours: $extra")
   }
+
+  test("transition-pairs twin over the REAL events table matches the batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val real = graft.core.t(spark, sf001, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // split mid-stream so batch-boundary transitions exercise the state
+    val (b1, b2) = real.splitAt(real.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.transitionPairsStream(mem.toDF()).writeStream
+      .format("memory").queryName("trans_pairs").outputMode("append").start()
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_pairs").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val batch = graft.Registry.all.toMap.apply("agg_transition_matrix")
+      .fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(got === batch, "streamed transition counts diverge from the batch matrix")
+  }
 }
