@@ -2561,5 +2561,45 @@ object TextQueries {
            |FROM meta LEFT JOIN p ON meta.cfg = p.cfg
            |ORDER BY meta.cfg""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Code-vs-prose routing — the corpus-splitting step before
+    // modality-specific quality pipelines (code gets linted/dedup'd by
+    // AST-ish rules, prose by Gopher rules): a per-document code score
+    // from symbol densities (braces, semicolons, equals, parens per
+    // char), thresholded to a route. Pure map-side per-row expressions —
+    // symbol counts via length-difference against replace() (codegen'd
+    // and engine-portable, where regex engines differ); the only double
+    // is the final density ratio. The per-lang mean is averaged over
+    // EXACT integer micro-scores (decimal sum of score·10⁶) so the
+    // aggregate has no float fold order to diverge. O(|langs|) output.
+    "text_code_detect" -> QueryDef(
+      (spark, dir) => {
+        def cnt1(ch: String) =
+          length(col("text")) - length(regexp_replace(col("text"), lit("\\" + ch), lit("")))
+        val symbols = cnt1("{") + cnt1("}") + cnt1(";") + cnt1("=") + cnt1("(") + cnt1(")")
+        t(spark, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .withColumn("score",
+            pround(symbols.cast("double") / length(col("text")).cast("double"), 6))
+          .withColumn("is_code", (col("score") >= 0.02).cast("boolean"))
+          .groupBy("lang")
+          .agg(cnt("docs"),
+            sum(when(col("is_code"), 1L).otherwise(0L)).cast("long").as("code_docs"),
+            pround(sum((col("score") * 1000000).cast("decimal(18,0)")).cast("double")
+              / count(lit(1)).cast("double") / 1000000.0, 6).as("avg_score"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        def c(ch: String) = s"(length(text) - length(replace(text, '$ch', '')))"
+        val sym = Seq("{", "}", ";", "=", "(", ")").map(c).mkString(" + ")
+        val score = proundSql(s"CAST($sym AS DOUBLE) / CAST(length(text) AS DOUBLE)", 6)
+        s"""WITH s AS (SELECT lang, $score AS score FROM documents
+           |WHERE length(text) > 0)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(CASE WHEN score >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS code_docs,
+           |${proundSql("CAST(sum(CAST(score * 1000000 AS DECIMAL(18,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0", 6)} AS avg_score
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
