@@ -1246,5 +1246,49 @@ object AggQueries {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
              |${proundSql("CAST(sum(term) AS DOUBLE) / 1099511627776.0 / 100.0", 4)} AS decayed_sum_halflife_1d
              |FROM tm GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Cohort lifetime value — the revenue companion to
+    // agg_retention_cohorts: users cohort by FIRST-purchase week, and
+    // each later purchase's revenue lands in the (cohort, age) cell;
+    // the running cumulative per cohort is the LTV curve a growth team
+    // reads. Shapes: one conditional agg folds each user to a cohort
+    // week (O(|users|)); purchases equi-join back on user; the cell agg
+    // is |weeks|²-bounded and the cumulative window runs over THAT
+    // bounded relation only. Money is decimal-sum → round → double
+    // (§7.3); weeks are integer day-arithmetic (datediff div 7 — the
+    // agg_retention_cohorts trick, no date_trunc locale variance).
+    "agg_cohort_ltv" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pur = t(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"),
+            expr("datediff(cast(ts as date), date '1995-01-01') div 7").as("wk"))
+        val cohorts = pur.groupBy("user_id").agg(min(col("wk")).as("cw"))
+        val cells = pur.join(broadcast(cohorts), Seq("user_id"))
+          .groupBy(col("cw"), (col("wk") - col("cw")).as("age_w"))
+          .agg(countDistinct(col("user_id")).cast("long").as("buyers"),
+            moneySum(col("value")).as("revenue"))
+        val w = Window.partitionBy("cw").orderBy("age_w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_revenue",
+            pround(sum(dec(col("revenue"), 18, 2)).over(w).cast("double"), 2))
+          .orderBy(col("cw"), col("age_w"))
+      },
+      Some("""WITH pur AS (SELECT user_id, value,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+             |FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, min(wk) AS cw FROM pur GROUP BY user_id),
+             |cells AS (SELECT cw, wk - cw AS age_w,
+             |CAST(count(DISTINCT pur.user_id) AS BIGINT) AS buyers,
+             |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+             |FROM pur JOIN c ON pur.user_id = c.user_id GROUP BY 1, 2)
+             |SELECT cw, age_w, buyers, revenue,
+             |floor(CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+             |OVER (PARTITION BY cw ORDER BY age_w
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_revenue
+             |FROM cells ORDER BY cw, age_w""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }

@@ -1062,5 +1062,57 @@ object SimilarityQueries {
            |FROM s JOIN ex ON s.event_type = ex.event_type
            |ORDER BY s.event_type""".stripMargin.replace("\n", " ")
       },
+      tier = "E"),
+
+    // Diversity sampling by cell representative — the selection HALF of
+    // SemDeDup-style curation: instead of dropping near-duplicates, KEEP
+    // exactly one representative per embedding-space cell (the vector
+    // closest to its centroid, min-id tie-break) — a coreset that covers
+    // the space with |cells| points. Scale shape: the cell assignment is
+    // the shared broadcast-centroid aggregate ([[ivfAssigned]]); the
+    // representative pick is a per-cell rank window over ≤|cell| rows;
+    // the declared output is |cells| rows. Grows to any corpus by
+    // growing k (cells stay bounded in size) — the same bound SemDeDup
+    // relies on.
+    "sample_diverse_cells" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = vecs(spark, dir)
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            sqrt(gdot("embedding", "embedding")).as("cn"))
+        val scored = ivfAssigned(spark, dir)
+          .join(broadcast(cents), Seq("cid"))
+          .withColumn("csim", pround(gdot("v", "cv") / (col("nv") * col("cn")), 9))
+        val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("vec_id").as("rep_vec"), col("csim").as("rep_sim"))
+          .join(broadcast(ivfAssigned(spark, dir).groupBy("cid").agg(cnt("members"))),
+            Seq("cid"))
+          .select(col("cid"), col("members"), col("rep_vec"), col("rep_sim"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val rsim = proundSql(
+          "list_dot_product(a.v, c2.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c2.cv, c2.cv)))", 9)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1),
+           |scored AS (SELECT a.cid, a.vec_id, $rsim AS csim
+           |FROM asg a JOIN c c2 ON a.cid = c2.cid),
+           |rep AS (SELECT cid, vec_id AS rep_vec, csim AS rep_sim FROM (
+           |SELECT cid, vec_id, csim,
+           |row_number() OVER (PARTITION BY cid ORDER BY csim DESC, vec_id) AS rn
+           |FROM scored) WHERE rn = 1),
+           |m AS (SELECT cid, CAST(count(*) AS BIGINT) AS members FROM asg GROUP BY cid)
+           |SELECT rep.cid, members, rep_vec, rep_sim
+           |FROM rep JOIN m ON rep.cid = m.cid ORDER BY rep.cid""".stripMargin.replace("\n", " ")
+      },
       tier = "E"))
 }
