@@ -1290,5 +1290,70 @@ object AggQueries {
              |OVER (PARTITION BY cw ORDER BY age_w
              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_revenue
              |FROM cells ORDER BY cw, age_w""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Z-score outlier gate — the monitoring/data-validation aggregate:
+    // count (and bound-check) events more than 3σ from their type's
+    // mean. Two-pass moments discipline: the exact decimal power sums
+    // fold per type (agg_variance_stats), the O(|types|) stats broadcast
+    // back, and the outlier test |x − μ| > 3σ is evaluated per row as
+    // one fixed IEEE sequence over exact inputs — identical on both
+    // engines, no Welford order-dependence, corpus read twice but never
+    // shuffled (the only exchanges carry per-type scalars).
+    "agg_outlier_zscore" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+        val stats = ev.groupBy("event_type")
+          .agg(cnt("n"), sum(dec(col("value"), 14, 2)).as("s"),
+            sum(dec(col("value"), 14, 2) * dec(col("value"), 14, 2)).as("m2"))
+          .select(col("event_type"), col("n"),
+            (col("s").cast("double") / col("n").cast("double")).as("mu"),
+            sqrt((col("m2").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+              / col("n").cast("double")).as("sigma"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(cnt("n"),
+            sum(when(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"), 1L)
+              .otherwise(0L)).cast("long").as("outliers"),
+            pround(max(abs(col("value") - col("mu")) / col("sigma")), 4).as("max_z"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val n = "CAST(n AS DOUBLE)"
+        val s = "CAST(s AS DOUBLE)"
+        val m2 = "CAST(m2 AS DOUBLE)"
+        s"""WITH st AS (SELECT event_type, n, $s / $n AS mu,
+           |sqrt(($m2 - $s * $s / $n) / $n) AS sigma
+           |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |sum(CAST(value AS DECIMAL(14,2))) AS s,
+           |sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS m2
+           |FROM events GROUP BY event_type))
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           |CAST(sum(CASE WHEN abs(value - mu) > 3.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           |${proundSql("max(abs(value - mu) / sigma)", 4)} AS max_z
+           |FROM events e JOIN st ON e.event_type = st.event_type
+           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // Seasonality heatmap — hour-of-day × day-of-week activity profile,
+    // the bounded (24×7) relation every monitoring dashboard draws.
+    // One partial+final agg; integer calendar arithmetic on both
+    // engines (DuckDB dayofweek is 0=Sunday, Spark dayofweek is
+    // 1=Sunday — normalized to 0-based below).
+    "agg_seasonality" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hod"))
+          .agg(cnt("events"), moneySum(col("value")).as("value_sum"))
+          .orderBy(col("dow"), col("hod"))
+      },
+      Some("""SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             |CAST(hour(ts) AS BIGINT) AS hod,
+             |CAST(count(*) AS BIGINT) AS events,
+             |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
