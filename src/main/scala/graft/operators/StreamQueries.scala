@@ -218,5 +218,47 @@ object StreamQueries {
              |event_type, CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY 1, 2))
              |WHERE rnk <= 3 ORDER BY h, rnk""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Error-rate spike detection — the alerting query a stream monitor
+    // runs: an hour is a SPIKE when its error count exceeds 2× the mean
+    // of the preceding 6 hours (exact integer/rational test: 3·cnt >
+    // Σ_trailing, no division). The corpus folds to hourly counts first
+    // (partial+final agg); the trailing frame is a ROWS window over that
+    // bounded O(|hours|) relation ordered by hour — at ANY corpus size
+    // the window input is hours, not events. Hours with no errors exist
+    // implicitly as absent rows; the trailing frame therefore reads
+    // "previous 6 OBSERVED hours", stated here and mirrored exactly in
+    // the oracle (the calendar-filled variant is agg_time_fill's shape).
+    // As a stream: tumbling counts finalize on watermark
+    // (StreamTwins.hourlyTypeCounts feeds this exact relation) and the
+    // spike test runs in the sink over the trailing finalized windows.
+    "stream_error_spikes" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(spark, dir, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+          .agg(cnt("errors"))
+        val w = Window.orderBy("h").rowsBetween(-6, -1)
+        hourly
+          .withColumn("trail_n", count(col("errors")).over(w))
+          .withColumn("trail_sum", sum(col("errors")).over(w))
+          .filter(col("trail_n") === 6)
+          .withColumn("spike", (col("errors") * 3L > col("trail_sum")).cast("boolean"))
+          .select(col("h"), col("errors"), col("trail_sum"), col("spike"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH hourly AS (SELECT
+             |CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             |CAST(count(*) AS BIGINT) AS errors
+             |FROM events WHERE event_type = 'error' GROUP BY 1),
+             |tr AS (SELECT h, errors,
+             |CAST(count(errors) OVER w AS BIGINT) AS trail_n,
+             |CAST(sum(errors) OVER w AS BIGINT) AS trail_sum
+             |FROM hourly WINDOW w AS (ORDER BY h ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |SELECT h, errors, trail_sum,
+             |(errors * 3 > trail_sum) AS spike
+             |FROM tr WHERE trail_n = 6 ORDER BY h""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
