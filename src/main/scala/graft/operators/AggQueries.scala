@@ -1355,5 +1355,47 @@ object AggQueries {
              |CAST(count(*) AS BIGINT) AS events,
              |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Revenue concentration — "how much of the value comes from the top
+    // decile of users": the whale-watching / source-concentration metric.
+    // The corpus folds FIRST to the per-user revenue relation (exact
+    // decimal cents — one partial+final agg), the p90 threshold is an
+    // exact interpolated percentile over THAT relation (|users| values,
+    // not |events| — the agg_median_quartiles trade applies if users
+    // reach billions: switch the threshold to the histogram sketch), and
+    // the share is a conditional re-aggregate against the broadcast
+    // scalar. Cents stay integer until the two final divisions.
+    "agg_revenue_concentration" -> QueryDef(
+      (spark, dir) => {
+        val perUser = t(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+        val thr = perUser.agg(
+          expr("percentile(cents, 0.9)").as("p90"),
+          sum(col("cents")).cast("long").as("total_cents"))
+        perUser.crossJoin(broadcast(thr))
+          .agg(cnt("users"),
+            sum(when(col("cents").cast("double") >= col("p90"), 1L).otherwise(0L))
+              .cast("long").as("top_users"),
+            sum(when(col("cents").cast("double") >= col("p90"), col("cents")).otherwise(0L))
+              .cast("long").as("top_cents"),
+            max(col("total_cents")).as("total_cents"))
+          .select(col("users"), col("top_users"),
+            pround(col("top_cents").cast("double") / col("total_cents").cast("double"), 6)
+              .as("top_share"),
+            pround(col("total_cents").cast("double") / 100.0, 2).as("total_revenue"))
+      },
+      Some(s"""WITH pu AS (SELECT user_id,
+             |CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |th AS (SELECT quantile_cont(cents, 0.9) AS p90,
+             |CAST(sum(cents) AS BIGINT) AS total_cents FROM pu)
+             |SELECT CAST(count(*) AS BIGINT) AS users,
+             |CAST(sum(CASE WHEN CAST(cents AS DOUBLE) >= p90 THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+             |${proundSql("CAST(sum(CASE WHEN CAST(cents AS DOUBLE) >= p90 THEN cents ELSE 0 END) AS DOUBLE) / CAST(max(total_cents) AS DOUBLE)", 6)} AS top_share,
+             |${proundSql("CAST(max(total_cents) AS DOUBLE) / 100.0", 2)} AS total_revenue
+             |FROM pu CROSS JOIN th""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
