@@ -222,30 +222,35 @@ object StreamQueries {
 
     // Error-rate spike detection — the alerting query a stream monitor
     // runs: an hour is a SPIKE when its error count exceeds 2× the mean
-    // of the preceding 6 hours (exact integer/rational test: 3·cnt >
-    // Σ_trailing, no division). The corpus folds to hourly counts first
-    // (partial+final agg); the trailing frame is a ROWS window over that
-    // bounded O(|hours|) relation ordered by hour — at ANY corpus size
-    // the window input is hours, not events. Hours with no errors exist
-    // implicitly as absent rows; the trailing frame therefore reads
-    // "previous 6 OBSERVED hours", stated here and mirrored exactly in
-    // the oracle (the calendar-filled variant is agg_time_fill's shape).
-    // As a stream: tumbling counts finalize on watermark
-    // (StreamTwins.hourlyTypeCounts feeds this exact relation) and the
-    // spike test runs in the sink over the trailing finalized windows.
+    // of the preceding 6 CALENDAR hours (exact integer test:
+    // cnt·trail_n > 2·Σ_trailing — the mean scaled through, no division;
+    // sparse tails with fewer than 3 observed trailing hours are
+    // skipped — too little baseline to alert on). The corpus folds to hourly counts first
+    // (partial+final agg, persisted — two consumers); the trailing sum
+    // then comes from an EXPLODE + EQUI-JOIN over that bounded
+    // O(|hours|) relation: each hour contributes itself to its next six
+    // calendar hours, a groupBy re-aggregates per target hour, and the
+    // flag joins back on the hour key. No window at all — the repo-wide
+    // no-unpartitioned-window pin holds (a global ORDER BY h frame would
+    // funnel the relation through one task; the contribute-forward form
+    // is embarrassingly parallel at any |hours|). As a stream: tumbling
+    // counts finalize on watermark (StreamTwins.hourlyTypeCounts) and
+    // the same contribute-forward join runs incrementally in the sink.
     "stream_error_spikes" -> QueryDef(
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val hourly = t(spark, dir, "events")
+        val hourly = scopedPersist(t(spark, dir, "events")
           .filter(col("event_type") === "error")
           .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
-          .agg(cnt("errors"))
-        val w = Window.orderBy("h").rowsBetween(-6, -1)
-        hourly
-          .withColumn("trail_n", count(col("errors")).over(w))
-          .withColumn("trail_sum", sum(col("errors")).over(w))
-          .filter(col("trail_n") === 6)
-          .withColumn("spike", (col("errors") * 3L > col("trail_sum")).cast("boolean"))
+          .agg(cnt("errors")))
+        val trail = hourly
+          .select(col("errors").as("e0"),
+            explode(sequence(col("h") + 3600, col("h") + 6 * 3600, lit(3600L))).as("h"))
+          .groupBy("h")
+          .agg(sum(col("e0")).cast("long").as("trail_sum"), cnt("trail_n"))
+        hourly.join(trail, Seq("h"))
+          .filter(col("trail_n") >= 3)
+          .withColumn("spike",
+            (col("errors") * col("trail_n") > col("trail_sum") * 2L).cast("boolean"))
           .select(col("h"), col("errors"), col("trail_sum"), col("spike"))
           .orderBy(col("h"))
       },
@@ -253,12 +258,14 @@ object StreamQueries {
              |CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
              |CAST(count(*) AS BIGINT) AS errors
              |FROM events WHERE event_type = 'error' GROUP BY 1),
-             |tr AS (SELECT h, errors,
-             |CAST(count(errors) OVER w AS BIGINT) AS trail_n,
-             |CAST(sum(errors) OVER w AS BIGINT) AS trail_sum
-             |FROM hourly WINDOW w AS (ORDER BY h ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |tr AS (SELECT cur.h, cur.errors,
+             |CAST(sum(prev.errors) AS BIGINT) AS trail_sum,
+             |CAST(count(*) AS BIGINT) AS trail_n
+             |FROM hourly cur JOIN hourly prev
+             |ON prev.h >= cur.h - 21600 AND prev.h <= cur.h - 3600
+             |GROUP BY cur.h, cur.errors)
              |SELECT h, errors, trail_sum,
-             |(errors * 3 > trail_sum) AS spike
-             |FROM tr WHERE trail_n = 6 ORDER BY h""".stripMargin.replace("\n", " ")),
+             |(errors * trail_n > trail_sum * 2) AS spike
+             |FROM tr WHERE trail_n >= 3 ORDER BY h""".stripMargin.replace("\n", " ")),
       tier = "E"))
 }
