@@ -998,7 +998,7 @@ object AggQueries {
              |liv AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id
              |ORDER BY tp, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
              |FROM pts),
-             |pk AS (SELECT user_id, max(live) AS peak FROM liv GROUP BY user_id)
+             |pk AS (SELECT user_id, CAST(max(live) AS BIGINT) AS peak FROM liv GROUP BY user_id)
              |SELECT peak, CAST(count(*) AS BIGINT) AS users FROM pk
              |GROUP BY peak ORDER BY peak""".stripMargin.replace("\n", " ")),
       tier = "E"),

@@ -648,7 +648,7 @@ object JoinQueries {
     // "find every pair of overlapping intervals". A naive overlap join is
     // a range theta-join (quadratic per user at best, a cartesian at
     // worst); the bucketed form turns it into an EQUI-join: with bucket
-    // width ≥ the max interval length (300 s ≥ 120 s here), any two
+    // width ≥ the max interval length (1800 s ≥ 900 s here), any two
     // overlapping intervals share at least one covered bucket, so
     // exploding each side over its ≤2 covered buckets and equi-joining on
     // (user, bucket) finds every candidate with ≤4-fold duplication,

@@ -56,9 +56,10 @@ import org.apache.spark.sql.types.StructType
   * @param mergeThreshold compact every N committed batches; 0 = never
   *        (the raw landing behavior).
   * @param orderCols intra-batch arrival-order key for `__row_id` (the WAL
-  *        feed's `lsn` by default). The per-batch row_number over it is a
-  *        single-task sort bounded by the micro-batch size — the same
-  *        bound as the reference's in-memory buffer.
+  *        feed's `lsn` by default). Ranks over it are computed with the
+  *        parallel two-level decomposition (range-partition → local
+  *        row_number → broadcast partition-count offsets), so stamping
+  *        stays distributed even for a GB-scale snapshot micro-batch.
   * @param segmentMerge engine-aware row reduction applied to each
   *        segment's rows as it compacts (ClickHouse's background
   *        part-merge analog — [[CdcApply.mergeSlice]]); identity by
@@ -103,19 +104,52 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     // fall back to all columns when the configured order key is absent
     // (generic batches): still a deterministic total order attempt, so a
     // replayed batch stamps identical row_ids.
-    val effOrder =
-      if (orderCols.forall(batch.columns.contains)) orderCols
-      else batch.columns.toSeq
-    val w = Window.orderBy(effOrder.map(col): _*)
-    val ordered = batch.withColumn("__row_id",
-      (lit(batchId) * lit(1L << 32) + row_number().over(w)).cast("long"))
-    ordered.write.mode("overwrite").parquet(staging.toString)
+    val (ordered, release) = stampRowIds(batch, batchId)
+    try ordered.write.mode("overwrite").parquet(staging.toString)
+    finally release()
     // a lost commitMove means a previous attempt's move already landed
     // (crashed between move and marker): keep the committed copy
     if (!StateFs.commitMove(staging, target)) StateFs.delete(staging)
     StateFs.addMarker(committed, batchId)
     if (mergeThreshold > 0) maybeCompact(batch.sparkSession)
     true
+  }
+
+  /** Stamp `__row_id = batchId·2³² + global arrival rank` WITHOUT an
+    * unpartitioned window — a snapshot micro-batch can be GBs, and a
+    * single-task `row_number` funnel is exactly the scale-killer the
+    * repo-wide PlanShapeSpec pin forbids. The win_ntile two-level
+    * decomposition instead: range-partition on the order key (equal keys
+    * land in one partition, so partition i's rows all order before
+    * partition i+1's), per-partition `row_number` (parallel), then global
+    * rank = broadcast prefix-sum of preceding partition counts + local
+    * rank — bit-identical to a single global window's stamp. The ranked
+    * relation is persisted so the sampled range boundaries are computed
+    * once: counts and the final join must see ONE partitioning, or a
+    * replayed batch could stamp different ids. Returns the stamped frame
+    * and a release thunk the caller runs after consuming it.
+    */
+  def stampRowIds(batch: DataFrame, batchId: Long): (DataFrame, () => Unit) = {
+    val effOrder =
+      if (orderCols.forall(batch.columns.contains)) orderCols
+      else batch.columns.toSeq
+    val sortCols = effOrder.map(col)
+    val ranked = batch
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranked.groupBy("__pid").agg(count(lit(1)).as("__pcnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pcnt")), lit(0L)).as("__off"))
+    val ordered = ranked.join(broadcast(offsets), "__pid")
+      .withColumn("__row_id",
+        (lit(batchId) * lit(1L << 32) + col("__off") + col("__lrn")).cast("long"))
+      .drop("__pid", "__lrn", "__off")
+    (ordered, () => { ranked.unpersist(false); () })
   }
 
   /** Compact when ≥ mergeThreshold live batches exist. Also retires any

@@ -236,6 +236,15 @@ object StreamTwins {
     * order (sorted here — iterator order is not guaranteed); across
     * batches the per-user last type persists in state, so
     * batch-boundary transitions are emitted exactly once.
+    *
+    * SCOPE OF THE TWIN CLAIM: equivalence to the batch lead()-based
+    * matrix assumes micro-batches arrive in event-time order ACROSS
+    * batches too (an LSN-monotone CDC feed, the contract every consumer
+    * in this module states). A late event delivered in a later batch is
+    * stitched after the state's last type, not into its true position —
+    * so out-of-order feeds need an upstream watermark sort (or an
+    * event-time-in-state variant that drops/flags stragglers) before
+    * this twin's equivalence holds.
     */
   def transitionPairsStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession

@@ -99,6 +99,37 @@ class BufferedSinkSpec extends SparkSpec {
     }
   }
 
+  test("row_id stamping is distributed (no unpartitioned window) and bit-identical") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_stamp").toString
+    val sink = new BufferedSink(dir)
+    // enough rows to span several range partitions; shuffled arrival order
+    val lsns = scala.util.Random.shuffle((1L to 5000L).toList)
+    val (stamped, release) = sink.stampRowIds(lsns.toDF("lsn").repartition(8), 7L)
+    try {
+      // plan pin: the de-funneled stamp must not contain ANY unpartitioned
+      // window — the old Window.orderBy form funnels the batch into 1 task
+      // the persisted rank stage hides behind an InMemoryRelation whose
+      // subtree is already physical — check cached fragments too (the
+      // same dual check as PlanShapeSpec's repo-wide pin)
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      import org.apache.spark.sql.execution.window.WindowExec
+      val bad = stamped.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => s"logical:${w.windowExpressions}"
+        case r: InMemoryRelation =>
+          r.cachedPlan.collect {
+            case we: WindowExec if we.partitionSpec.isEmpty => s"cached:${we.windowExpression}"
+          }.mkString(";")
+      }.filter(_.nonEmpty)
+      assert(bad.isEmpty, s"stamp plans a single-partition window: $bad")
+      // bit-identical contract: row_id = batchId·2^32 + rank in lsn order
+      val got = stamped.orderBy("lsn").select(col("__row_id")).collect().map(_.getLong(0))
+      val want = (1L to 5000L).map(r => 7L * (1L << 32) + r)
+      assert(got.toSeq === want)
+    } finally release()
+  }
+
   test("foreachBatch adapter drives a real streaming query exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
