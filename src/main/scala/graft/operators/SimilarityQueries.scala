@@ -945,6 +945,121 @@ object SimilarityQueries {
       },
       tier = "E"),
 
+    // Graph ANN — join-based HNSW-lite (beam search over a bounded-degree
+    // kNN graph), the last classic ANN family (VERDICT r10 next-round
+    // #3; Malkov & Yashunin's HNSW re-expressed as dataflow). Index
+    // build: every vector keeps its k=8 nearest SAME-CELL neighbors —
+    // cell-local exact kNN, the dedup_semantic/SemDeDup bound that keeps
+    // the self-join quadratic in cell size, never corpus². Search:
+    // probes enter at the 10 centroid vectors and run 2 unrolled
+    // best-first hops (the graph_pagerank unrolled-iteration pattern):
+    // each hop expands the per-probe beam (B=4 best visited so far)
+    // along graph edges, scores ONLY newly-reached vertices with exact
+    // cosine, and merges them into the visited set; the answer is the
+    // per-probe top-3 of everything visited. Scale shape: the edge
+    // relation shuffles narrow (src, dst) pairs once at build and is
+    // persisted across hops; probes, beams, and expansions are
+    // probe-bounded (≤ |probes|·B·deg rows) and BROADCAST, so each
+    // hop's scoring streams the corpus past them with zero corpus
+    // shuffle; every window partitions by src or probe. Internal ranks
+    // order a pround(9) cosine (assignment-argmax portability argument);
+    // GraphAnnSpec grades beam recall@3 vs brute-force truth.
+    "sim_graph_ann" -> QueryDef(
+      (spark, dir) => {
+        val B = 4
+        val DEG = 8
+        val assigned = ivfAssigned(spark, dir) // shared (vec_id, cid, v, nv)
+        val ew = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+        val edges = assigned
+          .select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
+          .join(assigned.select(col("cid"), col("vec_id").as("dst"),
+            col("v").as("dv"), col("nv").as("dn")), Seq("cid"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("esim", pround(gdot("sv", "dv") / (col("sn") * col("dn")), 9))
+          .withColumn("ern", row_number().over(ew))
+          .filter(col("ern") <= DEG)
+          .select(col("src"), col("dst"))
+          .scopedPersist()
+        val corpus = assigned.select(col("vec_id").as("cvid"),
+          col("v").as("cv2"), col("nv").as("cn2"))
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("v").as("pv"), col("nv").as("pn"))
+        // exact cosine for a bounded (probe, cand) set: candidates and
+        // probes broadcast, the narrow corpus relation streams past them
+        def score(c: DataFrame): DataFrame =
+          corpus.join(broadcast(c), col("cand") === col("cvid"))
+            .join(broadcast(probes), Seq("probe"))
+            .select(col("probe"), col("cand"),
+              pround(gdot("pv", "cv2") / (col("pn") * col("cn2")), 9).as("sim9"))
+        val fw = Window.partitionBy("probe").orderBy(col("sim9").desc, col("cand"))
+        // entry set: the 10 centroid vectors (the global entry ring) plus
+        // the probe's OWN vertex — probes are corpus members here, so the
+        // first hop immediately reaches the probe's 8 same-cell nearest
+        // neighbors (the HNSW layer-0 neighborhood)
+        val entry = probes.select("probe")
+          .crossJoin(broadcast(assigned
+            .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+            .select(col("vec_id").as("cand"))))
+          .unionByName(probes.select(col("probe"), col("probe").as("cand")))
+        var visited = score(entry).scopedPersist()
+        (1 to 2).foreach { _ =>
+          val beam = visited.withColumn("frn", row_number().over(fw))
+            .filter(col("frn") <= B).select("probe", "cand")
+          val reached = beam.join(edges, col("cand") === col("src"))
+            .select(col("probe"), col("dst").as("cand")).distinct()
+            .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+          visited = visited.unionByName(score(reached)).scopedPersist()
+        }
+        visited.filter(col("cand") =!= col("probe"))
+          .withColumn("rn", row_number().over(fw))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"), pround(col("sim9"), 6).as("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val esim = proundSql(
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 9)
+        val sim9 = proundSql(
+          "list_dot_product(p.pv, e.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(e.v, e.v)))", 9)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1),
+           |ed AS (SELECT src, dst FROM (
+           |SELECT a.vec_id AS src, b.vec_id AS dst,
+           |row_number() OVER (PARTITION BY a.vec_id ORDER BY $esim DESC, b.vec_id) AS ern
+           |FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id <> a.vec_id) WHERE ern <= 8),
+           |p AS (SELECT vec_id AS probe, v AS pv FROM e WHERE vec_id < 10),
+           |v0 AS (SELECT p.probe, c.cid AS cand FROM p CROSS JOIN c
+           |UNION SELECT probe, probe AS cand FROM p),
+           |s0 AS (SELECT v0.probe, v0.cand, $sim9 AS sim9
+           |FROM v0 JOIN e ON e.vec_id = v0.cand JOIN p ON p.probe = v0.probe),
+           |f0 AS (SELECT probe, cand FROM (SELECT probe, cand,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s0) WHERE rn <= 4),
+           |v1 AS (SELECT probe, cand FROM v0 UNION
+           |SELECT f0.probe, ed.dst AS cand FROM f0 JOIN ed ON ed.src = f0.cand),
+           |s1 AS (SELECT v1.probe, v1.cand, $sim9 AS sim9
+           |FROM v1 JOIN e ON e.vec_id = v1.cand JOIN p ON p.probe = v1.probe),
+           |f1 AS (SELECT probe, cand FROM (SELECT probe, cand,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s1) WHERE rn <= 4),
+           |v2 AS (SELECT probe, cand FROM v1 UNION
+           |SELECT f1.probe, ed.dst AS cand FROM f1 JOIN ed ON ed.src = f1.cand),
+           |s2 AS (SELECT v2.probe, v2.cand, $sim9 AS sim9
+           |FROM v2 JOIN e ON e.vec_id = v2.cand JOIN p ON p.probe = v2.probe)
+           |SELECT probe, cand, sim FROM (
+           |SELECT probe, cand, ${proundSql("sim9", 6)} AS sim,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s2 WHERE cand <> probe) WHERE rn <= 3
+           |ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // kNN label-vote classification — the data-curation use of the ANN
     // lane (label propagation / weak supervision): each unlabeled probe
     // takes the majority label of its k=5 nearest labeled neighbors.
