@@ -432,6 +432,115 @@ object CdcQueries {
              |CAST(sum(hits) AS BIGINT) AS rows_matched
              |FROM idx GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Bloom-filter granule index (ClickHouse `INDEX ... TYPE
+    // bloom_filter` — the point-predicate companion to
+    // cdc_minmax_prune's range skipping): per (event_type, day) granule,
+    // a 1024-bit / k=3 Bloom over the granule's user ids
+    // (dedup_bloom_prefilter's portable construction — three 10-bit
+    // slices of the 60-bit hash, 32 × 32-bit words, bit_or partials
+    // combine map-side). The declared output is the skipping report for
+    // three point lookups (users 1 and 7 exist; 999999 does not — the
+    // full-skip case): per (event_type, probe): total granules, granules
+    // the filter passes (must scan), rows inside passing granules, and
+    // the exact matching rows (Bloom's zero-false-negative guarantee:
+    // rows_matched > 0 ⇒ scanned ≥ 1, pinned cross-engine by the
+    // hash-match). Scale shape: the index relation is O(|granules|·32)
+    // rows built by one partial+final aggregate; probe positions (9
+    // rows) and the per-type totals BROADCAST; every decision is
+    // evaluated on metadata relations, never a second corpus scan.
+    "cdc_bloom_prune" -> QueryDef(
+      (spark, dir) => {
+        val hxU = "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+        val hxP = "cast(conv(substr(md5(cast(probe as string)), 1, 15), 16, 10) as bigint)"
+        val posArr = "transform(sequence(0, 2), j -> (shiftright(h, j * 10) & 1023))"
+        val ev = t(spark, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            expr("datediff(cast(ts as date), date '1995-01-01')").cast("long").as("day"))
+          .scopedPersist()
+        val bloom = ev.withColumn("h", expr(hxU))
+          .select(col("event_type"), col("day"), explode(expr(posArr)).as("pos"))
+          .select(col("event_type"), col("day"),
+            expr("cast((pos div 32) as int)").as("word"),
+            expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+          .groupBy("event_type", "day", "word").agg(expr("bit_or(mask)").as("bits"))
+        val stats = ev.groupBy("event_type", "day").agg(cnt("rows_n"))
+        val probes = Seq(1L, 7L, 999999L)
+        val pb = spark.range(1).select(
+          explode(array(probes.map(lit(_)): _*)).as("probe"))
+          .withColumn("h", expr(hxP))
+          .select(col("probe"), explode(expr(posArr)).as("pos"))
+          .select(col("probe"), expr("cast((pos div 32) as int)").as("word"),
+            expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+        val pass = bloom.join(broadcast(pb), Seq("word"))
+          .groupBy("event_type", "day", "probe")
+          .agg(sum(when(col("bits").bitwiseAND(col("mask")) =!= 0L, 1L)
+            .otherwise(0L)).as("setp"))
+          .filter(col("setp") === 3L)
+        val phits = ev.filter(col("user_id").isin(probes: _*))
+          .groupBy(col("event_type"), col("day"), col("user_id").as("probe"))
+          .agg(cnt("hits"))
+        val perProbe = pass
+          .join(stats.hint("shuffle_hash"), Seq("event_type", "day"))
+          .join(phits.hint("shuffle_hash"), Seq("event_type", "day", "probe"), "left")
+          .groupBy("event_type", "probe")
+          .agg(cnt("scanned"),
+            sum(col("rows_n")).cast("long").as("rows_scanned"),
+            sum(coalesce(col("hits"), lit(0L))).cast("long").as("rows_matched"))
+        val totals = stats.groupBy("event_type").agg(cnt("granules"))
+        totals.crossJoin(broadcast(spark.range(1)
+            .select(explode(array(probes.map(lit(_)): _*)).as("probe"))))
+          .join(broadcast(perProbe), Seq("event_type", "probe"), "left")
+          .select(col("event_type"), col("probe"), col("granules"),
+            coalesce(col("scanned"), lit(0L)).as("scanned"),
+            coalesce(col("rows_scanned"), lit(0L)).as("rows_scanned"),
+            coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+          .orderBy(col("event_type"), col("probe"))
+      },
+      Some {
+        val hxU = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+        val hxP = "CAST('0x' || substr(md5(CAST(probe AS VARCHAR)), 1, 15) AS BIGINT)"
+        s"""WITH ev AS (SELECT event_type, user_id,
+           |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+           |FROM events),
+           |pos AS (SELECT event_type, day, unnest(list_transform(range(0, 3),
+           |j -> ($hxU >> (j * 10)) & 1023)) AS pos FROM ev),
+           |bloom AS (SELECT event_type, day, CAST(pos // 32 AS INT) AS word,
+           |bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+           |FROM pos GROUP BY 1, 2, 3),
+           |stats AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS rows_n
+           |FROM ev GROUP BY 1, 2),
+           |pr AS (SELECT unnest([CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(999999 AS BIGINT)]) AS probe),
+           |pb AS (SELECT probe, CAST(pos // 32 AS INT) AS word,
+           |CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask FROM (
+           |SELECT probe, unnest(list_transform(range(0, 3),
+           |j -> ($hxP >> (j * 10)) & 1023)) AS pos FROM pr)),
+           |pass AS (SELECT event_type, day, probe FROM (
+           |SELECT b.event_type, b.day, pb.probe,
+           |sum(CASE WHEN (b.bits & pb.mask) <> 0 THEN 1 ELSE 0 END) AS setp
+           |FROM bloom b JOIN pb ON b.word = pb.word GROUP BY 1, 2, 3) WHERE setp = 3),
+           |ph AS (SELECT event_type, day, user_id AS probe,
+           |CAST(count(*) AS BIGINT) AS hits FROM ev
+           |WHERE user_id IN (1, 7, 999999) GROUP BY 1, 2, 3),
+           |pp AS (SELECT pass.event_type, pass.probe,
+           |CAST(count(*) AS BIGINT) AS scanned,
+           |CAST(sum(stats.rows_n) AS BIGINT) AS rows_scanned,
+           |CAST(sum(coalesce(ph.hits, 0)) AS BIGINT) AS rows_matched
+           |FROM pass JOIN stats ON pass.event_type = stats.event_type AND pass.day = stats.day
+           |LEFT JOIN ph ON pass.event_type = ph.event_type AND pass.day = ph.day
+           |AND pass.probe = ph.probe
+           |GROUP BY 1, 2),
+           |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS granules
+           |FROM stats GROUP BY 1)
+           |SELECT tot.event_type, pr.probe, granules,
+           |coalesce(pp.scanned, 0) AS scanned,
+           |coalesce(pp.rows_scanned, 0) AS rows_scanned,
+           |coalesce(pp.rows_matched, 0) AS rows_matched
+           |FROM tot CROSS JOIN pr
+           |LEFT JOIN pp ON tot.event_type = pp.event_type AND pr.probe = pp.probe
+           |ORDER BY tot.event_type, pr.probe""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
     // Compaction planning (lakehouse OPTIMIZE / MergeTree background
     // merges): small adjacent granules should merge into ~target-size
     // files. The plan is PURE METADATA dataflow: from the per-(type, day)

@@ -127,6 +127,57 @@ object JoinQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin.replace("\n", " "))),
 
+    // ClickHouse dictGet pattern (VERDICT r10 next-round #7): a
+    // key→attributes DICTIONARY relation (nation⋈region, built ONCE) is
+    // consulted by TWO independent fact enrichments in the same query —
+    // customers and suppliers each resolve nationkey → (n_name, r_name)
+    // through the same broadcast dict, exactly how a CH dictionary
+    // serves dictGet('dict', 'attr', key) across a query. Scale shape:
+    // the dict is dimension-sized and BROADCAST; Catalyst dedups the two
+    // identical broadcast builds into one exchange + a ReusedExchange
+    // (PlanShapeSpec pins it), so the dictionary is materialized and
+    // shipped exactly once no matter how many enrichments consume it;
+    // both fact streams stay un-shuffled until their per-nation partial
+    // aggregates, and the final full-outer merge of the two summaries
+    // joins two ≤|nations|-row relations (full outer cannot broadcast —
+    // both sides surface unmatched keys — and needs no hint at this
+    // cardinality).
+    "join_dict_get" -> QueryDef(
+      (spark, dir) => {
+        val dict = t(spark, dir, "nation")
+          .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("key"), col("n_name"), col("r_name"))
+        val cust = t(spark, dir, "customer")
+          .join(broadcast(dict), col("c_nationkey") === col("key"))
+          .groupBy("r_name", "n_name")
+          .agg(cnt("customers"), moneySum(col("c_acctbal")).as("cust_acctbal"))
+        val supp = t(spark, dir, "supplier")
+          .join(broadcast(dict), col("s_nationkey") === col("key"))
+          .groupBy("r_name", "n_name")
+          .agg(cnt("suppliers"))
+        cust.join(supp, Seq("r_name", "n_name"), "full_outer")
+          .select(col("r_name"), col("n_name"),
+            coalesce(col("customers"), lit(0L)).as("customers"),
+            coalesce(col("cust_acctbal"), lit(0.0)).as("cust_acctbal"),
+            coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH dict AS (SELECT n_nationkey AS key, n_name, r_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey),
+             |c AS (SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS customers,
+             |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS cust_acctbal
+             |FROM customer JOIN dict ON c_nationkey = key GROUP BY 1, 2),
+             |s AS (SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS suppliers
+             |FROM supplier JOIN dict ON s_nationkey = key GROUP BY 1, 2)
+             |SELECT coalesce(c.r_name, s.r_name) AS r_name,
+             |coalesce(c.n_name, s.n_name) AS n_name,
+             |coalesce(c.customers, 0) AS customers,
+             |coalesce(c.cust_acctbal, 0.0) AS cust_acctbal,
+             |coalesce(s.suppliers, 0) AS suppliers
+             |FROM c FULL OUTER JOIN s ON c.r_name = s.r_name AND c.n_name = s.n_name
+             |ORDER BY r_name, n_name""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     "join_left_outer" -> QueryDef(
       (spark, dir) => {
         t(spark, dir, "customer")

@@ -128,6 +128,56 @@ class PlanShapeSpec extends SparkSpec {
       "the corpus-wide df relation must not sort-merge against bounded probe relations")
   }
 
+  test("join_dict_get: the dictionary broadcast builds once and is reused") {
+    // exchange reuse only materializes in AQE's FINAL plan, which exists
+    // only on the queryExecution that was actually executed — collect
+    // THIS df (a noop write plans a separate execution, skill gotcha)
+    val df = Registry.all.toMap.apply("join_dict_get").fn(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    graft.core.releaseQueryCaches(spark)
+    spark.catalog.clearCache()
+    // two enrichment joins, ONE dictionary materialization: the second
+    // consumer must reuse the first broadcast build — a second
+    // BroadcastExchange of the dict means Catalyst stopped deduplicating
+    // the identical subplans
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"both fact enrichments must broadcast-join the dict:\n$plan")
+    // strict reuse evidence: an explicit ReusedExchange node, or the SAME
+    // AQE broadcast stage id consumed at two different points of the plan
+    val stageIds = "BroadcastQueryStage[ -]?(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val reused = countOf(plan, "ReusedExchange") >= 1 ||
+      stageIds.size > stageIds.distinct.size
+    assert(reused,
+      s"dict must build once and be reused (stages=$stageIds):\n$plan")
+  }
+
+  test("pipeline_curation_e2e: one feature pass, text never leaves it, no sort-merge") {
+    val df = Registry.all.toMap.apply("pipeline_curation_e2e").fn(spark, sf001)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = try df.queryExecution.executedPlan.toString
+    finally () // caches released at the end of the test
+    // the corpus text is consumed entirely inside the persisted feature
+    // pass: the optimized plan OUTSIDE the cached relation (collect does
+    // not descend into InMemoryRelation.cachedPlan) must never reference
+    // the text column — a reference there means a stage re-tokenized
+    // instead of reusing the feature relation
+    val leaked = df.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.references.exists(_.name == "text")) => p.nodeName
+    }
+    assert(leaked.isEmpty, s"text column leaked past the feature pass: $leaked")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "stage joins must stay shuffled-hash or broadcast — never a corpus sort")
+    assert(countOf(plan, "BroadcastHashJoin") >= 2,
+      s"eval grams and per-lang thresholds must broadcast:\n$plan")
+    // exactly one window: the quota rank over threshold-prefiltered rows
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      "only the sample-stage quota rank may be a window")
+    graft.core.releaseQueryCaches(spark)
+    spark.catalog.clearCache()
+  }
+
   test("no declared query plans an unpartitioned window (repo-wide pin)") {
     // A Window with an empty partitionSpec funnels the whole relation
     // through ONE task — the last scale-killer VERDICT r06 flagged
