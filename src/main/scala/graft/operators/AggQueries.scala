@@ -964,6 +964,33 @@ object AggQueries {
       },
       tier = "E"),
 
+    // CH sumMap / the -Map combinator family: rows carry PARALLEL
+    // key/value arrays and the aggregate sums values per key within the
+    // group, returning a sorted map. The scalable relational form is
+    // explode(zip) → partial+final agg — the map entries become rows
+    // BEFORE the shuffle, so map-side combine collapses each partition's
+    // duplicates and the exchange carries (group, key) partials, never
+    // whole maps (CH's array-pair storage is denormalization a
+    // relational engine re-normalizes for free). Each event contributes
+    // under its own type key and the 'all' rollup key — the classic
+    // sumMap metrics-ingestion shape; output is the map as sorted rows.
+    "agg_sum_map" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "events")
+          .select(col("user_id"),
+            explode(array(col("event_type"), lit("all"))).as("k"),
+            col("value"))
+          .groupBy("user_id", "k")
+          .agg(cnt("n"),
+            round(sum(dec(col("value"), 14, 2)), 2).cast("double").as("val_sum"))
+          .orderBy(col("user_id"), col("k"))
+      },
+      Some("""SELECT user_id, k, CAST(count(*) AS BIGINT) AS n,
+             |CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS val_sum
+             |FROM (SELECT user_id, unnest([event_type, 'all']) AS k, value FROM events)
+             |GROUP BY user_id, k ORDER BY user_id, k""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // CH maxIntersections: the peak number of simultaneously-open
     // intervals — classic sweep-line as dataflow. Each event opens a
     // deterministic interval [t, t + 30 + event_id mod 120 s); open/close

@@ -186,6 +186,12 @@ object TextQueries {
     }
   }
 
+  /** pipeline_curation_e2e's per-doc feature relation — same opt-in
+    * session-shared localCheckpoint contract as [[vpCache]]/[[winCache]].
+    */
+  private val e2eCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
   private def verifiedShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (docs, pairs, _) = verifiedSharedAll(spark, dir)
     (docs, pairs)
@@ -817,14 +823,26 @@ object TextQueries {
             when(col("nw") >= 5, array_distinct(expr(gram5)))
               .otherwise(expr("cast(array() as array<string>)")).as("g5"),
             expr(hx("cast(doc_id as string)")).as("h"))
-        val base = t(spark, dir, "documents")
+        def buildBase = t(spark, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .withColumn("nw", size(col("w")).cast("long"))
           .withColumn("sh", when(col("nw") >= 3, expr(shingled))
             .otherwise(expr("cast(array() as array<string>)")))
           .withColumn("dg", expr("transform(sh, s -> md5(s))"))
           .select(featureCols: _*)
-          .scopedPersist()
+        // every feature is PER-DOC (independent of the rest of the
+        // corpus), so the relation qualifies for the same session-shared
+        // localCheckpoint contract as vpCache — harness sweeps
+        // materialize the md5-heavy pass once; un-shared runs keep the
+        // real single-query plan (scopedPersist)
+        val base =
+          if (!java.lang.Boolean.getBoolean("graft.shared.pipeline"))
+            scopedPersist(buildBase)
+          else e2eCache.synchronized {
+            e2eCache.getOrElseUpdate(
+              (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", "")),
+              buildBase.localCheckpoint(true))
+          }
         // the stage relations are NARROW (ids + scalars); the
         // array-valued features stay in `base` and are pulled out only
         // where the dataflow needs them, so stage joins never shuffle a
