@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -186,11 +186,52 @@ object TextQueries {
     }
   }
 
-  /** pipeline_curation_e2e's per-doc feature relation — same opt-in
-    * session-shared localCheckpoint contract as [[vpCache]]/[[winCache]].
+  /** The curation pipelines' per-doc feature relation (gopher stats,
+    * content digest, distinct shingle set, 8 minhash lanes, distinct
+    * 5-grams, sampling hash) — ONE corpus text pass shared by
+    * `pipeline_curation_e2e` and `pipeline_incremental_e2e`. Every
+    * feature is PER-DOC (independent of the rest of the corpus), so the
+    * relation qualifies for the same opt-in session-shared
+    * localCheckpoint contract as [[vpCache]]/[[winCache]]; un-shared
+    * runs keep the real single-query plan (scopedPersist).
     */
   private val e2eCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def e2eFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val stops = inList(Stopwords)
+    val shingled =
+      "transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"
+    val gram5 =
+      "transform(sequence(1, size(w) - 4), j -> concat_ws(' ', slice(w, j, 5)))"
+    val featureCols: Seq[Column] =
+      Seq(col("doc_id"), col("lang"), col("nw"),
+        expr("aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))").as("chars"),
+        expr(s"cast(size(filter(w, x -> x IN $stops)) as bigint)").as("stopc"),
+        expr("cast(size(filter(w, x -> x rlike '^[a-z]+$')) as bigint)").as("alphac"),
+        md5(col("text")).as("digest"),
+        array_distinct(col("sh")).as("s")) ++
+      (0 until 8).map { i =>
+        expr(s"array_min(transform(dg, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))").as(s"mh$i")
+      } ++ Seq(
+        when(col("nw") >= 5, array_distinct(expr(gram5)))
+          .otherwise(expr("cast(array() as array<string>)")).as("g5"),
+        expr(hx("cast(doc_id as string)")).as("h"))
+    def build = t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("sh", when(col("nw") >= 3, expr(shingled))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("dg", expr("transform(sh, s -> md5(s))"))
+      .select(featureCols: _*)
+    if (!java.lang.Boolean.getBoolean("graft.shared.pipeline"))
+      scopedPersist(build)
+    else e2eCache.synchronized {
+      e2eCache.getOrElseUpdate(
+        (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", "")),
+        build.localCheckpoint(true))
+    }
+  }
 
   private def verifiedShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (docs, pairs, _) = verifiedSharedAll(spark, dir)
@@ -805,44 +846,7 @@ object TextQueries {
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val quota = 25
-        val stops = inList(Stopwords)
-        val shingled =
-          "transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3)))"
-        val gram5 =
-          "transform(sequence(1, size(w) - 4), j -> concat_ws(' ', slice(w, j, 5)))"
-        val featureCols: Seq[org.apache.spark.sql.Column] =
-          Seq(col("doc_id"), col("lang"), col("nw"),
-            expr("aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))").as("chars"),
-            expr(s"cast(size(filter(w, x -> x IN $stops)) as bigint)").as("stopc"),
-            expr("cast(size(filter(w, x -> x rlike '^[a-z]+$')) as bigint)").as("alphac"),
-            md5(col("text")).as("digest"),
-            array_distinct(col("sh")).as("s")) ++
-          (0 until 8).map { i =>
-            expr(s"array_min(transform(dg, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))").as(s"mh$i")
-          } ++ Seq(
-            when(col("nw") >= 5, array_distinct(expr(gram5)))
-              .otherwise(expr("cast(array() as array<string>)")).as("g5"),
-            expr(hx("cast(doc_id as string)")).as("h"))
-        def buildBase = t(spark, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("nw", size(col("w")).cast("long"))
-          .withColumn("sh", when(col("nw") >= 3, expr(shingled))
-            .otherwise(expr("cast(array() as array<string>)")))
-          .withColumn("dg", expr("transform(sh, s -> md5(s))"))
-          .select(featureCols: _*)
-        // every feature is PER-DOC (independent of the rest of the
-        // corpus), so the relation qualifies for the same session-shared
-        // localCheckpoint contract as vpCache — harness sweeps
-        // materialize the md5-heavy pass once; un-shared runs keep the
-        // real single-query plan (scopedPersist)
-        val base =
-          if (!java.lang.Boolean.getBoolean("graft.shared.pipeline"))
-            scopedPersist(buildBase)
-          else e2eCache.synchronized {
-            e2eCache.getOrElseUpdate(
-              (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", "")),
-              buildBase.localCheckpoint(true))
-          }
+        val base = e2eFeatures(spark, dir)
         // the stage relations are NARROW (ids + scalars); the
         // array-valued features stay in `base` and are pulled out only
         // where the dataflow needs them, so stage joins never shuffle a
@@ -967,6 +971,158 @@ object TextQueries {
            |${cnt2("c0", "1_corpus")} UNION ALL ${cnt2("g", "2_gopher")}
            |UNION ALL ${cnt2("e", "3_exact")} UNION ALL ${cnt2("nd", "4_neardup")}
            |UNION ALL ${cnt2("dc", "5_decontam")} UNION ALL ${cnt2("samp", "6_sample")})
+           |ORDER BY stage""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // The INCREMENTAL ingest pipeline — the production counterpart of
+    // pipeline_curation_e2e: a DELTA batch (the newest 20% of doc ids;
+    // the cut is floor(0.8·max_id), computed as a broadcast scalar, so
+    // the split is derived not hard-coded) is curated AGAINST the
+    // existing corpus without ever re-pairing the corpus with itself
+    // (dedup_incremental's contract, composed end-to-end):
+    //   0 corpus      = the existing trainable split [10, cut)
+    //   1 delta       = the arriving batch [cut, ∞)
+    //   2 gopher      = rule filter on the delta only
+    //   3 exact_new   = delta docs whose content digest is NOT in the
+    //                   corpus, first-of-content within the delta
+    //   4 neardup_new = banded near-dup check of delta survivors vs
+    //                   (corpus ∪ lower-id delta survivors) — the
+    //                   candidate rule (a.isd ∧ (¬b.isd ∨ b.id < a.id))
+    //                   never pairs corpus×corpus
+    //   5 admitted    = after the 5-gram decontamination screen
+    // Scale shape: same feature relation as the full pipeline (ONE text
+    // pass, session-shared); the delta side is small by definition, so
+    // every stage's incremental cost is delta-bounded — band keys for
+    // corpus partners are derived from the persisted minhash lanes, and
+    // the corpus only ever contributes narrow (doc_id, band-key) and
+    // shingle-set rows to the joins the delta actually probes.
+    "pipeline_incremental_e2e" -> QueryDef(
+      (spark, dir) => {
+        val base = e2eFeatures(spark, dir)
+        val narrow0 = base.select("doc_id", "lang", "nw", "chars", "stopc",
+          "alphac", "digest", "h")
+        val cutRel = narrow0.agg(
+          expr("cast(floor(0.8 * max(doc_id)) as bigint)").as("cut"))
+        val narrow = narrow0.crossJoin(broadcast(cutRel))
+        val existing = narrow.filter(col("doc_id") >= 10 && col("doc_id") < col("cut"))
+          .scopedPersist()
+        val delta = narrow.filter(col("doc_id") >= col("cut")).scopedPersist()
+        val g = delta.filter(col("nw") >= 20 && col("nw") <= 100000 &&
+          col("chars") >= col("nw") * 3 && col("chars") <= col("nw") * 10 &&
+          col("alphac") * 5 >= col("nw") * 4 && col("stopc") >= 2)
+          .scopedPersist()
+        val gNew = g.join(existing.select("digest").distinct().hint("shuffle_hash"),
+          Seq("digest"), "left_anti")
+        val keepMin = gNew.groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+        val e = gNew.join(keepMin.hint("shuffle_hash"), Seq("digest", "doc_id"), "left_semi")
+          .scopedPersist()
+        // near-dup partner pool: the corpus (only docs that HAVE
+        // shingles — <3-word docs cannot be shingle near-dups) plus the
+        // delta's own exact survivors (lower-id rule applied in cand)
+        val pool = existing.filter(col("nw") >= 3)
+          .select(col("doc_id"), lit(false).as("isd"))
+          .unionByName(e.select(col("doc_id"), lit(true).as("isd")))
+        val bandCols = (0 until 4).map { b =>
+          md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+        }
+        val bands = base
+          .select((Seq(col("doc_id")) ++ (0 until 8).map(i => col(s"mh$i"))): _*)
+          .join(pool.hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"), col("isd"), explode(array(bandCols: _*)).as("k"))
+          .scopedPersist()
+        val capped = graft.functions.MinHash.capBands(bands, "k", 100)
+        val cand = capped.hint("shuffle_hash").as("a")
+          .join(capped.as("b"), col("a.k") === col("b.k") && col("a.isd") &&
+            (!col("b.isd") || col("b.doc_id") < col("a.doc_id")) &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        val shs = base.select(col("doc_id"), col("s"))
+        val pairs = cand.hint("shuffle_hash")
+          .join(shs, col("d1") === col("doc_id"))
+          .select(col("d1"), col("d2"), col("s").as("s1"))
+          .hint("shuffle_hash")
+          .join(shs, col("d2") === col("doc_id"))
+          .withColumn("inter", size(array_intersect(col("s1"), col("s"))).cast("double"))
+          .withColumn("ja", pround(col("inter")
+            / (size(col("s1")) + size(col("s")) - col("inter")), 4))
+        val drop4 = pairs.filter(col("ja") >= 0.5).select(col("d1").as("doc_id")).distinct()
+        val nd = e.join(drop4.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .scopedPersist()
+        val evalG = base.filter(col("doc_id") < 10)
+          .select(explode(col("g5")).as("gram")).distinct()
+        val hit5 = base.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("g5")).as("gram"))
+          .join(broadcast(evalG), Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+        val adm = nd.join(hit5.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        def stage(nm: String, df: DataFrame) =
+          df.agg(count(lit(1)).cast("long").as("survivors"),
+            coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("id_sum"))
+            .select(lit(nm).as("stage"), col("survivors"), col("id_sum"))
+        stage("0_corpus", existing)
+          .unionByName(stage("1_delta", delta))
+          .unionByName(stage("2_gopher", g))
+          .unionByName(stage("3_exact_new", e))
+          .unionByName(stage("4_neardup_new", nd))
+          .unionByName(stage("5_admitted", adm))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, isd, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        val ja = proundSql("""CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          | / (len(s1.s) + len(s2.s) - CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE))""".stripMargin.replace("\n", ""), 4)
+        val g5 = "list_distinct(list_transform(range(1, len(w) - 3), " +
+          "j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4]))"
+        def cnt2(src: String, nm: String) =
+          s"SELECT '$nm' AS stage, CAST(count(*) AS BIGINT) AS survivors, " +
+          s"CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM $src"
+        s"""WITH f AS (SELECT doc_id, md5(text) AS digest,
+           |CAST(len(w) AS BIGINT) AS nw,
+           |CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+           |CAST(len(list_filter(w, x -> x IN ${inList(Stopwords)})) AS BIGINT) AS stopc,
+           |CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alphac,
+           |w FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+           |mx AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS cut FROM f),
+           |ex AS (SELECT f.* FROM f CROSS JOIN mx WHERE doc_id >= 10 AND doc_id < cut),
+           |dl AS (SELECT f.* FROM f CROSS JOIN mx WHERE doc_id >= cut),
+           |g AS (SELECT * FROM dl WHERE nw >= 20 AND nw <= 100000
+           |AND chars >= nw * 3 AND chars <= nw * 10
+           |AND alphac * 5 >= nw * 4 AND stopc >= 2),
+           |gnc AS (SELECT g.* FROM g LEFT JOIN (SELECT DISTINCT digest FROM ex) xd
+           |ON g.digest = xd.digest WHERE xd.digest IS NULL),
+           |k3 AS (SELECT digest, min(doc_id) AS doc_id FROM gnc GROUP BY digest),
+           |e AS (SELECT gnc.* FROM gnc JOIN k3 ON gnc.digest = k3.digest AND gnc.doc_id = k3.doc_id),
+           |pool AS (SELECT doc_id, FALSE AS isd FROM ex WHERE nw >= 3
+           |UNION ALL SELECT doc_id, TRUE AS isd FROM e),
+           |shp AS (SELECT pool.doc_id, pool.isd, list_transform(range(1, len(f.w) - 1),
+           |j -> f.w[j] || ' ' || f.w[j+1] || ' ' || f.w[j+2]) AS shingles
+           |FROM pool JOIN f ON pool.doc_id = f.doc_id),
+           |shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM shp),
+           |mh AS (SELECT doc_id, isd, $mhCols FROM shp),
+           |bands AS ($bandSelects),
+           |bandsc AS (SELECT doc_id, isd, k FROM (SELECT doc_id, isd, k,
+           |count(*) OVER (PARTITION BY k) AS c FROM bands) WHERE c <= 100),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bandsc a JOIN bandsc b
+           |ON a.k = b.k AND a.isd AND (NOT b.isd OR b.doc_id < a.doc_id)
+           |AND a.doc_id <> b.doc_id),
+           |pairs AS (SELECT cand.d1, cand.d2, $ja AS ja FROM cand
+           |JOIN shs s1 ON s1.doc_id = cand.d1 JOIN shs s2 ON s2.doc_id = cand.d2),
+           |drop4 AS (SELECT DISTINCT d1 FROM pairs WHERE ja >= 0.5),
+           |nd AS (SELECT e.* FROM e LEFT JOIN drop4 ON e.doc_id = drop4.d1 WHERE drop4.d1 IS NULL),
+           |evg AS (SELECT DISTINCT unnest($g5) AS gram FROM f WHERE doc_id < 10 AND nw >= 5),
+           |ndg AS (SELECT doc_id, unnest($g5) AS gram FROM nd WHERE nw >= 5),
+           |hit AS (SELECT DISTINCT ndg.doc_id FROM ndg JOIN evg USING (gram)),
+           |adm AS (SELECT nd.* FROM nd LEFT JOIN hit ON nd.doc_id = hit.doc_id WHERE hit.doc_id IS NULL)
+           |SELECT stage, survivors, id_sum FROM (
+           |${cnt2("ex", "0_corpus")} UNION ALL ${cnt2("dl", "1_delta")}
+           |UNION ALL ${cnt2("g", "2_gopher")} UNION ALL ${cnt2("e", "3_exact_new")}
+           |UNION ALL ${cnt2("nd", "4_neardup_new")} UNION ALL ${cnt2("adm", "5_admitted")})
            |ORDER BY stage""".stripMargin.replace("\n", " ")
       },
       tier = "E"),
@@ -2120,6 +2276,83 @@ object TextQueries {
               |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
               |${proundSql("CAST(sum(nll) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 4)} AS bpt
               |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
+    // Interpolated BIGRAM language model — the count-based LM one notch
+    // above text_perplexity_lm's unigram: per-token probability is
+    // λ·P(w|prev) + (1−λ)·P(w) with λ = 0.75 (λ and 1−λ are exact
+    // binary fractions, so the mix is IEEE-identical cross-engine), the
+    // bigram MLE from corpus pair counts over exact left-context
+    // counts, the unigram backoff from corpus word counts. Every doc
+    // bigram exists in the corpus counts (the doc IS corpus), so no
+    // zero-probability smoothing is needed; the log2 bits are pround(9)
+    // then accumulated as exact decimals (the perplexity_lm recipe), so
+    // per-doc bits-per-token hash-match without tolerance. Scale shape:
+    // pair counts, left-context counts, and vocab are partial+final
+    // aggs (map-side combined); the scoring joins shuffle on the pair /
+    // word keys (short strings here; at fact scale hash pairs to
+    // xxhash64 longs first, the dedup_jaccard_prefix discipline); the
+    // only broadcast is the scalar total.
+    "text_bigram_lm" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pairs = t(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), j -> concat_ws(' ', slice(w, j, 2)))")).as("bg"))
+          .scopedPersist()
+        val words = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+        val gb = pairs.groupBy("bg").agg(cnt("cb"))
+        val cps = pairs.select(substring_index(col("bg"), " ", 1).as("prev"))
+          .groupBy("prev").agg(cnt("cp"))
+        val uni = words.groupBy("w").agg(cnt("cw"))
+        val tot = words.agg(cnt("total"))
+        val prob = "0.75 * (cast(cb as double) / cast(cp as double)) " +
+          "+ 0.25 * (cast(cw as double) / cast(total as double))"
+        pairs.groupBy("doc_id", "bg").agg(cnt("m"))
+          .join(gb.hint("shuffle_hash"), Seq("bg"))
+          .withColumn("prev", substring_index(col("bg"), " ", 1))
+          .withColumn("w", substring_index(col("bg"), " ", -1))
+          .join(cps.hint("shuffle_hash"), Seq("prev"))
+          .join(uni.hint("shuffle_hash"), Seq("w"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bits", pround(
+            -log(expr(prob)) / lit(0.6931471805599453), 9)
+            .cast(DecimalType(18, 9)) * col("m").cast(DecimalType(10, 0)))
+          .groupBy("doc_id")
+          .agg(sum(col("m")).cast("long").as("n_bigrams"),
+            pround(sum(col("bits")).cast("double")
+              / sum(col("m")).cast("double"), 4).as("bpt"))
+          .orderBy(col("doc_id"))
+          .limit(300)
+      },
+      Some {
+        val prob = "0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)) " +
+          "+ 0.25 * (CAST(cw AS DOUBLE) / CAST(total AS DOUBLE))"
+        s"""WITH p AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           |j -> w[j] || ' ' || w[j+1])) AS bg
+           |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 2)),
+           |wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |gb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY bg),
+           |cps AS (SELECT split_part(bg, ' ', 1) AS prev,
+           |CAST(count(*) AS BIGINT) AS cp FROM p GROUP BY 1),
+           |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM wd GROUP BY w),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM wd),
+           |pd AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS m FROM p GROUP BY 1, 2),
+           |sc AS (SELECT pd.doc_id, pd.m,
+           |CAST(${proundSql(s"-ln($prob) / 0.6931471805599453", 9)} AS DECIMAL(18,9))
+           |* CAST(pd.m AS DECIMAL(10,0)) AS bits
+           |FROM pd JOIN gb ON pd.bg = gb.bg
+           |JOIN cps ON split_part(pd.bg, ' ', 1) = cps.prev
+           |JOIN uni ON split_part(pd.bg, ' ', 2) = uni.w
+           |CROSS JOIN n)
+           |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           |${proundSql("CAST(sum(bits) AS DOUBLE) / CAST(sum(m) AS DOUBLE)", 4)} AS bpt
+           |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin.replace("\n", " ")
+      },
       tier = "E"),
 
     // Edit-distance near-dup — the character-level similarity the

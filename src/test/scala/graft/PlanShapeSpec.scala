@@ -178,6 +178,22 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pipeline_incremental_e2e: delta-bounded, text never leaves the feature pass") {
+    val df = Registry.all.toMap.apply("pipeline_incremental_e2e").fn(spark, sf001)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val leaked = df.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.references.exists(_.name == "text")) => p.nodeName
+    }
+    graft.core.releaseQueryCaches(spark)
+    spark.catalog.clearCache()
+    assert(leaked.isEmpty, s"text column leaked past the feature pass: $leaked")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      "delta-vs-corpus joins must stay shuffled-hash or broadcast")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      "the incremental funnel needs no window at all")
+  }
+
   test("no declared query plans an unpartitioned window (repo-wide pin)") {
     // A Window with an empty partitionSpec funnels the whole relation
     // through ONE task — the last scale-killer VERDICT r06 flagged
