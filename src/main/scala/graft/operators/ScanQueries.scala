@@ -285,6 +285,32 @@ object ScanQueries {
              |FROM lineitem
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin.replace("\n", " "))),
 
+    // ClickHouse `LIMIT n BY key` — per-key FIRST-N rows in a declared
+    // order (row-level, unlike agg_topk_groups' aggregate ranking): each
+    // customer's 2 earliest orders. The relational form is a per-key
+    // rank window + filter — one shuffle on the BY key, per-key state is
+    // n rows, no global sort anywhere (the final ORDER BY runs over the
+    // ≤ 2·|keys| surviving rows).
+    "scan_limit_by" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+        t(spark, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice"), 12, 2).cast("double").as("price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(400)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+             |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM (SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 2
+             |ORDER BY o_custkey, o_orderkey LIMIT 400""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     "topk_global" -> QueryDef(
       (spark, dir) => {
         t(spark, dir, "orders")
