@@ -171,7 +171,8 @@ object Bench {
     "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_substring", "sim_cosine_topk", "sim_ivf_topk", "ann_lsh_topk",
     "graph_pagerank", "multimodal_meta_extract",
-    "agg_window_funnel", "agg_time_fill", "sim_pq_adc", "graph_triangle_count")
+    "agg_window_funnel", "agg_time_fill", "sim_pq_adc", "graph_triangle_count",
+    "pipeline_curation_e2e", "sim_graph_ann")
 
   private def fmtMap(entries: Seq[(String, Double)]): String =
     entries.map { case (k, v) => s"${jstr(k)}:${fmtD("%.3f", v)}" }.mkString("{", ",", "}")
