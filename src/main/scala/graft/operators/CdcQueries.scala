@@ -102,6 +102,44 @@ object CdcQueries {
              |CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // Consistent-cut frontier — the CROSS-TABLE half of the LSN
+    // bookkeeping (lsn_frontier is per-key): replicated tables advance
+    // at different rates, and a consistent snapshot reads at the MINIMUM
+    // applied frontier across them (the consistent recovery point every
+    // multi-table CDC consumer needs; event_type plays the table role
+    // here). Declared output per table: its own frontier, the global
+    // cut, rows at-or-below the cut (the consistent prefix) and rows
+    // beyond it (in-flight — applied locally, not yet globally
+    // consistent). Scale shape: frontiers are one partial+final agg to
+    // an O(|tables|) relation; the cut is a scalar off that relation,
+    // BROADCAST back; the prefix/in-flight split is a conditional
+    // re-aggregate — two narrow corpus passes, zero corpus shuffles
+    // beyond the per-table partials (the agg_outlier_zscore discipline).
+    "cdc_consistent_cut" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events").select(col("event_type"), col("event_id"))
+        val cut = ev.groupBy("event_type").agg(max(col("event_id")).as("f"))
+          .agg(min(col("f")).as("cut"))
+        ev.crossJoin(broadcast(cut))
+          .groupBy("event_type")
+          .agg(max(col("event_id")).as("frontier"), cnt("n"),
+            max(col("cut")).as("cut"),
+            sum(when(col("event_id") <= col("cut"), 1L).otherwise(0L))
+              .cast("long").as("consistent_rows"),
+            sum(when(col("event_id") > col("cut"), 1L).otherwise(0L))
+              .cast("long").as("in_flight"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cut AS (SELECT min(f) AS cut FROM (
+             |SELECT event_type, max(event_id) AS f FROM events GROUP BY event_type))
+             |SELECT event_type, max(event_id) AS frontier,
+             |CAST(count(*) AS BIGINT) AS n, max(cut.cut) AS cut,
+             |CAST(sum(CASE WHEN event_id <= cut.cut THEN 1 ELSE 0 END) AS BIGINT) AS consistent_rows,
+             |CAST(sum(CASE WHEN event_id > cut.cut THEN 1 ELSE 0 END) AS BIGINT) AS in_flight
+             |FROM events CROSS JOIN cut GROUP BY event_type
+             |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
+
     // A9: truncate frontier — the declared-surface twin of
     // CdcApply.dropTruncated, with the frontier keyed by USER here (one
     // row per user with any error) rather than by table. That makes this
@@ -431,6 +469,51 @@ object CdcQueries {
              |CAST(sum(CASE WHEN mx >= 300.0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
              |CAST(sum(hits) AS BIGINT) AS rows_matched
              |FROM idx GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // MergeTree TTL — `TTL ts + INTERVAL 30 DAY`: rows age out at merge
+    // time, relative to the table's newest timestamp (deterministic: the
+    // frontier is data-derived, not wall-clock, so the declared result
+    // is stable). Output per table(=event_type): rows kept vs expired
+    // under the TTL, the surviving row count and value sum (the
+    // post-merge table summary), and the cutoff day — what a TTL merge
+    // would materialize. Scale shape: the frontier is one partial+final
+    // max to a scalar, BROADCAST back; the expiry split is a conditional
+    // re-aggregate over narrow columns — two map passes, no extra
+    // shuffle (the consistent-cut discipline). At 100 TB a real TTL
+    // merge drops whole granules first via the minmax index
+    // (cdc_minmax_prune) and row-filters only boundary granules.
+    "cdc_ttl_expiry" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("event_type"), col("value"),
+            expr("datediff(cast(ts as date), date '1995-01-01')").cast("long").as("day"))
+        val cutoff = ev.agg((max(col("day")) - lit(30L)).as("cutoff"))
+        ev.crossJoin(broadcast(cutoff))
+          .groupBy("event_type")
+          .agg(cnt("rows_total"),
+            max(col("cutoff")).as("cutoff_day"),
+            sum(when(col("day") < col("cutoff"), 1L).otherwise(0L))
+              .cast("long").as("expired"),
+            sum(when(col("day") >= col("cutoff"), 1L).otherwise(0L))
+              .cast("long").as("kept"),
+            round(sum(when(col("day") >= col("cutoff"),
+              dec(col("value"), 14, 2)).otherwise(dec(lit(0), 14, 2))), 2)
+              .cast("double").as("kept_value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+             |FROM events),
+             |c AS (SELECT max(day) - 30 AS cutoff FROM ev)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS rows_total,
+             |max(c.cutoff) AS cutoff_day,
+             |CAST(sum(CASE WHEN day < c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS expired,
+             |CAST(sum(CASE WHEN day >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |CAST(round(sum(CASE WHEN day >= c.cutoff THEN CAST(value AS DECIMAL(14,2))
+             |ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS kept_value_sum
+             |FROM ev CROSS JOIN c GROUP BY event_type
+             |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+      tier = "E"),
 
     // Bloom-filter granule index (ClickHouse `INDEX ... TYPE
     // bloom_filter` — the point-predicate companion to
