@@ -2304,11 +2304,15 @@ object TextQueries {
           .scopedPersist()
         val words = t(spark, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-        val gb = pairs.groupBy("bg").agg(cnt("cb"))
-        val cps = pairs.select(substring_index(col("bg"), " ", 1).as("prev"))
-          .groupBy("prev").agg(cnt("cp"))
-        val uni = words.groupBy("w").agg(cnt("cw"))
-        val tot = words.agg(cnt("total"))
+        val gb = pairs.groupBy("bg").agg(cnt("cb")).scopedPersist()
+        // left-context counts FOLD from the distinct-pair aggregate
+        // (Σ_w c(prev,w) = c(prev·)) instead of re-scanning the corpus
+        // pair stream — the shuffle carries |distinct pairs| partials,
+        // not |corpus pairs| rows; same for the scalar total from vocab
+        val cps = gb.select(substring_index(col("bg"), " ", 1).as("prev"), col("cb"))
+          .groupBy("prev").agg(sum(col("cb")).cast("long").as("cp"))
+        val uni = words.groupBy("w").agg(cnt("cw")).scopedPersist()
+        val tot = uni.agg(sum(col("cw")).cast("long").as("total"))
         val prob = "0.75 * (cast(cb as double) / cast(cp as double)) " +
           "+ 0.25 * (cast(cw as double) / cast(total as double))"
         pairs.groupBy("doc_id", "bg").agg(cnt("m"))

@@ -130,6 +130,27 @@ class BufferedSinkSpec extends SparkSpec {
     } finally release()
   }
 
+  test("row_id stamping handles empty batches and duplicate order keys") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_stamp_edge").toString
+    val sink = new BufferedSink(dir)
+    // empty batch: stamps nothing, breaks nothing
+    val (empty, rel0) = sink.stampRowIds(Seq.empty[Long].toDF("lsn"), 1L)
+    try assert(empty.count() === 0L) finally rel0()
+    // duplicate order keys: ranks must still be a permutation of 1..n
+    // within each key group (ties are unordered but ids stay dense and
+    // unique — the property compaction's row_id sort relies on)
+    val dups = Seq(5L, 5L, 5L, 2L, 2L, 9L)
+    val (stamped, rel1) = sink.stampRowIds(dups.toDF("lsn"), 3L)
+    try {
+      val ids = stamped.select(col("__row_id")).collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === (1L to 6L).map(r => 3L * (1L << 32) + r))
+      // and order keys are non-decreasing along the rank order
+      val lsns = stamped.orderBy("__row_id").select("lsn").collect().map(_.getLong(0))
+      assert(lsns.toSeq === dups.sorted)
+    } finally rel1()
+  }
+
   test("foreachBatch adapter drives a real streaming query exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
