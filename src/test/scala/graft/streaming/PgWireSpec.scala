@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Wire-level replication tests (SURVEY §2.A2's socket half): the
+  * PgWireClient loop against the protocol-faithful StubPgWire —
+  * LSN-ordered delivery, durable-then-ack flushing, keepalive replies,
+  * restart from the acked LSN with no duplicates and no gaps, and the
+  * WAL-retention contract the flushed LSN exists to permit.
+  */
+class PgWireSpec extends SparkSpec {
+
+  private val relId = 77
+
+  /** Relation frame at `base`, then one insert per i, then commit. */
+  private def fixture(base: Long, n: Int): Seq[Array[Byte]] =
+    PgOutput.encodeRelation(base, relId, "t", Seq("k", "v", "amt")) +:
+      ((1 to n).map { i =>
+        PgOutput.encodeInsert(base + i, relId,
+          Seq((base + i).toString, s"v${base + i}", null))
+      } :+ PgOutput.encodeCommit(base + n + 1, 42L))
+
+  private def landedLsns(dir: String): Seq[Long] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("feed_"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .map(l => PgOutput.parse(Base64.getDecoder.decode(l)).lsn.get)
+      .toSeq
+
+  test("client streams, lands durably, and acks the flushed LSN") {
+    val frames = fixture(1L, 8)
+    val server = new StubPgWire(frames)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire1").toString
+    try {
+      val client = new PgWireClient("127.0.0.1", port, dir)
+      val flushed = client.run(startAfter = 0L)
+      val want = frames.map(PgOutput.parse(_).lsn.get)
+      assert(flushed === want.max)
+      assert(landedLsns(dir).sorted === want.sorted)
+      // the ack reached the server: its retention bound may now advance
+      assert(server.flushedByClient === want.max)
+      assert(server.statusesSeen >= 1, "keepalive replies must flow back")
+    } finally server.stop()
+  }
+
+  test("restart from the acked LSN: live tail lands exactly once") {
+    val first = fixture(1L, 6)
+    val server = new StubPgWire(first)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire2").toString
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, dir).run(0L)
+      // live tail appended AFTER the first client caught up and stopped
+      val tail = fixture(acked + 1, 5)
+      server.append(tail)
+      val acked2 = new PgWireClient("127.0.0.1", port, dir).run(startAfter = acked)
+      val want = (first ++ tail).map(PgOutput.parse(_).lsn.get)
+      assert(acked2 === want.max)
+      val landed = landedLsns(dir)
+      assert(landed.sorted === want.sorted,
+        "restart must replay the un-acked tail only — no gaps, no duplicates")
+      assert(landed.distinct.size === landed.size)
+    } finally server.stop()
+  }
+
+  test("flushed LSN permits WAL recycling; replay serves only retained frames") {
+    val frames = fixture(1L, 6)
+    val server = new StubPgWire(frames)
+    val port = server.start()
+    val dir1 = Files.createTempDirectory("graft_wire3a").toString
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, dir1).run(0L)
+      server.prune()
+      assert(server.oldestRetained > acked, "acked frames must be recyclable")
+      // a brand-new subscriber from LSN 0 sees only what is retained
+      val tail = fixture(acked + 1, 3)
+      server.append(tail)
+      val dir2 = Files.createTempDirectory("graft_wire3b").toString
+      new PgWireClient("127.0.0.1", port, dir2).run(0L)
+      assert(landedLsns(dir2).sorted === tail.map(PgOutput.parse(_).lsn.get).sorted)
+    } finally server.stop()
+  }
+
+  test("the LIVE loop: wire client → feed dir → Replicator stream → Replacing FINAL") {
+    // the complete pg2ch steady state with the SOCKET in front: the wire
+    // client lands WAL into the watched feed dir, the Structured
+    // Streaming runner applies it, both halves restart (client from its
+    // acked LSN, stream from its checkpoint), and the engine-correct
+    // final state + exactly-once hold across the whole chain.
+    val in = Files.createTempDirectory("graft_wire_e2e_in")
+    val out = Files.createTempDirectory("graft_wire_e2e_out")
+    val ckpt = Files.createTempDirectory("graft_wire_e2e_ckpt")
+    val cfgFile = Files.createTempFile("graft_wire_e2e", ".yml")
+    Files.writeString(cfgFile,
+      s"""input_dir: $in
+         |output_dir: $out
+         |checkpoint_dir: $ckpt
+         |feed_format: pgoutput
+         |tables:
+         |  users:
+         |    engine: ReplacingMergeTree
+         |    key_columns: [k]
+         |    columns: "k BIGINT, v STRING, amt DECIMAL(12,2)"
+         |    relid: $relId
+         |""".stripMargin)
+    val cfg = GraftConfig.load(cfgFile.toString)
+    val server = new StubPgWire(Seq(
+      PgOutput.encodeRelation(0, relId, "users", Seq("k", "v", "amt")),
+      PgOutput.encodeInsert(1, relId, Seq("1", "a", null)),
+      PgOutput.encodeInsert(2, relId, Seq("2", "b", "1.50")),
+      PgOutput.encodeUpdate(3, relId, Seq("1", "a", null), Seq("1", "a2", null))))
+    val port = server.start()
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, in.toString).run(0L)
+      var queries = Replicator.bootstrap(spark, cfg, Map.empty)
+      try queries.foreach(_.processAllAvailable())
+      finally queries.foreach(_.stop())
+      // live tail on the server; wire client restarts from its acked
+      // LSN, the stream restarts from its checkpoint
+      server.append(Seq(
+        PgOutput.encodeDelete(4, relId, Seq("2", "b", "1.50")),
+        PgOutput.encodeInsert(5, relId, Seq("3", "c", "7.25"))))
+      new PgWireClient("127.0.0.1", port, in.toString).run(startAfter = acked)
+      queries = StreamRunner.run(spark, cfg)
+      try {
+        queries.foreach(_.processAllAvailable())
+        queries.foreach(_.processAllAvailable()) // idle pass: exactly-once
+      } finally queries.foreach(_.stop())
+      val users = StreamRunner.readFinal(spark, cfg, "users")
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(users === Set((1L, "a2"), (3L, "c")),
+        "latest version per key; key 2 deleted — across the wire AND a restart")
+      val lsns = StreamRunner.changeLog(spark, cfg, "users")
+        .select("lsn").collect().map(_.getLong(0)).sorted.toSeq
+      assert(lsns === Seq(1L, 2L, 3L, 4L, 5L),
+        "every wire change landed exactly once")
+    } finally server.stop()
+  }
+
+  test("the landed feed is ChangeFeed's base64 input — frames decode downstream") {
+    val frames = fixture(1L, 5)
+    val server = new StubPgWire(frames)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire4").toString
+    try {
+      new PgWireClient("127.0.0.1", port, dir).run(0L)
+      val decoded = ChangeFeed.parseBase64Frames(spark.read.text(dir)).collect()
+      assert(decoded.length === frames.length)
+      assert(decoded.map(_.tag).count(_ == "I") === 5)
+      assert(decoded.map(_.tag).toSet === Set("R", "I", "C"))
+      // cells survive the wire + base64 + Spark decode byte-exactly
+      val k1 = decoded.filter(_.tag == "I").minBy(_.lsn.get)
+      assert(k1.after === Seq("2", "v2", null))
+    } finally server.stop()
+  }
+}

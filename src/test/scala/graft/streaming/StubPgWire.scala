@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Protocol-faithful replication-server stub — the PG side of
+  * [[PgWireClient]], the same arrangement as sinks' StubCH: this
+  * environment has no PostgreSQL, so the WIRE mechanics (LSN-ordered
+  * XLogData streaming, keepalives, standby-status acks, WAL retention
+  * until the flushed LSN, restart replay from an arbitrary LSN) are
+  * exercised against an in-process server speaking the same messages.
+  *
+  * Frames are PgOutput binary frames; their embedded LSN is the
+  * ordering/retention key. `append` feeds live tail data to connected
+  * clients; `prune` discards frames at-or-below the client-acked
+  * flush point — the server-side WAL recycling that the ack exists to
+  * permit.
+  */
+final class StubPgWire(initial: Seq[Array[Byte]]) {
+
+  private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+  initial.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
+
+  @volatile var flushedByClient: Long = Long.MinValue
+  @volatile var statusesSeen: Int = 0
+  @volatile private var stopped = false
+  private var server: ServerSocket = _
+  private val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
+
+  def start(): Int = {
+    server = new ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (!stopped) {
+        val sock = server.accept()
+        val t = new Thread(() => try handle(sock) catch { case _: Throwable => () })
+        t.setDaemon(true); t.start()
+        threads.synchronized { threads += t }
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    threads.synchronized { threads += acceptor }
+    server.getLocalPort
+  }
+
+  def append(frames: Seq[Array[Byte]]): Unit = log.synchronized {
+    frames.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
+  }
+
+  /** Discard frames the client has durably flushed — WAL recycling. */
+  def prune(): Unit = log.synchronized {
+    val cut = flushedByClient
+    log.filterInPlace(_._1 > cut)
+  }
+
+  /** Oldest retained LSN (Long.MaxValue when the log is empty). */
+  def oldestRetained: Long = log.synchronized {
+    if (log.isEmpty) Long.MaxValue else log.map(_._1).min
+  }
+
+  def stop(): Unit = {
+    stopped = true
+    try server.close() catch { case _: Throwable => () }
+  }
+
+  private def handle(sock: Socket): Unit = {
+    sock.setSoTimeout(30000)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    // simplified handshake: one text line "START_REPLICATION <lsn>\n"
+    val line = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { line.append(c.toChar); c = in.read() }
+    val startAfter = line.toString.trim.split(" ").last.toLong
+    // reader side: standby statuses arrive asynchronously
+    val reader = new Thread(() => {
+      try while (!stopped && !sock.isClosed) {
+        val body = PgWire.readMsg(in)
+        if (body(0) == 'r'.toByte) {
+          val s = PgWire.decodeStandbyStatus(body)
+          flushedByClient = math.max(flushedByClient, s.flushed)
+          statusesSeen += 1
+        }
+      } catch { case _: Throwable => () }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    // writer side: stream everything past the cursor, then keepalive
+    var cursor = startAfter
+    try while (!stopped && !sock.isClosed) {
+      val batch = log.synchronized { log.filter(_._1 > cursor).sortBy(_._1).toSeq }
+      batch.foreach { case (lsn, frame) =>
+        PgWire.writeMsg(out, PgWire.encodeXLogData(
+          PgWire.XLogData(cursor, lsn, System.nanoTime() / 1000, frame)))
+        cursor = lsn
+      }
+      PgWire.writeMsg(out, PgWire.encodeKeepalive(
+        PgWire.Keepalive(cursor, System.nanoTime() / 1000, replyRequested = true)))
+      Thread.sleep(20)
+    } catch { case _: SocketException => () }
+    finally sock.close()
+  }
+}
