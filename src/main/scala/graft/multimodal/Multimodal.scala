@@ -32,13 +32,34 @@ object Multimodal {
 
   final case class DecodedMeta(width: Int, height: Int, durationMs: Long, nFrames: Int)
 
-  /** REAL decode entry point — intentionally unimplemented in this
-    * environment (no image/audio libs in the container). A production
-    * build plugs the codec in here; everything downstream is agnostic.
+  /** REAL decode entry point. Uncompressed containers decode with the
+    * pure-JVM codecs (RIFF/WAVE PCM-16 → [[WavCodec]], binary PPM →
+    * [[PpmCodec]] — real wire formats, MultimodalCodecSpec pins the
+    * roundtrip laws and the decodeWith integration); compressed codecs
+    * (JPEG/Opus/H.264) need native libraries this container does not
+    * ship and still throw — a production build plugs them in here,
+    * everything downstream is agnostic. Audio maps (sampleRate,
+    * channels) into the (width, height) meta slots; frames are
+    * 256-sample windows (the VAD frame length).
     */
   def decodeReal(bytes: Array[Byte], modality: String): DecodedMeta =
-    throw new NotImplementedError(
-      "media codecs unavailable in this environment - use decodeStubbed")
+    modality match {
+      case "audio/wav" | "wav" =>
+        WavCodec.decode(bytes) match {
+          case Some(w) => DecodedMeta(w.sampleRate, w.channels, w.durationMs,
+            (w.samples.length + 255) / 256)
+          case None => DecodedMeta(0, 0, 0L, 0) // poison-pill: zero meta
+        }
+      case "image/ppm" | "ppm" =>
+        PpmCodec.decode(bytes) match {
+          case Some(p) => DecodedMeta(p.width, p.height, 0L, 1)
+          case None => DecodedMeta(0, 0, 0L, 0)
+        }
+      case other =>
+        throw new NotImplementedError(
+          s"codec for '$other' needs native libraries unavailable in this " +
+            "environment - use decodeStubbed or an uncompressed container")
+    }
 
   /** STUB decode: deterministic fake metadata derived from the payload's
     * md5 — stable across runs/engines, exercises the full pipeline shape.
