@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.StructType
   * merge_threshold: 3
   * merge_on_compact: true          # CH part-merge analog (optional)
   * feed_format: pgoutput           # json (default) | pgoutput
+  * source_wire: pg-host:5433       # replication socket → PgWireClient (optional)
   * clickhouse_url: http://ch:8123  # ship TSV inserts too (optional)
   * tables:
   *   users:
@@ -108,7 +109,12 @@ object GraftConfig {
       inactivityFlushMs = top.get("inactivity_flush_timeout").map(durationMs),
       feedFormat = top.getOrElse("feed_format", "json"),
       clickhouseUrl = top.get("clickhouse_url"),
-      mergeOnCompact = top.get("merge_on_compact").exists(_.toBoolean))
+      mergeOnCompact = top.get("merge_on_compact").exists(_.toBoolean),
+      sourceWire = top.get("source_wire").map { hp =>
+        val i = hp.lastIndexOf(':')
+        require(i > 0, s"source_wire must be host:port, got '$hp'")
+        (hp.substring(0, i), hp.substring(i + 1).toInt)
+      })
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

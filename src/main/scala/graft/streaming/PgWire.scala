@@ -179,6 +179,38 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
     } finally sock.close()
   }
 
+  /** The production loop: [[run]] plus reconnect-with-resume. A dropped
+    * socket (server bounce, network blip) is caught, and the next
+    * attempt resumes from [[lastFlushed]] — everything acked is durably
+    * landed, everything un-acked is replayed by the server, so the feed
+    * sees every frame exactly once no matter where the connection died.
+    * Backoff is linear (`retryDelayMs · attempt`); gives up after
+    * `maxReconnects` consecutive failures (a successful read streak
+    * resets the count via the flushed LSN advancing).
+    */
+  def runWithReconnect(startAfter: Long, maxReconnects: Int = 5,
+                       retryDelayMs: Long = 50L): Long = {
+    var cursor = startAfter
+    var failures = 0
+    var done = false
+    while (!done && !stopped) {
+      val before = cursor
+      try {
+        cursor = run(cursor)
+        done = true
+      } catch {
+        case _: java.io.IOException | _: java.net.SocketException =>
+          cursor = math.max(cursor, lastFlushed)
+          failures = if (cursor > before) 1 else failures + 1
+          if (failures > maxReconnects)
+            throw new java.io.IOException(
+              s"replication peer unreachable after $maxReconnects reconnects")
+          Thread.sleep(retryDelayMs * failures)
+      }
+    }
+    cursor
+  }
+
   /** Durable, atomic landing of one batch as base64 frame lines —
     * [[ChangeFeed.fromBase64Frames]]'s input format. File names carry
     * (sequence, maxLsn) for operator debugging; the stream source keys

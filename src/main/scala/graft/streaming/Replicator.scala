@@ -65,4 +65,17 @@ object Replicator {
     snapshots.foreach { case (table, rows) => snapshot(spark, cfg, table, rows) }
     StreamRunner.run(spark, cfg)
   }
+
+  /** The configured replication-socket client (`source_wire:
+    * host:port`): lands WAL into the stream's watched feed directory —
+    * the process a pg2ch deployment runs beside the apply loop. None
+    * when the config has no wire source (externally-fed directory).
+    * Drive it with `run`/`runWithReconnect(lastFlushed)`; ack/restart
+    * semantics are PgWireSpec's contract.
+    */
+  def wireClient(cfg: StreamRunner.RunnerConfig,
+                 batchFrames: Int = 64): Option[PgWireClient] =
+    cfg.sourceWire.map { case (host, port) =>
+      new PgWireClient(host, port, cfg.inputDir, batchFrames)
+    }
 }

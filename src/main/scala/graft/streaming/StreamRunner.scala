@@ -98,7 +98,12 @@ object StreamRunner {
       // reduction inside each compacted segment (CdcApply.mergeSlice).
       // Off by default — pg2ch copies buffer rows verbatim; ClickHouse's
       // own merges do the reducing. readFinal is identical either way.
-      mergeOnCompact: Boolean = false)
+      mergeOnCompact: Boolean = false,
+      // replication-socket source (`source_wire: host:port`): when set,
+      // Replicator.wireClient builds the PgWireClient that lands WAL
+      // into inputDir — pg2ch's PG connection params slot (A2's wire
+      // half; absent = the feed directory is populated externally)
+      sourceWire: Option[(String, Int)] = None)
 
   private[streaming] def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
     val tc = cfg.tables.find(_.name == table)

@@ -85,6 +85,27 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("reconnect-with-resume: a dropped socket loses nothing, duplicates nothing") {
+    // the server kills the first connection mid-stream with frames
+    // pending un-acked; the client reconnects from its flushed LSN —
+    // acked batches stay landed, the un-acked tail replays, and the
+    // feed ends with every LSN exactly once
+    val frames = fixture(1L, 8) // lsns 1..10
+    val server = new StubPgWire(frames, dieAfterFramesOnce = 5)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire_rc").toString
+    try {
+      val client = new PgWireClient("127.0.0.1", port, dir, batchFrames = 2)
+      val acked = client.runWithReconnect(startAfter = 0L)
+      val want = frames.map(PgOutput.parse(_).lsn.get)
+      assert(acked === want.max)
+      val landed = landedLsns(dir)
+      assert(landed.sorted === want.sorted,
+        "resume must land the un-acked tail exactly once")
+      assert(landed.distinct.size === landed.size)
+    } finally server.stop()
+  }
+
   test("the LIVE loop: wire client → feed dir → Replicator stream → Replacing FINAL") {
     // the complete pg2ch steady state with the SOCKET in front: the wire
     // client lands WAL into the watched feed dir, the Structured
@@ -94,12 +115,19 @@ class PgWireSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft_wire_e2e_in")
     val out = Files.createTempDirectory("graft_wire_e2e_out")
     val ckpt = Files.createTempDirectory("graft_wire_e2e_ckpt")
+    val server = new StubPgWire(Seq(
+      PgOutput.encodeRelation(0, relId, "users", Seq("k", "v", "amt")),
+      PgOutput.encodeInsert(1, relId, Seq("1", "a", null)),
+      PgOutput.encodeInsert(2, relId, Seq("2", "b", "1.50")),
+      PgOutput.encodeUpdate(3, relId, Seq("1", "a", null), Seq("1", "a2", null))))
+    val port = server.start()
     val cfgFile = Files.createTempFile("graft_wire_e2e", ".yml")
     Files.writeString(cfgFile,
       s"""input_dir: $in
          |output_dir: $out
          |checkpoint_dir: $ckpt
          |feed_format: pgoutput
+         |source_wire: 127.0.0.1:$port
          |tables:
          |  users:
          |    engine: ReplacingMergeTree
@@ -108,14 +136,10 @@ class PgWireSpec extends SparkSpec {
          |    relid: $relId
          |""".stripMargin)
     val cfg = GraftConfig.load(cfgFile.toString)
-    val server = new StubPgWire(Seq(
-      PgOutput.encodeRelation(0, relId, "users", Seq("k", "v", "amt")),
-      PgOutput.encodeInsert(1, relId, Seq("1", "a", null)),
-      PgOutput.encodeInsert(2, relId, Seq("2", "b", "1.50")),
-      PgOutput.encodeUpdate(3, relId, Seq("1", "a", null), Seq("1", "a2", null))))
-    val port = server.start()
     try {
-      val acked = new PgWireClient("127.0.0.1", port, in.toString).run(0L)
+      // the config names the wire source; the deployment builds its
+      // landing client from it — pg2ch's connection-params slot
+      val acked = Replicator.wireClient(cfg).get.run(0L)
       var queries = Replicator.bootstrap(spark, cfg, Map.empty)
       try queries.foreach(_.processAllAvailable())
       finally queries.foreach(_.stop())
@@ -124,7 +148,7 @@ class PgWireSpec extends SparkSpec {
       server.append(Seq(
         PgOutput.encodeDelete(4, relId, Seq("2", "b", "1.50")),
         PgOutput.encodeInsert(5, relId, Seq("3", "c", "7.25"))))
-      new PgWireClient("127.0.0.1", port, in.toString).run(startAfter = acked)
+      Replicator.wireClient(cfg).get.run(startAfter = acked)
       queries = StreamRunner.run(spark, cfg)
       try {
         queries.foreach(_.processAllAvailable())

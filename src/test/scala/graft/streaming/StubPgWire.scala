@@ -17,10 +17,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * flush point — the server-side WAL recycling that the ack exists to
   * permit.
   */
-final class StubPgWire(initial: Seq[Array[Byte]]) {
+final class StubPgWire(initial: Seq[Array[Byte]],
+                       dieAfterFramesOnce: Int = -1) {
 
   private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   initial.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
+
+  // fault injection: the FIRST connection dies abruptly (socket close,
+  // no keepalive) after streaming this many frames — the server-bounce
+  // scenario PgWireClient.runWithReconnect exists for
+  @volatile private var dieBudget = dieAfterFramesOnce
 
   @volatile var flushedByClient: Long = Long.MinValue
   @volatile var statusesSeen: Int = 0
@@ -28,8 +34,11 @@ final class StubPgWire(initial: Seq[Array[Byte]]) {
   private var server: ServerSocket = _
   private val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
 
-  def start(): Int = {
-    server = new ServerSocket(0)
+  /** `port = 0` picks an ephemeral port; a fixed port lets a test
+    * bounce the server and have the client reconnect to the same place.
+    */
+  def start(port: Int = 0): Int = {
+    server = new ServerSocket(port)
     val acceptor = new Thread(() => {
       try while (!stopped) {
         val sock = server.accept()
@@ -88,12 +97,19 @@ final class StubPgWire(initial: Seq[Array[Byte]]) {
     reader.start()
     // writer side: stream everything past the cursor, then keepalive
     var cursor = startAfter
+    var sentThisConn = 0
     try while (!stopped && !sock.isClosed) {
       val batch = log.synchronized { log.filter(_._1 > cursor).sortBy(_._1).toSeq }
       batch.foreach { case (lsn, frame) =>
+        if (dieBudget >= 0 && sentThisConn >= dieBudget) {
+          dieBudget = -1 // die once, then behave
+          sock.close()
+          return
+        }
         PgWire.writeMsg(out, PgWire.encodeXLogData(
           PgWire.XLogData(cursor, lsn, System.nanoTime() / 1000, frame)))
         cursor = lsn
+        sentThisConn += 1
       }
       PgWire.writeMsg(out, PgWire.encodeKeepalive(
         PgWire.Keepalive(cursor, System.nanoTime() / 1000, replyRequested = true)))
