@@ -366,8 +366,16 @@ object StreamBench {
 
     // ---- artifact ----------------------------------------------------
     val ok = results.count(_._2._1)
+    // full JSON string escape: exception messages (the detail of a
+    // DIVERGE row) routinely carry newlines and backslashes — exactly
+    // when the artifact must stay parseable
+    def jEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
     val twinJson = results.map { case (n, (good, detail, sec)) =>
-      s""""$n":{"ok":$good,"sec":${f"$sec%.2f"},"detail":"${detail.replace("\"", "'")}"}"""
+      s""""$n":{"ok":$good,"sec":${f"$sec%.2f"},"detail":"${jEsc(detail)}"}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"stream_twin_matches","value":$ok,"total":${results.size},"sf":"$sfDir","twins":$twinJson}"""
     println(s"[streambench] $json")

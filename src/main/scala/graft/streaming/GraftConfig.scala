@@ -112,8 +112,9 @@ object GraftConfig {
       mergeOnCompact = top.get("merge_on_compact").exists(_.toBoolean),
       sourceWire = top.get("source_wire").map { hp =>
         val i = hp.lastIndexOf(':')
-        require(i > 0, s"source_wire must be host:port, got '$hp'")
-        (hp.substring(0, i), hp.substring(i + 1).toInt)
+        val port = if (i > 0) hp.substring(i + 1).toIntOption else None
+        require(port.isDefined, s"source_wire must be host:port, got '$hp'")
+        (hp.substring(0, i), port.get)
       })
   }
 

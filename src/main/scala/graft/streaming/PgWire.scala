@@ -131,20 +131,54 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
   @volatile private var stopped = false
   @volatile private var flushedLsn = Long.MinValue
   private var fileSeq = 0
+  // instance tag for landed-file names: wall-clock nanos at construction
+  // — unique across JVM restarts (identityHashCode is not), so a
+  // restarted client can never collide with its predecessor's files
+  private val instanceTag = java.lang.Long.toHexString(System.nanoTime())
 
   def lastFlushed: Long = flushedLsn
 
   def stop(): Unit = { stopped = true }
 
-  /** Run the consumer loop; returns the last acked (flushed) LSN. */
+  /** The feed directory's durable high-water mark: the max LSN any
+    * previous client landed (file names carry it). THIS — not the
+    * in-memory acked LSN — is the true resume point: a crash between
+    * landing and acking leaves frames durably landed but un-acked, and
+    * resuming from the acked LSN would replay them into duplicates.
+    * Long.MinValue when the directory is empty.
+    */
+  def landedHighWater(): Long = {
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Long.MinValue
+    val it = java.nio.file.Files.list(dir)
+    try {
+      var hw = Long.MinValue
+      it.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("feed_") && n.endsWith(".b64")) {
+          val core = n.stripPrefix("feed_").stripSuffix(".b64")
+          val last = core.substring(core.lastIndexOf('_') + 1)
+          try hw = math.max(hw, last.toLong) catch { case _: NumberFormatException => () }
+        }
+      }
+      hw
+    } finally it.close()
+  }
+
+  /** Run the consumer loop; returns the last acked (flushed) LSN.
+    * Resumes from max(startAfter, [[landedHighWater]]) — the crash
+    * window between a durable landing and its ack can therefore never
+    * cause a duplicate landing: the restarted client asks the server
+    * for frames strictly after what the feed already holds.
+    */
   def run(startAfter: Long): Long = {
-    flushedLsn = startAfter
+    flushedLsn = math.max(startAfter, landedHighWater())
     val sock = new Socket(host, port)
     sock.setSoTimeout(30000)
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      out.write(s"START_REPLICATION $startAfter\n".getBytes(UTF_8))
+      out.write(s"START_REPLICATION $flushedLsn\n".getBytes(UTF_8))
       out.flush()
       val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
       var idle = 0
@@ -169,6 +203,14 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
             val k = PgWire.decodeKeepalive(body)
             if (pending.nonEmpty) flushAndAck()
             else if (k.endLsn <= flushedLsn) idle += 1
+            else {
+              // the server's WAL advanced without data for this feed:
+              // release retention up to the keepalive position (nothing
+              // is outstanding), or an idle subscription pins WAL at the
+              // last data frame forever
+              flushedLsn = k.endLsn
+              ack()
+            }
             if (k.replyRequested) ack()
           case other =>
             throw new IllegalStateException(s"unexpected server message '$other'")
@@ -223,11 +265,8 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
     val dir = java.nio.file.Paths.get(feedDir)
     java.nio.file.Files.createDirectories(dir)
     val maxLsn = frames.map(_._1).max
-    // the client-instance tag keeps a restarted client's files from
-    // colliding with its predecessor's in the same feed directory
-    val tag = Integer.toHexString(System.identityHashCode(this))
-    val tmp = dir.resolve(s"_tmp_feed_${tag}_${fileSeq}_$maxLsn.b64")
-    val dst = dir.resolve(s"feed_${tag}_${fileSeq}_$maxLsn.b64")
+    val tmp = dir.resolve(s"_tmp_feed_${instanceTag}_${fileSeq}_$maxLsn.b64")
+    val dst = dir.resolve(s"feed_${instanceTag}_${fileSeq}_$maxLsn.b64")
     fileSeq += 1
     java.nio.file.Files.write(tmp, lines.getBytes(UTF_8))
     java.nio.file.Files.move(tmp, dst,

@@ -72,10 +72,16 @@ object Replicator {
     * when the config has no wire source (externally-fed directory).
     * Drive it with `run`/`runWithReconnect(lastFlushed)`; ack/restart
     * semantics are PgWireSpec's contract.
+    *
+    * By default the loop runs UNTIL [[PgWireClient.stop]] — a
+    * production sidecar must not self-terminate just because the feed
+    * went quiet (catching up is not completion). Tests and one-shot
+    * catch-up jobs pass a small `idleKeepalivesToStop`.
     */
   def wireClient(cfg: StreamRunner.RunnerConfig,
-                 batchFrames: Int = 64): Option[PgWireClient] =
+                 batchFrames: Int = 64,
+                 idleKeepalivesToStop: Int = Int.MaxValue): Option[PgWireClient] =
     cfg.sourceWire.map { case (host, port) =>
-      new PgWireClient(host, port, cfg.inputDir, batchFrames)
+      new PgWireClient(host, port, cfg.inputDir, batchFrames, idleKeepalivesToStop)
     }
 }

@@ -85,6 +85,29 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("crash between landing and ack cannot duplicate: resume honors the feed high-water mark") {
+    // the lethal window: frames land durably, the process dies before
+    // the ack, and the caller's persisted resume point is STALE. The
+    // client must resume from the feed directory's own high-water mark
+    // (the durable record), not the stale LSN — or the replay would
+    // land duplicates no downstream LSN dedup exists to absorb.
+    val frames = fixture(1L, 6)
+    val server = new StubPgWire(frames)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire_crash").toString
+    try {
+      new PgWireClient("127.0.0.1", port, dir).run(0L) // all landed
+      // restarted client with a stale resume point (the lost-ack state)
+      val acked = new PgWireClient("127.0.0.1", port, dir).run(startAfter = 0L)
+      val want = frames.map(PgOutput.parse(_).lsn.get)
+      assert(acked === want.max)
+      val landed = landedLsns(dir)
+      assert(landed.distinct.size === landed.size,
+        "a stale resume point must not re-land already-landed frames")
+      assert(landed.sorted === want.sorted)
+    } finally server.stop()
+  }
+
   test("reconnect-with-resume: a dropped socket loses nothing, duplicates nothing") {
     // the server kills the first connection mid-stream with frames
     // pending un-acked; the client reconnects from its flushed LSN —
@@ -139,7 +162,7 @@ class PgWireSpec extends SparkSpec {
     try {
       // the config names the wire source; the deployment builds its
       // landing client from it — pg2ch's connection-params slot
-      val acked = Replicator.wireClient(cfg).get.run(0L)
+      val acked = Replicator.wireClient(cfg, idleKeepalivesToStop = 2).get.run(0L)
       var queries = Replicator.bootstrap(spark, cfg, Map.empty)
       try queries.foreach(_.processAllAvailable())
       finally queries.foreach(_.stop())
@@ -148,7 +171,7 @@ class PgWireSpec extends SparkSpec {
       server.append(Seq(
         PgOutput.encodeDelete(4, relId, Seq("2", "b", "1.50")),
         PgOutput.encodeInsert(5, relId, Seq("3", "c", "7.25"))))
-      Replicator.wireClient(cfg).get.run(startAfter = acked)
+      Replicator.wireClient(cfg, idleKeepalivesToStop = 2).get.run(startAfter = acked)
       queries = StreamRunner.run(spark, cfg)
       try {
         queries.foreach(_.processAllAvailable())
