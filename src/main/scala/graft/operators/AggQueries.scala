@@ -1292,8 +1292,11 @@ object AggQueries {
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("value"),
             expr("datediff(cast(ts as date), date '1995-01-01') div 7").as("wk"))
+        // per-user cohort week: unbounded at corpus scale (one row per
+        // buying user), so no broadcast hint — both sides key on
+        // user_id, AQE broadcasts only while the relation is small
         val cohorts = pur.groupBy("user_id").agg(min(col("wk")).as("cw"))
-        val cells = pur.join(broadcast(cohorts), Seq("user_id"))
+        val cells = pur.join(cohorts, Seq("user_id"))
           .groupBy(col("cw"), (col("wk") - col("cw")).as("age_w"))
           .agg(countDistinct(col("user_id")).cast("long").as("buyers"),
             moneySum(col("value")).as("revenue"))

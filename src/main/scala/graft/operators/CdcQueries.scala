@@ -145,18 +145,18 @@ object CdcQueries {
     // row per user with any error) rather than by table. That makes this
     // a frontier-semi-join pattern, not the broadcast-sized per-TABLE
     // frontier of the streaming apply: at 100 TB a per-user frontier
-    // grows with the user population, so the broadcast hint below is
-    // right only while the error-user set is dimension-sized — past
-    // that, drop the hint and let it shuffle on user_id (both sides
-    // already key on it). CdcApply.dropTruncated keeps the true
-    // broadcast shape (frontier ≤ #tables).
+    // grows with the user population, so no broadcast hint — AQE
+    // broadcasts when the error-user set turns out dimension-sized and
+    // shuffles on user_id otherwise (both sides already key on it).
+    // CdcApply.dropTruncated keeps the true broadcast shape
+    // (frontier ≤ #tables).
     "cdc_truncate_frontier" -> QueryDef(
       (spark, dir) => {
         val ev = t(spark, dir, "events")
         val fr = ev.filter(col("event_type") === "error")
           .groupBy(col("user_id").as("u"))
           .agg(max(col("event_id")).as("tmax"))
-        ev.join(broadcast(fr), col("user_id") === col("u"), "left")
+        ev.join(fr, col("user_id") === col("u"), "left")
           .filter(col("tmax").isNull || col("event_id") > col("tmax"))
           .groupBy("user_id")
           .agg(cnt("survivors"), min(col("event_id")).as("min_id"),

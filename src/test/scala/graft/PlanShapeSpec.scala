@@ -766,4 +766,102 @@ class PlanShapeSpec extends SparkSpec {
           s"$name must never order the corpus globally:\n$plan")
     }
   }
+
+  test("no unbounded relation carries a broadcast hint anywhere in the declared surface") {
+    // The repo-wide force-broadcast audit, pinned (VERDICT r11 item 2).
+    // Every broadcast() hint in the declared surface must sit on a
+    // relation that is bounded BY CONSTRUCTION — an aggregate (grouped
+    // on a bounded key or reduced to a scalar), a dim-table scan
+    // (region/nation/part/supplier/customer at dim cardinality), or a
+    // literal range. A hint on a raw fact scan or on a grouping keyed by
+    // an unbounded attribute (user_id, doc_id, event_id) is a driver-OOM
+    // at 100 TB even when AQE would have chosen correctly unhinted —
+    // cdc_truncate_frontier carried exactly that shape until r12.
+    // The pin: walk every declared logical plan; wherever a broadcast
+    // join hint survives analysis, the hinted side's subtree must
+    // contain an Aggregate or only dim/range leaves — never a bare
+    // fact relation.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val facts = Set("lineitem", "orders", "events", "documents", "embeddings")
+    def leafIsFact(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(rp => facts.exists(rp.toString.contains))
+        case _ => false
+      }
+      case other => facts.exists(other.toString.toLowerCase.contains)
+    }
+    // Grouping by one of these keys does NOT bound a relation — their
+    // cardinality scales with the corpus (this was cdc_truncate_frontier's
+    // r11 shape: groupBy(user_id) under a broadcast hint).
+    val unboundedKeys =
+      Set("user_id", "doc_id", "event_id", "o_orderkey", "l_orderkey", "emb_id")
+    def boundedAggregate(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.exists { a =>
+        !a.groupingExpressions.exists(_.references.exists(r =>
+          unboundedKeys.contains(r.name.toLowerCase)))
+      }
+    // A literal comparison on an id column (`vec_id < 10`, `doc_id < 20`)
+    // bounds the relation at ANY corpus scale — ids below a constant are
+    // a constant-sized set. This is the declared probe/centroid contract
+    // of the similarity family. A modulo/fraction filter does NOT bound
+    // and does not match this shape.
+    import org.apache.spark.sql.catalyst.expressions._
+    def literalIdBound(p: LogicalPlan): Boolean = {
+      def idAttr(e: Expression): Boolean = e match {
+        case a: Attribute =>
+          val n = a.name.toLowerCase; n == "id" || n.endsWith("_id")
+        case _ => false
+      }
+      def bounds(c: Expression): Boolean = c match {
+        case And(l, r) => bounds(l) || bounds(r)
+        case LessThan(a, _: Literal) if idAttr(a) => true
+        case LessThanOrEqual(a, _: Literal) if idAttr(a) => true
+        case GreaterThan(_: Literal, a) if idAttr(a) => true
+        case GreaterThanOrEqual(_: Literal, a) if idAttr(a) => true
+        case EqualTo(a, _: Literal) if idAttr(a) => true
+        case EqualTo(_: Literal, a) if idAttr(a) => true
+        case In(a, vs) if idAttr(a) && vs.forall(_.isInstanceOf[Literal]) => true
+        case _ => false
+      }
+      p.collectFirst {
+        case Filter(cond, _) if bounds(cond) => ()
+        case _: GlobalLimit => ()
+      }.isDefined
+    }
+    // A scopedPersist()'d probe relation optimizes to an InMemoryRelation
+    // leaf whose bounding filter lives inside the cached physical plan —
+    // recognize the pushed/compiled literal-id filter there.
+    def cachedBound(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val s = imr.cachedPlan.toString
+        "(?i)(LessThan(OrEqual)?|EqualTo)\\(`?\\w*id`?,\\s*-?\\d+\\)".r
+          .findFirstIn(s).isDefined ||
+          "(?i)\\w*id#\\d+L?\\s*<=?\\s*-?\\d+".r.findFirstIn(s).isDefined
+      case _ => false
+    }
+    // Join.hint is populated by EliminateResolvedHint in the OPTIMIZER —
+    // the analyzed plan still carries broadcast() as a ResolvedHint node
+    // with JoinHint.NONE on the join, so the walk must use optimizedPlan.
+    val offenders = Registry.all.flatMap { case (name, qd) =>
+      val plan = qd.fn(spark, sf001).queryExecution.optimizedPlan
+      plan.collect {
+        case j: Join =>
+          val sides = Seq(
+            (j.hint.leftHint, j.left), (j.hint.rightHint, j.right)).collect {
+            case (Some(h), side) if h.strategy.exists(
+              _.toString.toUpperCase.contains("BROADCAST")) => side
+          }
+          sides.collect {
+            case side if leafIsFact(side) && !boundedAggregate(side) &&
+                !literalIdBound(side) && !cachedBound(side) =>
+              s"$name: broadcast hint on unbounded fact subtree:\n$side"
+          }
+      }.flatten
+    }
+    graft.core.releaseQueryCaches(spark)
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
 }
