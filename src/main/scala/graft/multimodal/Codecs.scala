@@ -3,16 +3,17 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets.US_ASCII
 
-/** REAL media codecs for the uncompressed container formats a pure JVM
-  * can parse without native libraries: RIFF/WAVE PCM-16 audio and
-  * binary PPM (P6) images. These are not stubs — the bytes are the real
-  * wire formats, byte-for-byte readable by any standard tool — and they
-  * plug into [[Multimodal.decodeWith]] unchanged, which is the point:
-  * the dataflow around decode was always real, and for uncompressed
-  * formats the decode kernel now is too. Compressed codecs (JPEG,
-  * Opus, H.264) remain environment work: they need native libraries
-  * this container does not ship, and they drop into the same
-  * `decodeWith` seam.
+/** REAL media codecs: RIFF/WAVE PCM-16 audio and binary PPM (P6) images
+  * parsed by hand, plus compressed images (JPEG/PNG/BMP/GIF and, on this
+  * JDK, TIFF/WBMP) through `javax.imageio` — all pure-JVM, no native
+  * libraries ([[ImageIoCodec]]). These are not stubs — the bytes are the
+  * real wire formats, byte-for-byte readable by any standard tool — and
+  * they plug into [[Multimodal.decodeWith]] unchanged, which is the
+  * point: the dataflow around decode was always real, and for every
+  * common training-image format plus PCM audio the decode kernel now is
+  * too. Only compressed AUDIO/VIDEO codecs (Opus, H.264) remain
+  * environment work: they genuinely need native libraries this container
+  * does not ship, and they drop into the same `decodeWith` seam.
   *
   * Both decoders are TOTAL: any structural violation (bad magic, short
   * buffer, absurd declared sizes, truncated payload) returns None —
@@ -150,4 +151,108 @@ object PpmCodec {
       val px = java.util.Arrays.copyOfRange(bytes, i, i + need)
       Some(Ppm(w, h, mx, px))
     } catch { case _: Exception => None }
+}
+
+/** Compressed images via `javax.imageio` — JPEG/PNG/BMP/GIF (+ TIFF/WBMP
+  * on JDK 9+) decode is pure-JVM; no native libraries involved. Decoded
+  * pixels normalize to the same interleaved-RGB buffer as [[PpmCodec]],
+  * so everything downstream (grid features, pHash, ANN) is
+  * container-agnostic. Total like the hand-written codecs: any
+  * malformation (bad magic, truncated stream, zero-dim image) returns
+  * None, never throws into a partition iterator.
+  *
+  * Codec-init amortization note for the partition seam: `ImageIO.read`
+  * consults the static reader registry per call; scanning is
+  * suppressed via `setUseCache(false)` (no temp-file spill) and the
+  * registry lookup is in-memory — safe inside `mapPartitions` without
+  * per-executor setup.
+  */
+object ImageIoCodec {
+
+  javax.imageio.ImageIO.setUseCache(false) // decode in-memory, never spill
+
+  /** Interleaved RGB, row-major — the PpmCodec pixel layout. */
+  final case class Img(width: Int, height: Int, pixels: Array[Byte]) {
+    require(pixels.length == width * height * 3, "pixel buffer size mismatch")
+  }
+
+  def decode(bytes: Array[Byte]): Option[Img] =
+    try {
+      if (bytes == null || bytes.length == 0) return None
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (bi == null || bi.getWidth <= 0 || bi.getHeight <= 0) None
+      else {
+        val w = bi.getWidth
+        val h = bi.getHeight
+        // bulk ARGB fetch (one call, not w·h getRGB round-trips), then
+        // strip alpha into the interleaved-RGB layout
+        val argb = bi.getRGB(0, 0, w, h, null, 0, w)
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        var o = 0
+        while (i < argb.length) {
+          val v = argb(i)
+          px(o) = ((v >> 16) & 0xff).toByte
+          px(o + 1) = ((v >> 8) & 0xff).toByte
+          px(o + 2) = (v & 0xff).toByte
+          i += 1
+          o += 3
+        }
+        Some(Img(w, h, px))
+      }
+    } catch { case _: Exception => None }
+
+  /** Encode to a named ImageIO format ("png", "jpg", "bmp", "gif") —
+    * fixture construction for tests and the write half of a transcode
+    * stage. PNG/BMP are lossless (decode∘encode = identity on RGB);
+    * JPEG is lossy by design.
+    */
+  def encode(img: Img, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](img.width * img.height)
+    var i = 0
+    var o = 0
+    while (i < argb.length) {
+      argb(i) = ((img.pixels(o) & 0xff) << 16) |
+        ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff)
+      i += 1
+      o += 3
+    }
+    bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(bi, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** `grid`×`grid` mean-luma features in [0,1] — the pixel-derived
+    * feature vector the pHash and feature-ANN lanes consume (a real
+    * vision encoder drops into the same Array[Float] contract). Cells
+    * partition the image by integer bounds, so every pixel contributes
+    * to exactly one cell at any resolution.
+    */
+  def gridFeatures(img: Img, grid: Int = 4): Array[Float] = {
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * grid / img.height
+      var x = 0
+      while (x < img.width) {
+        val cx = x * grid / img.width
+        val o = (y * img.width + x) * 3
+        // integer ITU-R 601 luma (77R + 150G + 29B) >> 8 — deterministic
+        val luma = ((img.pixels(o) & 0xff) * 77 +
+          (img.pixels(o + 1) & 0xff) * 150 + (img.pixels(o + 2) & 0xff) * 29) >> 8
+        val c = cy * grid + cx
+        sums(c) += luma
+        counts(c) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0L) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+  }
 }

@@ -32,12 +32,15 @@ object Multimodal {
 
   final case class DecodedMeta(width: Int, height: Int, durationMs: Long, nFrames: Int)
 
-  /** REAL decode entry point. Uncompressed containers decode with the
-    * pure-JVM codecs (RIFF/WAVE PCM-16 → [[WavCodec]], binary PPM →
-    * [[PpmCodec]] — real wire formats, MultimodalCodecSpec pins the
-    * roundtrip laws and the decodeWith integration); compressed codecs
-    * (JPEG/Opus/H.264) need native libraries this container does not
-    * ship and still throw — a production build plugs them in here,
+  /** REAL decode entry point. Hand-written pure-JVM codecs parse the
+    * uncompressed containers (RIFF/WAVE PCM-16 → [[WavCodec]], binary
+    * PPM → [[PpmCodec]]); compressed images (JPEG/PNG/BMP/GIF, plus
+    * TIFF/WBMP on this JDK) decode through `javax.imageio` →
+    * [[ImageIoCodec]] — also pure-JVM, no native libraries.
+    * MultimodalCodecSpec pins the roundtrip laws and the decodeWith
+    * integration for all of them. Only compressed AUDIO/VIDEO codecs
+    * (Opus, H.264) genuinely need native libraries this container does
+    * not ship and still throw — a production build plugs them in here,
     * everything downstream is agnostic. Audio maps (sampleRate,
     * channels) into the (width, height) meta slots; frames are
     * 256-sample windows (the VAD frame length).
@@ -55,11 +58,46 @@ object Multimodal {
           case Some(p) => DecodedMeta(p.width, p.height, 0L, 1)
           case None => DecodedMeta(0, 0, 0L, 0)
         }
+      case "image/jpeg" | "jpeg" | "jpg" | "image/png" | "png" |
+           "image/bmp" | "bmp" | "image/gif" | "gif" =>
+        ImageIoCodec.decode(bytes) match {
+          case Some(i) => DecodedMeta(i.width, i.height, 0L, 1)
+          case None => DecodedMeta(0, 0, 0L, 0)
+        }
       case other =>
         throw new NotImplementedError(
           s"codec for '$other' needs native libraries unavailable in this " +
-            "environment - use decodeStubbed or an uncompressed container")
+            "environment - use decodeStubbed or a supported container")
     }
+
+  /** Decode an image payload of any supported container to the shared
+    * interleaved-RGB buffer. None = poison pill. */
+  def decodeImage(bytes: Array[Byte], modality: String): Option[ImageIoCodec.Img] =
+    modality match {
+      case "image/ppm" | "ppm" =>
+        PpmCodec.decode(bytes).map(p => ImageIoCodec.Img(p.width, p.height, p.pixels))
+      case _ => ImageIoCodec.decode(bytes)
+    }
+
+  /** REAL pixel features: decode each asset inside the partition iterator
+    * and emit [[ImageIoCodec.gridFeatures]] — the same
+    * (asset_id, features: Array[Float]) relation [[stubFeatures]] emits,
+    * so the pHash and feature-ANN lanes below consume either source
+    * unchanged. Poison assets (undecodable bytes) are DROPPED here — the
+    * flatMap is the gate, exactly where a production decode stage filters
+    * its corpus. No shuffle: decode + feature extraction are one narrow
+    * map pass over the asset partitions.
+    */
+  def realFeatures(df: DataFrame, grid: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col("modality"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, m, b) =>
+        decodeImage(b, m).map(img => (id, ImageIoCodec.gridFeatures(img, grid)))
+      })
+      .toDF("asset_id", "features")
+  }
 
   /** STUB decode: deterministic fake metadata derived from the payload's
     * md5 — stable across runs/engines, exercises the full pipeline shape.
@@ -137,5 +175,65 @@ object Multimodal {
       (conv(substring(h, (i % 7) * 4 + 1, 4), 16, 10).cast("double") / 65535.0).cast("float")
     }
     df.withColumn("features", array(feats: _*))
+  }
+
+  /** Perceptual-hash near-dup pair lane over an
+    * (asset_id, features: Array[Float]) relation — feature-source
+    * agnostic: multimodal_dedup_phash feeds it the documented stub,
+    * MultimodalCodecSpec feeds it REAL decoded pixels through
+    * [[realFeatures]]. Binarize each vector against its own mean into a
+    * 16-bit fingerprint, band (2 × 8 bits), pair bucket-mates, emit
+    * Hamming distance. Scale shape: fingerprints are one map pass; the
+    * self-join keys on (band, bucket) so only bucket-mates meet; hot
+    * buckets (> `cap` members) are excluded via a broadcast semi-join
+    * against the bounded (≤ 2·256-row) bucket-size relation.
+    */
+  def phashPairs(feats: DataFrame, cap: Int = 200): DataFrame = {
+    import graft.core._
+    val fp = feats
+      .withColumn("fv", expr("transform(features, x -> cast(x as double))"))
+      .withColumn("m", expr("aggregate(fv, 0D, (a, x) -> a + x) / 16.0"))
+      .withColumn("fp", expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + IF(fv[i] > m, shiftleft(1L, cast(i as int)), 0L))"))
+      .select(col("asset_id"), col("fp"))
+      .scopedPersist()
+    val bands = fp
+      .select(col("asset_id"), col("fp"), explode(expr("sequence(0, 1)")).as("b"))
+      .withColumn("nib", expr("shiftright(fp, cast(b * 8 as int)) & 255"))
+    val sized = bands.groupBy("b", "nib").agg(count(lit(1)).cast("long").as("sz"))
+    val kept = bands.join(broadcast(sized.filter(col("sz") <= cap)),
+      Seq("b", "nib"), "left_semi")
+    kept.select(col("b"), col("nib"),
+        col("asset_id").as("a1"), col("fp").as("f1"))
+      .join(kept.select(col("b"), col("nib"),
+        col("asset_id").as("a2"), col("fp").as("f2")), Seq("b", "nib"))
+      .filter(col("a1") < col("a2"))
+      .select("a1", "a2", "f1", "f2").distinct()
+      .withColumn("d", expr("bit_count(f1 ^ f2)").cast("long"))
+  }
+
+  /** Brute-force cosine top-k over an (asset_id, features) relation with
+    * a literal-bounded probe set — the multimodal→ANN integration lane,
+    * feature-source agnostic like [[phashPairs]]. Probes broadcast
+    * (≤ `probeMax` rows by construction); the corpus never shuffles.
+    */
+  def cosineTopK(spark: SparkSession, feats: DataFrame,
+                 probeMax: Long, k: Int): DataFrame = {
+    import graft.core._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.DotProductD.register(spark)
+    def gdot(a: String, b: String) = expr(s"graft_dot($a, $b)")
+    val probes = feats.filter(col("asset_id") < probeMax)
+      .select(col("asset_id").as("probe"), col("features").as("pv"),
+        sqrt(gdot("features", "features")).as("pn"))
+    val cands = feats
+      .select(col("asset_id").as("cand"), col("features").as("cv"),
+        sqrt(gdot("features", "features")).as("cn"))
+    val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
+    broadcast(probes).join(cands, col("probe") =!= col("cand"))
+      .withColumn("sim", pround(gdot("pv", "cv") / (col("pn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe"), col("cand"), col("sim"))
   }
 }

@@ -68,24 +68,13 @@ object MultimodalQueries {
     // oracle-checked end-to-end even with the encoder stubbed.
     "multimodal_feature_ann" -> QueryDef(
       (spark, dir) => {
-        graft.plans.DotProductD.register(spark)
-        def gdot(a: String, b: String) = expr(s"graft_dot($a, $b)")
         val assets = graft.multimodal.Multimodal.assetsFrom(
           t(spark, dir, "documents"), "doc_id", "text", "text")
         val feats = graft.multimodal.Multimodal.stubFeatures(assets)
           .select(col("asset_id"), col("features"))
-        val probes = feats.filter(col("asset_id") < 5)
-          .select(col("asset_id").as("probe"), col("features").as("pv"),
-            sqrt(gdot("features", "features")).as("pn"))
-        val cands = feats
-          .select(col("asset_id").as("cand"), col("features").as("cv"),
-            sqrt(gdot("features", "features")).as("cn"))
-        val w = Window.partitionBy("probe").orderBy(col("sim").desc, col("cand"))
-        broadcast(probes).join(cands, col("probe") =!= col("cand"))
-          .withColumn("sim", pround(gdot("pv", "cv") / (col("pn") * col("cn")), 6))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("probe"), col("cand"), col("sim"))
+        // the shared feature-source-agnostic lane: MultimodalCodecSpec
+        // drives the SAME function with real decoded pixels
+        graft.multimodal.Multimodal.cosineTopK(spark, feats, probeMax = 5, k = 3)
           .orderBy(col("probe"), col("sim").desc, col("cand"))
       },
       Some {
@@ -130,27 +119,10 @@ object MultimodalQueries {
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
           t(spark, dir, "documents"), "doc_id", "text", "text")
-        val fp = graft.multimodal.Multimodal.stubFeatures(assets)
-          .withColumn("fv", expr("transform(features, x -> cast(x as double))"))
-          .withColumn("m", expr("aggregate(fv, 0D, (a, x) -> a + x) / 16.0"))
-          .withColumn("fp", expr(
-            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + IF(fv[i] > m, shiftleft(1L, cast(i as int)), 0L))"))
-          .select(col("asset_id"), col("fp"))
-          .scopedPersist()
-        val bands = fp
-          .select(col("asset_id"), col("fp"), explode(expr("sequence(0, 1)")).as("b"))
-          .withColumn("nib", expr("shiftright(fp, cast(b * 8 as int)) & 255"))
-        val sized = bands.groupBy("b", "nib").agg(cnt("sz"))
-        val kept = bands.join(broadcast(sized.filter(col("sz") <= 200)),
-          Seq("b", "nib"), "left_semi")
-        val pairs = kept.select(col("b"), col("nib"),
-            col("asset_id").as("a1"), col("fp").as("f1"))
-          .join(kept.select(col("b"), col("nib"),
-            col("asset_id").as("a2"), col("fp").as("f2")), Seq("b", "nib"))
-          .filter(col("a1") < col("a2"))
-          .select("a1", "a2", "f1", "f2").distinct()
-        pairs
-          .withColumn("d", expr("bit_count(f1 ^ f2)").cast("long"))
+        val feats = graft.multimodal.Multimodal.stubFeatures(assets)
+        // the shared feature-source-agnostic lane: MultimodalCodecSpec
+        // drives the SAME function with real decoded pixels
+        graft.multimodal.Multimodal.phashPairs(feats, cap = 200)
           .filter(col("d") <= 4)
           .groupBy("d").agg(cnt("n_pairs"))
           .orderBy(col("d"))

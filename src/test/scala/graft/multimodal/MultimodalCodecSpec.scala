@@ -99,6 +99,112 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(decoded(3L) === ((0, 0, 0L, 0)), "corrupt asset poison-pills, not throws")
   }
 
+  // ---- compressed images via javax.imageio (pure-JVM, no native libs) ----
+
+  // 64×64 image whose 16×16 cells are dark/bright per a 16-bit mask —
+  // by construction gridFeatures(4) binarized against its own mean
+  // recovers exactly `mask`, and the pattern survives JPEG loss.
+  private def maskImage(mask: Int): ImageIoCodec.Img = {
+    val px = new Array[Byte](64 * 64 * 3)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val cell = (y / 16) * 4 + (x / 16)
+        val v = if (((mask >> cell) & 1) == 1) 220.toByte else 30.toByte
+        val o = (y * 64 + x) * 3
+        px(o) = v; px(o + 1) = v; px(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    ImageIoCodec.Img(64, 64, px)
+  }
+
+  test("ImageIO PNG/BMP roundtrip law: encode . decode = identity on RGB") {
+    val gen = for {
+      w <- Gen.choose(1, 32)
+      h <- Gen.choose(1, 32)
+      fmt <- Gen.oneOf("png", "bmp")
+    } yield (ImageIoCodec.Img(w, h,
+      Array.tabulate(w * h * 3)(i => (i * 37 % 256).toByte)), fmt)
+    check(Prop.forAll(gen) { case (img, fmt) =>
+      ImageIoCodec.decode(ImageIoCodec.encode(img, fmt)).exists(d =>
+        d.width == img.width && d.height == img.height &&
+          java.util.Arrays.equals(d.pixels, img.pixels))
+    }, n = 25)
+  }
+
+  test("ImageIO JPEG: lossy but dimension-exact; grid features survive the loss") {
+    val img = maskImage(0x1234)
+    val jpg = ImageIoCodec.encode(img, "jpg")
+    val d = ImageIoCodec.decode(jpg)
+    assert(d.exists(x => x.width == 64 && x.height == 64))
+    val f0 = ImageIoCodec.gridFeatures(img)
+    val f1 = ImageIoCodec.gridFeatures(d.get)
+    assert(f0.length === 16)
+    f0.zip(f1).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.1, s"JPEG loss moved a grid cell $a -> $b")
+    }
+  }
+
+  test("ImageIO decode poison-pills malformation (junk, truncation, empty)") {
+    val png = ImageIoCodec.encode(maskImage(0xAB12), "png")
+    assert(ImageIoCodec.decode(png).isDefined)
+    assert(ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageIoCodec.decode("definitely not an image".getBytes("US-ASCII")).isEmpty)
+    assert(ImageIoCodec.decode(png.take(24)).isEmpty, "truncated PNG header")
+    assert(ImageIoCodec.decode(null).isEmpty)
+    val jpgTrunc = ImageIoCodec.encode(maskImage(0x00FF), "jpg").take(40)
+    assert(ImageIoCodec.decode(jpgTrunc).isEmpty, "truncated JPEG")
+  }
+
+  test("decodeWith(decodeReal): JPEG/PNG assets yield real dimensions") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "image/png", ImageIoCodec.encode(maskImage(0xF0F0), "png")),
+      (2L, "image/jpeg", ImageIoCodec.encode(maskImage(0x0F0F), "jpg")),
+      (3L, "image/jpeg", "corrupt jpeg".getBytes("US-ASCII"))
+    ).toDF("asset_id", "modality", "bytes")
+    val decoded = Multimodal.decodeWith(assets)(Multimodal.decodeReal)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(decoded(1L) === ((64, 64)))
+    assert(decoded(2L) === ((64, 64)))
+    assert(decoded(3L) === ((0, 0)), "corrupt image poison-pills, not throws")
+  }
+
+  test("pHash lane over REAL decoded pixels: JPEG re-encode is a 0-distance dup") {
+    import spark.implicits._
+    // four distinct patterns whose fingerprints share no band bucket,
+    // plus a JPEG re-encode of pattern 0 — the only true near-dup
+    val masks = Seq(0x1234, 0x00FF, 0xFF00, 0xAB12)
+    val rows = masks.zipWithIndex.map { case (m, i) =>
+      (i.toLong, "image/png", ImageIoCodec.encode(maskImage(m), "png"))
+    } :+ ((100L, "image/jpeg", ImageIoCodec.encode(maskImage(masks.head), "jpg")))
+    val assets = rows.toDF("asset_id", "modality", "bytes")
+      .repartition(3) // decode must be partition-local, any layout
+    val feats = Multimodal.realFeatures(assets)
+    assert(feats.count() === 5, "all real assets decode")
+    val pairs = Multimodal.phashPairs(feats, cap = 200)
+      .select("a1", "a2", "d").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((0L, 100L, 0L)),
+      s"exactly the PNG/JPEG twin pair at Hamming 0, got $pairs")
+    graft.core.releaseQueryCaches(spark)
+  }
+
+  test("feature-ANN lane over REAL decoded pixels: the JPEG twin is the top hit") {
+    import spark.implicits._
+    val masks = Seq(0x1234, 0x00FF, 0xFF00, 0xAB12)
+    val rows = masks.zipWithIndex.map { case (m, i) =>
+      (i.toLong, "image/png", ImageIoCodec.encode(maskImage(m), "png"))
+    } :+ ((100L, "image/jpeg", ImageIoCodec.encode(maskImage(masks.head), "jpg")))
+    val feats = Multimodal.realFeatures(rows.toDF("asset_id", "modality", "bytes"))
+    val top = Multimodal.cosineTopK(spark, feats, probeMax = 1, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top === Seq((0L, 100L)), "probe 0's nearest neighbour is its JPEG twin")
+  }
+
   test("frame energies over real samples drive the VAD gate") {
     // 10 silent frames, 10 loud frames, 5 silent — the energy series
     // must gate exactly at the loud block (multimodal_audio_vad's shape)
