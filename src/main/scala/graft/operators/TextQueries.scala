@@ -2289,10 +2289,12 @@ object TextQueries {
     // then accumulated as exact decimals (the perplexity_lm recipe), so
     // per-doc bits-per-token hash-match without tolerance. Scale shape:
     // pair counts, left-context counts, and vocab are partial+final
-    // aggs (map-side combined); the scoring joins shuffle on the pair /
-    // word keys (short strings here; at fact scale hash pairs to
-    // xxhash64 longs first, the dedup_jaccard_prefix discipline); the
-    // only broadcast is the scalar total.
+    // aggs (map-side combined); the scoring joins shuffle on xxhash64
+    // LONGS (bigram = xxhash64(prev, w), word = xxhash64(w) — the
+    // dedup_jaccard_prefix discipline: strings end at the map side,
+    // never cross an exchange, and nothing hashed reaches the oracle,
+    // which keeps string keys; a collision needs two keys at one 64-bit
+    // value, ~v²/2⁶⁴); the only broadcast is the scalar total.
     "text_bigram_lm" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
@@ -2300,27 +2302,32 @@ object TextQueries {
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 1), j -> concat_ws(' ', slice(w, j, 2)))")).as("bg"))
+            "transform(sequence(1, size(w) - 1), j -> struct(element_at(w, j) as p, element_at(w, j + 1) as q))")).as("s"))
+          .select(col("doc_id"),
+            xxhash64(col("s.p"), col("s.q")).as("bh"),
+            xxhash64(col("s.p")).as("ph"),
+            xxhash64(col("s.q")).as("wh"))
           .scopedPersist()
         val words = t(spark, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-        val gb = pairs.groupBy("bg").agg(cnt("cb")).scopedPersist()
+        // bh determines (ph, wh), so grouping by all three stays a
+        // partial+final agg over |distinct pairs| keys while keeping the
+        // context/word hashes available downstream without re-splitting
+        val gb = pairs.groupBy("bh", "ph", "wh").agg(cnt("cb")).scopedPersist()
         // left-context counts FOLD from the distinct-pair aggregate
         // (Σ_w c(prev,w) = c(prev·)) instead of re-scanning the corpus
         // pair stream — the shuffle carries |distinct pairs| partials,
         // not |corpus pairs| rows; same for the scalar total from vocab
-        val cps = gb.select(substring_index(col("bg"), " ", 1).as("prev"), col("cb"))
-          .groupBy("prev").agg(sum(col("cb")).cast("long").as("cp"))
-        val uni = words.groupBy("w").agg(cnt("cw")).scopedPersist()
+        val cps = gb.groupBy("ph").agg(sum(col("cb")).cast("long").as("cp"))
+        val uni = words.select(xxhash64(col("w")).as("wh"))
+          .groupBy("wh").agg(cnt("cw")).scopedPersist()
         val tot = uni.agg(sum(col("cw")).cast("long").as("total"))
         val prob = "0.75 * (cast(cb as double) / cast(cp as double)) " +
           "+ 0.25 * (cast(cw as double) / cast(total as double))"
-        pairs.groupBy("doc_id", "bg").agg(cnt("m"))
-          .join(gb.hint("shuffle_hash"), Seq("bg"))
-          .withColumn("prev", substring_index(col("bg"), " ", 1))
-          .withColumn("w", substring_index(col("bg"), " ", -1))
-          .join(cps.hint("shuffle_hash"), Seq("prev"))
-          .join(uni.hint("shuffle_hash"), Seq("w"))
+        pairs.groupBy("doc_id", "bh").agg(cnt("m"))
+          .join(gb.hint("shuffle_hash"), Seq("bh"))
+          .join(cps.hint("shuffle_hash"), Seq("ph"))
+          .join(uni.hint("shuffle_hash"), Seq("wh"))
           .crossJoin(broadcast(tot))
           .withColumn("bits", pround(
             -log(expr(prob)) / lit(0.6931471805599453), 9)
