@@ -130,6 +130,14 @@ final class BufferedSink(tableDir: String, mergeThreshold: Int = 0,
     * and a release thunk the caller runs after consuming it.
     */
   def stampRowIds(batch: DataFrame, batchId: Long): (DataFrame, () => Unit) = {
+    // the working columns below are added with withColumn, which silently
+    // REPLACES same-named user columns — refuse loudly instead of
+    // corrupting a batch that happens to carry one of the reserved names
+    val reserved = Seq("__pid", "__lrn", "__off", "__row_id")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"batch carries reserved internal column(s) ${clash.mkString(", ")}; " +
+        "rename them before sinking")
     val effOrder =
       if (orderCols.forall(batch.columns.contains)) orderCols
       else batch.columns.toSeq

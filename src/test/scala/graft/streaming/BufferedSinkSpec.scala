@@ -151,6 +151,21 @@ class BufferedSinkSpec extends SparkSpec {
     } finally rel1()
   }
 
+  test("row_id stamping refuses batches carrying reserved internal columns") {
+    val dir = Files.createTempDirectory("graft_stamp_guard").toString
+    val sink = new BufferedSink(dir)
+    // withColumn would silently replace these and drop the user's data —
+    // the guard must refuse instead (ADVICE r11)
+    Seq("__pid", "__lrn", "__off", "__row_id").foreach { name =>
+      val bad = Seq((1L, 2L)).toDF("lsn", name)
+      val e = intercept[IllegalArgumentException](sink.stampRowIds(bad, 1L))
+      assert(e.getMessage.contains(name))
+    }
+    // a column that merely PREFIXES a reserved name is fine
+    val (ok, rel) = sink.stampRowIds(Seq((1L, 2L)).toDF("lsn", "__pidx"), 1L)
+    try assert(ok.columns.contains("__pidx")) finally rel()
+  }
+
   test("foreachBatch adapter drives a real streaming query exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
