@@ -17,50 +17,128 @@ import java.nio.charset.StandardCharsets.UTF_8
   * durably applied the data (`pkg/consumer` [recall:med]; the
   * submessage grammar is the public PG protocol documentation's).
   *
-  * This module implements that message layer and the client loop
-  * faithfully; the PQ startup handshake (auth/SSL) is simplified to a
-  * single text line, honestly marked — this environment has no
-  * PostgreSQL, so the peer is a protocol-faithful stub
-  * (StubPgWire, tests), exactly the StubCH arrangement on the sink
-  * side. Everything that makes replication CORRECT — LSN-ordered
-  * delivery, flush-after-durable ack, keepalive reply, restart from
-  * the acked LSN with no gaps or duplicates — is real here and
-  * spec-tested (PgWireSpec).
+  * This module speaks the REAL frontend/backend protocol 3.0 grammar
+  * (public PG protocol documentation): StartupMessage with
+  * `replication=database` (what routes the session to a walsender),
+  * AuthenticationOk → ReadyForQuery, `START_REPLICATION SLOT <slot>
+  * LOGICAL <X/X>` as a simple Query, CopyBothResponse, and CopyData
+  * ('d') messages wrapping the replication submessages both ways. A
+  * real PostgreSQL with `trust` auth would be a config change, not a
+  * code change; only the auth NEGOTIATION (SCRAM/SSL) is out of scope
+  * and fails loudly — this environment has no PostgreSQL, so the peer
+  * is a protocol-faithful stub (StubPgWire, tests), exactly the StubCH
+  * arrangement on the sink side. Everything that makes replication
+  * CORRECT — LSN-ordered delivery, flush-after-durable ack, keepalive
+  * reply, restart from the acked LSN with no gaps or duplicates — is
+  * real here and spec-tested (PgWireSpec).
   *
-  * Message framing (CopyData-shaped): every message is
-  * `len:int32 body`, big-endian, `len` counting the body only.
+  * Typed message framing (post-startup, both directions):
+  * `type:byte len:int32 body`, big-endian, `len` counting itself (4)
+  * plus the body — the v3 rule. The StartupMessage alone has no type
+  * byte and its len counts the whole message. Replication submessages
+  * ride INSIDE CopyData ('d') bodies:
   * {{{
-  *   body 'w' := startLsn:int64 endLsn:int64 clock:int64 payload
-  *               (payload = one PgOutput binary frame)
-  *   body 'k' := endLsn:int64 clock:int64 replyRequested:byte
-  *   body 'r' := writtenLsn:int64 flushedLsn:int64 appliedLsn:int64
-  *               clock:int64 replyRequested:byte
+  *   'w' := startLsn:int64 endLsn:int64 clock:int64 payload
+  *          (payload = one PgOutput binary frame)
+  *   'k' := endLsn:int64 clock:int64 replyRequested:byte
+  *   'r' := writtenLsn:int64 flushedLsn:int64 appliedLsn:int64
+  *          clock:int64 replyRequested:byte
   * }}}
   */
 object PgWire {
+
+  /** Protocol version 3.0: major 3 in the high 16 bits. */
+  val ProtocolV3 = 196608
+
+  // ---- v3 typed message layer ----
+
+  /** `type:byte len:int32(len counts itself + body) body` */
+  def writeTyped(out: DataOutputStream, typ: Char, body: Array[Byte]): Unit = {
+    out.writeByte(typ.toByte)
+    out.writeInt(body.length + 4)
+    out.write(body)
+    out.flush()
+  }
+
+  /** Reads one typed message; length bounded so a corrupt peer cannot
+    * force a giant allocation. */
+  def readTyped(in: DataInputStream): (Char, Array[Byte]) = {
+    val typ = in.readByte().toChar
+    val n = in.readInt()
+    require(n >= 4 && n <= (1 << 26), s"message length $n out of range")
+    val b = new Array[Byte](n - 4)
+    in.readFully(b)
+    (typ, b)
+  }
+
+  def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  /** StartupMessage (frontend, UNtyped): len:int32 counting the whole
+    * message, protocol:int32, `key\0value\0` pairs, terminating `\0`. */
+  def writeStartup(out: DataOutputStream, params: Seq[(String, String)]): Unit = {
+    val kv = new java.io.ByteArrayOutputStream()
+    params.foreach { case (k, v) => kv.write(cstr(k)); kv.write(cstr(v)) }
+    kv.write(0)
+    val body = kv.toByteArray
+    out.writeInt(8 + body.length)
+    out.writeInt(ProtocolV3)
+    out.write(body)
+    out.flush()
+  }
+
+  def readStartup(in: DataInputStream): Map[String, String] = {
+    val n = in.readInt()
+    require(n >= 9 && n <= (1 << 16), s"startup length $n out of range")
+    val proto = in.readInt()
+    require(proto == ProtocolV3, s"unsupported protocol $proto")
+    val b = new Array[Byte](n - 8)
+    in.readFully(b)
+    // key\0value\0 ... \0 — split on NULs, drop the empty terminator tail
+    val parts = new String(b, UTF_8).split("\u0000", -1).dropRight(2)
+    parts.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+  }
+
+  /** LSN text form `X/X`: unsigned hex halves (the pg_lsn format). Bit-
+    * faithful for any long, incl. the Long.MinValue "nothing yet"
+    * sentinel. */
+  def formatLsn(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
+
+  def parseLsn(s: String): Long = {
+    val Array(h, l) = s.split("/")
+    (java.lang.Long.parseLong(h, 16) << 32) | java.lang.Long.parseLong(l, 16)
+  }
+
+  /** ErrorResponse body: `code:byte value\0` fields, `\0` terminator;
+    * S=severity, C=sqlstate, M=message. */
+  def errorBody(message: String): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write('S'); b.write(cstr("ERROR"))
+    b.write('C'); b.write(cstr("XX000"))
+    b.write('M'); b.write(cstr(message))
+    b.write(0)
+    b.toByteArray
+  }
+
+  def parseError(body: Array[Byte]): String = {
+    var i = 0
+    var msg = "unknown server error"
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar
+      val start = i + 1
+      var j = start
+      while (j < body.length && body(j) != 0) j += 1
+      if (code == 'M') msg = new String(body, start, j - start, UTF_8)
+      i = j + 1
+    }
+    msg
+  }
 
   final case class XLogData(startLsn: Long, endLsn: Long, clock: Long,
                             payload: Array[Byte])
   final case class Keepalive(endLsn: Long, clock: Long, replyRequested: Boolean)
   final case class StandbyStatus(written: Long, flushed: Long, applied: Long,
                                  clock: Long, replyRequested: Boolean)
-
-  def writeMsg(out: DataOutputStream, body: Array[Byte]): Unit = {
-    out.writeInt(body.length)
-    out.write(body)
-    out.flush()
-  }
-
-  /** Reads one length-prefixed message; length is bounded so a corrupt
-    * peer cannot force a giant allocation.
-    */
-  def readMsg(in: DataInputStream): Array[Byte] = {
-    val n = in.readInt()
-    require(n >= 1 && n <= (1 << 26), s"message length $n out of range")
-    val b = new Array[Byte](n)
-    in.readFully(b)
-    b
-  }
 
   def encodeXLogData(d: XLogData): Array[Byte] = {
     val b = ByteBuffer.allocate(1 + 24 + d.payload.length)
@@ -126,19 +204,30 @@ object PgWire {
   */
 final class PgWireClient(host: String, port: Int, feedDir: String,
                          batchFrames: Int = 64,
-                         idleKeepalivesToStop: Int = 2) {
+                         idleKeepalivesToStop: Int = 2,
+                         soTimeoutMs: Int = 30000) {
 
   @volatile private var stopped = false
   @volatile private var flushedLsn = Long.MinValue
+  @volatile private var currentSocket: Socket = _
   private var fileSeq = 0
-  // instance tag for landed-file names: wall-clock nanos at construction
-  // — unique across JVM restarts (identityHashCode is not), so a
-  // restarted client can never collide with its predecessor's files
-  private val instanceTag = java.lang.Long.toHexString(System.nanoTime())
+  // instance tag for landed-file names: random UUID (truncated) — nanoTime
+  // is an arbitrary-origin monotonic clock (often time-since-boot), so it
+  // can REPEAT across JVM restarts; a tag collision would make the
+  // ATOMIC_MOVE landing throw FileAlreadyExistsException (ADVICE r11)
+  private val instanceTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
   def lastFlushed: Long = flushedLsn
 
-  def stop(): Unit = { stopped = true }
+  /** Stop the loop AND close the live socket: a blocked read unblocks
+    * immediately instead of waiting out the 30 s soTimeout (ADVICE r11).
+    */
+  def stop(): Unit = {
+    stopped = true
+    val s = currentSocket
+    if (s != null) try s.close() catch { case _: java.io.IOException => () }
+  }
 
   /** The feed directory's durable high-water mark: the max LSN any
     * previous client landed (file names carry it). THIS — not the
@@ -174,15 +263,46 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
   def run(startAfter: Long): Long = {
     flushedLsn = math.max(startAfter, landedHighWater())
     val sock = new Socket(host, port)
-    sock.setSoTimeout(30000)
+    currentSocket = sock
+    sock.setSoTimeout(soTimeoutMs)
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      out.write(s"START_REPLICATION $flushedLsn\n".getBytes(UTF_8))
-      out.flush()
+      // 1. PQ v3 startup: `replication=database` routes the session to a
+      //    walsender (the libpq replication-connection parameter)
+      PgWire.writeStartup(out, Seq(
+        "user" -> "graft", "database" -> "graft", "replication" -> "database"))
+      // 2. backend greeting to ReadyForQuery. Only AuthenticationOk (0)
+      //    is spoken — SCRAM/SSL negotiation is the one genuinely
+      //    environment-blocked piece (no PG exists here to test against);
+      //    a server demanding it gets a loud failure, not a hang
+      var ready = false
+      while (!ready) {
+        val (typ, body) = PgWire.readTyped(in)
+        typ match {
+          case 'R' =>
+            val code = ByteBuffer.wrap(body).getInt
+            require(code == 0,
+              s"unsupported authentication request $code (configure trust auth)")
+          case 'S' | 'K' | 'N' => () // ParameterStatus/BackendKeyData/Notice
+          case 'Z' => ready = true
+          case 'E' => throw new java.io.IOException(
+            "server error during startup: " + PgWire.parseError(body))
+          case other =>
+            throw new IllegalStateException(s"unexpected startup message '$other'")
+        }
+      }
+      // 3. START_REPLICATION as a simple Query → CopyBothResponse
+      PgWire.writeTyped(out, 'Q', PgWire.cstr(
+        s"START_REPLICATION SLOT graft LOGICAL ${PgWire.formatLsn(flushedLsn)}"))
+      val (rt, rbody) = PgWire.readTyped(in)
+      if (rt == 'E') throw new java.io.IOException(
+        "START_REPLICATION refused: " + PgWire.parseError(rbody))
+      require(rt == 'W', s"expected CopyBothResponse, got '$rt'")
       val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
       var idle = 0
-      def ack(): Unit = PgWire.writeMsg(out, PgWire.encodeStandbyStatus(
+      var copyDone = false
+      def ack(): Unit = PgWire.writeTyped(out, 'd', PgWire.encodeStandbyStatus(
         PgWire.StandbyStatus(flushedLsn, flushedLsn, flushedLsn,
           System.nanoTime() / 1000, replyRequested = false)))
       def flushAndAck(): Unit = if (pending.nonEmpty) {
@@ -191,34 +311,59 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
         pending.clear()
         ack()
       }
-      while (!stopped && idle < idleKeepalivesToStop) {
-        val body = PgWire.readMsg(in)
-        body(0).toChar match {
-          case 'w' =>
-            val d = PgWire.decodeXLogData(body)
-            pending += ((d.endLsn, d.payload))
-            idle = 0
-            if (pending.size >= batchFrames) flushAndAck()
-          case 'k' =>
-            val k = PgWire.decodeKeepalive(body)
-            if (pending.nonEmpty) flushAndAck()
-            else if (k.endLsn <= flushedLsn) idle += 1
-            else {
-              // the server's WAL advanced without data for this feed:
-              // release retention up to the keepalive position (nothing
-              // is outstanding), or an idle subscription pins WAL at the
-              // last data frame forever
-              flushedLsn = k.endLsn
-              ack()
+      while (!stopped && !copyDone && idle < idleKeepalivesToStop) {
+        // an alive-but-silent peer (no keepalive inside soTimeout) is
+        // IDLE, not dead (ADVICE r11): report our position and keep
+        // listening rather than tearing the connection down
+        val msg =
+          try Some(PgWire.readTyped(in))
+          catch {
+            case _: java.net.SocketTimeoutException =>
+              flushAndAck(); ack(); idle += 1; None
+          }
+        msg.foreach { case (typ, body) =>
+          typ match {
+            case 'd' => body(0).toChar match {
+              case 'w' =>
+                val d = PgWire.decodeXLogData(body)
+                pending += ((d.endLsn, d.payload))
+                idle = 0
+                if (pending.size >= batchFrames) flushAndAck()
+              case 'k' =>
+                val k = PgWire.decodeKeepalive(body)
+                if (pending.nonEmpty) flushAndAck()
+                else if (k.endLsn <= flushedLsn) idle += 1
+                else {
+                  // the server's WAL advanced without data for this feed:
+                  // release retention up to the keepalive position
+                  // (nothing is outstanding), or an idle subscription
+                  // pins WAL at the last data frame forever
+                  flushedLsn = k.endLsn
+                  ack()
+                }
+                if (k.replyRequested) ack()
+              case other => throw new IllegalStateException(
+                s"unexpected replication submessage '$other'")
             }
-            if (k.replyRequested) ack()
-          case other =>
-            throw new IllegalStateException(s"unexpected server message '$other'")
+            case 'c' => copyDone = true // server ended the copy stream
+            case 'E' => throw new java.io.IOException(
+              "server error in copy stream: " + PgWire.parseError(body))
+            case other =>
+              throw new IllegalStateException(s"unexpected server message '$other'")
+          }
         }
       }
       flushAndAck()
       flushedLsn
-    } finally sock.close()
+    } catch {
+      // stop() closed the socket under a blocked read: orderly shutdown,
+      // not a failure — everything landed is acked, the un-acked tail
+      // replays on the next run
+      case _: java.io.IOException if stopped => flushedLsn
+    } finally {
+      currentSocket = null
+      sock.close()
+    }
   }
 
   /** The production loop: [[run]] plus reconnect-with-resume. A dropped

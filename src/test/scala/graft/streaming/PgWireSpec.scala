@@ -74,6 +74,11 @@ class PgWireSpec extends SparkSpec {
     val dir1 = Files.createTempDirectory("graft_wire3a").toString
     try {
       val acked = new PgWireClient("127.0.0.1", port, dir1).run(0L)
+      // the final ack travels async into the stub's reader thread —
+      // wait for it to register before pruning
+      val deadline = System.nanoTime() + 2000000000L
+      while (server.flushedByClient < acked && System.nanoTime() < deadline)
+        Thread.sleep(10)
       server.prune()
       assert(server.oldestRetained > acked, "acked frames must be recyclable")
       // a brand-new subscriber from LSN 0 sees only what is retained
@@ -203,5 +208,140 @@ class PgWireSpec extends SparkSpec {
       val k1 = decoded.filter(_.tag == "I").minBy(_.lsn.get)
       assert(k1.after === Seq("2", "v2", null))
     } finally server.stop()
+  }
+
+  // ---- the real PQ v3 grammar (VERDICT r11 #3) ----
+
+  test("startup + LSN grammar roundtrips byte-exactly") {
+    import java.io._
+    val params = Seq("user" -> "graft", "database" -> "graft",
+      "replication" -> "database")
+    val buf = new ByteArrayOutputStream()
+    PgWire.writeStartup(new DataOutputStream(buf), params)
+    val got = PgWire.readStartup(
+      new DataInputStream(new ByteArrayInputStream(buf.toByteArray)))
+    assert(got === params.toMap)
+    // pg_lsn X/X text form is bit-faithful for the whole long domain,
+    // incl. the Long.MinValue "nothing landed yet" sentinel
+    Seq(0L, 1L, 0xFFFFFFFFL, 0x100000000L, 0x12345678_9ABCDEF0L,
+      Long.MaxValue, Long.MinValue, -1L).foreach { lsn =>
+      assert(PgWire.parseLsn(PgWire.formatLsn(lsn)) === lsn, PgWire.formatLsn(lsn))
+    }
+    assert(PgWire.formatLsn(0x12345678_0000ABCDL) === "12345678/ABCD")
+    // ErrorResponse fields: message survives; unknown fields are skipped
+    assert(PgWire.parseError(PgWire.errorBody("boom")) === "boom")
+  }
+
+  test("a non-replication startup is refused with ErrorResponse, like a walsender") {
+    val server = new StubPgWire(fixture(1L, 2))
+    val port = server.start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        PgWire.writeStartup(out, Seq("user" -> "x", "database" -> "x"))
+        val (typ, body) = PgWire.readTyped(in)
+        assert(typ === 'E')
+        assert(PgWire.parseError(body).contains("not a replication connection"))
+      } finally sock.close()
+    } finally server.stop()
+  }
+
+  test("an unsupported authentication request fails loudly, not silently") {
+    // a server demanding SASL (code 10): the client must refuse with a
+    // clear message — auth NEGOTIATION is the one unstubbed piece
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        PgWire.readStartup(in)
+        PgWire.writeTyped(out, 'R',
+          java.nio.ByteBuffer.allocate(4).putInt(10).array())
+        Thread.sleep(500)
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_auth").toString
+      val e = intercept[IllegalArgumentException] {
+        new PgWireClient("127.0.0.1", server.getLocalPort, dir).run(0L)
+      }
+      assert(e.getMessage.contains("authentication"))
+    } finally server.close()
+  }
+
+  test("silent-but-alive peer is IDLE: client acks its position instead of reconnecting") {
+    // handshake completes, CopyBoth opens, then the server says NOTHING —
+    // the client must treat read timeouts as idle ticks (status update +
+    // keep listening), ending via idleKeepalivesToStop, not an IOException
+    val server = new java.net.ServerSocket(0)
+    @volatile var statuses = 0
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        PgWire.readStartup(in)
+        PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+        PgWire.writeTyped(out, 'Z', Array('I'.toByte))
+        val (qt, _) = PgWire.readTyped(in)
+        assert(qt == 'Q')
+        PgWire.writeTyped(out, 'W', java.nio.ByteBuffer.allocate(3).array())
+        // silent from here; just count the client's CopyData statuses
+        while (!sock.isClosed) {
+          val (typ, body) = PgWire.readTyped(in)
+          if (typ == 'd' && body(0) == 'r'.toByte) statuses += 1
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_idle").toString
+      val client = new PgWireClient("127.0.0.1", server.getLocalPort, dir,
+        idleKeepalivesToStop = 3, soTimeoutMs = 150)
+      val acked = client.run(41L) // returns instead of throwing
+      assert(acked === 41L)
+      // the statuses travel async into the server thread — poll briefly
+      val deadline = System.nanoTime() + 2000000000L
+      while (statuses < 3 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(statuses >= 3, s"each idle tick must report position: $statuses")
+    } finally server.close()
+  }
+
+  test("stop() unblocks a blocked read promptly (no 30s soTimeout wait)") {
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        PgWire.readStartup(in)
+        PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+        PgWire.writeTyped(out, 'Z', Array('I'.toByte))
+        PgWire.readTyped(in)
+        PgWire.writeTyped(out, 'W', java.nio.ByteBuffer.allocate(3).array())
+        Thread.sleep(60000) // never speaks again
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_stop").toString
+      val client = new PgWireClient("127.0.0.1", server.getLocalPort, dir,
+        idleKeepalivesToStop = Int.MaxValue) // production mode: default 30s timeout
+      @volatile var returned = Long.MinValue
+      val runner = new Thread(() => { returned = client.run(7L) })
+      runner.start()
+      Thread.sleep(300) // let it reach the blocked read
+      val t0 = System.nanoTime()
+      client.stop()
+      runner.join(3000)
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(!runner.isAlive, s"run() still blocked ${ms}ms after stop()")
+      assert(returned === 7L, "orderly shutdown returns the flushed LSN")
+    } finally server.close()
   }
 }

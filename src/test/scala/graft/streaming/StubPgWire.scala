@@ -77,16 +77,44 @@ final class StubPgWire(initial: Seq[Array[Byte]],
     sock.setSoTimeout(30000)
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
-    // simplified handshake: one text line "START_REPLICATION <lsn>\n"
-    val line = new StringBuilder
-    var c = in.read()
-    while (c != -1 && c != '\n') { line.append(c.toChar); c = in.read() }
-    val startAfter = line.toString.trim.split(" ").last.toLong
-    // reader side: standby statuses arrive asynchronously
+    // --- PQ v3 handshake (the walsender's side of the public grammar) ---
+    // StartupMessage with replication=database, else this is not a
+    // replication session and the stub refuses like a real walsender
+    val params = PgWire.readStartup(in)
+    if (!params.get("replication").contains("database")) {
+      PgWire.writeTyped(out, 'E',
+        PgWire.errorBody("connection is not a replication connection"))
+      sock.close()
+      return
+    }
+    // AuthenticationOk (trust), a ParameterStatus and BackendKeyData for
+    // realism (clients must skip informational messages), ReadyForQuery
+    PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+    PgWire.writeTyped(out, 'S',
+      PgWire.cstr("server_version") ++ PgWire.cstr("16.0"))
+    PgWire.writeTyped(out, 'K',
+      java.nio.ByteBuffer.allocate(8).putInt(4242).putInt(7).array())
+    PgWire.writeTyped(out, 'Z', Array('I'.toByte))
+    // Query: START_REPLICATION SLOT <slot> LOGICAL <X/X>
+    val (qt, qbody) = PgWire.readTyped(in)
+    if (qt != 'Q') { sock.close(); return }
+    val q = new String(qbody.takeWhile(_ != 0), UTF_8).trim
+    val m = "START_REPLICATION\\s+SLOT\\s+(\\S+)\\s+LOGICAL\\s+(\\S+)".r
+      .findFirstMatchIn(q)
+    if (m.isEmpty) {
+      PgWire.writeTyped(out, 'E', PgWire.errorBody(s"syntax error at: $q"))
+      sock.close()
+      return
+    }
+    val startAfter = PgWire.parseLsn(m.get.group(2))
+    // CopyBothResponse: textual format, zero columns — copy-data both ways
+    PgWire.writeTyped(out, 'W',
+      java.nio.ByteBuffer.allocate(3).put(0.toByte).putShort(0.toShort).array())
+    // reader side: CopyData-wrapped standby statuses arrive asynchronously
     val reader = new Thread(() => {
       try while (!stopped && !sock.isClosed) {
-        val body = PgWire.readMsg(in)
-        if (body(0) == 'r'.toByte) {
+        val (typ, body) = PgWire.readTyped(in)
+        if (typ == 'd' && body(0) == 'r'.toByte) {
           val s = PgWire.decodeStandbyStatus(body)
           flushedByClient = math.max(flushedByClient, s.flushed)
           statusesSeen += 1
@@ -95,7 +123,8 @@ final class StubPgWire(initial: Seq[Array[Byte]],
     })
     reader.setDaemon(true)
     reader.start()
-    // writer side: stream everything past the cursor, then keepalive
+    // writer side: stream everything past the cursor, then keepalive —
+    // every replication submessage rides inside CopyData ('d')
     var cursor = startAfter
     var sentThisConn = 0
     try while (!stopped && !sock.isClosed) {
@@ -106,12 +135,12 @@ final class StubPgWire(initial: Seq[Array[Byte]],
           sock.close()
           return
         }
-        PgWire.writeMsg(out, PgWire.encodeXLogData(
+        PgWire.writeTyped(out, 'd', PgWire.encodeXLogData(
           PgWire.XLogData(cursor, lsn, System.nanoTime() / 1000, frame)))
         cursor = lsn
         sentThisConn += 1
       }
-      PgWire.writeMsg(out, PgWire.encodeKeepalive(
+      PgWire.writeTyped(out, 'd', PgWire.encodeKeepalive(
         PgWire.Keepalive(cursor, System.nanoTime() / 1000, replyRequested = true)))
       Thread.sleep(20)
     } catch { case _: SocketException => () }
