@@ -59,6 +59,49 @@ object StreamBench {
     spark.table(s"sb_$name").collect()
   }
 
+  /** Crash-recovery run (VERDICT r11 #5): the twin processes the first
+    * arrival, the query is STOPPED, `downArrivals` further files land
+    * while it is down, then a NEW query resumes from the same
+    * checkpoint and processes everything else. The sink is foreachBatch
+    * → batch-id-keyed parquet overwrite (the BufferedSink idempotence
+    * discipline — a replayed batch lands on top of itself), so the
+    * collected output is exactly the stream's emissions across both
+    * incarnations; per-key state (mapGroupsWithState / watermark aggs)
+    * must come back from the checkpoint or the assertions diverge.
+    * Returns rows with a trailing `batch` partition column (the
+    * emitting micro-batch id).
+    */
+  private def restartTwin(spark: SparkSession, parts: Seq[Path], schema: StructType,
+                          name: String, mode: String, downArrivals: Int)
+                         (build: DataFrame => DataFrame): Array[Row] = {
+    val dir = Files.createTempDirectory(s"graft_sbr_$name")
+    val ckpt = Files.createTempDirectory(s"graft_sbr_ck_$name").toString
+    val out = Files.createTempDirectory(s"graft_sbr_out_$name").toString
+    def start() = build(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .start()
+    var arrived = 0
+    def drop(n: Int, q: Option[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
+      parts.slice(arrived, arrived + n).foreach { p =>
+        Files.copy(p, dir.resolve(f"arrival_$arrived%03d.parquet"))
+        arrived += 1
+        q.foreach(_.processAllAvailable())
+      }
+    val q1 = start()
+    drop(1, Some(q1))
+    q1.stop() // the "crash": state survives only in the checkpoint
+    drop(downArrivals, None) // the feed keeps moving while we are down
+    val q2 = start()
+    q2.processAllAvailable() // catch up on what landed during the outage
+    drop(parts.size - arrived, Some(q2))
+    q2.stop()
+    spark.read.option("basePath", out).parquet(out).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outPath = if (args.length > 1) args(1) else "STREAMBENCH.json"
@@ -362,6 +405,55 @@ object StreamBench {
       val b = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(md5(col("text"))).distinct().count()
       if (n == b) Right(s"distinct=$b") else Left(s"survivors $n != distinct digests $b")
+    }
+
+    // ---- crash-recovery legs (restarted: true) -----------------------
+    // same twins, but the query dies mid-feed and a new incarnation
+    // resumes from the checkpoint — per-key state must come back or the
+    // final results diverge from batch.
+
+    run("replacing_restart") {
+      val rows = restartTwin(spark, repParts, chSchema, "repr", "update",
+        downArrivals = 1)(StreamTwins.replacingLatestStream(_))
+      // final state per key = its emission from the LAST batch that
+      // updated it (update-mode emissions accumulate across incarnations)
+      val bi = rows.head.fieldIndex("batch")
+      val s = rows.map(r => (r.getLong(0), r.getString(2),
+          r.get(bi).asInstanceOf[Number].longValue))
+        .groupBy(_._1).view.mapValues(v => v.maxBy(_._3)._2).toMap
+      val b = batch("cdc_replacing_latest").map(r => r.getLong(0) -> r.getString(1)).toMap
+      if (s == b) Right(s"keys=${b.size} restarted=true")
+      else Left(s"final states differ after restart: ${s.size} vs ${b.size}")
+    }
+
+    run("funnel_restart") {
+      val rows = restartTwin(spark, evParts, evSchema, "funr", "append",
+        downArrivals = 1)(s => StreamTwins.windowFunnelStream(normalize(s)))
+      val maxLevel = rows.map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val allUsers = graft.core.t(spark, sfDir, "events")
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+      val sHist = allUsers.toSeq.map(u => maxLevel.getOrElse(u, 0L))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bHist = batch("agg_window_funnel").map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (sHist == bHist) Right(s"levels=${bHist.size} restarted=true")
+      else Left("level histograms differ after restart")
+    }
+
+    run("dedup_restart") {
+      // a copy of the first quarter of the corpus (shifted ids, SAME
+      // text) lands after the restart: only restored seen-digest state
+      // can reject those cross-incarnation duplicates
+      val dup = docs.filter(col("doc_id") <= maxDoc / 4)
+        .withColumn("doc_id", col("doc_id") + lit(maxDoc + 1000L))
+      val dupPart = stage.resolve("docs_dup.parquet")
+      stageOne(dup, dupPart)
+      val n = restartTwin(spark, docParts :+ dupPart, docSchema, "dedupr", "append",
+        downArrivals = 1)(StreamTwins.dedupStream(_)).length.toLong
+      val b = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(md5(col("text"))).distinct().count()
+      if (n == b) Right(s"distinct=$b restarted=true")
+      else Left(s"survivors $n != distinct digests $b after restart")
     }
 
     // ---- artifact ----------------------------------------------------
