@@ -229,7 +229,11 @@ object Bench {
     // (lsh/verified/keep_list/cluster_components/est/incremental) reuse
     // ONE materialized pipeline per (session, sf) — semantics unchanged
     // (TextQueries.verifiedSharedAll), sweep measurably less.
-    System.setProperty("graft.shared.pipeline", "true")
+    // SPARK_GRAFT_SHARED=false turns it off so a SCALE sweep can measure
+    // each pipeline's true end-to-end cost incl. its feature pass (the
+    // session cache otherwise hides exactly the part that scales).
+    System.setProperty("graft.shared.pipeline",
+      sys.env.getOrElse("SPARK_GRAFT_SHARED", "true"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

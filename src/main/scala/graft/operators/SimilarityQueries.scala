@@ -106,6 +106,42 @@ object SimilarityQueries {
         .agg(min_by(col("ccid"), struct(col("pd"), col("ccid"))).as("code"))
     }
 
+  /** SCALE knob probe (graft.ScaleKnob → SCALE.md): sim_graph_ann's
+    * assignment + bounded-degree kNN edge build with an ARBITRARY
+    * centroid ring. The declared query pins 10 centroids (the
+    * oracle-checkable constant), which makes cell size — and therefore
+    * the cell-local self-join — grow linearly (quadratically in work)
+    * with the corpus. The production setting is a ring that grows ~√N;
+    * this builder lets the scale sweep MEASURE that claim instead of
+    * arguing it.
+    */
+  private[graft] def graphAnnEdges(spark: SparkSession, dir: String,
+                                   centLo: Long, centHi: Long,
+                                   deg: Int = 8): DataFrame = {
+    val cents = vecs(spark, dir)
+      .filter(col("vec_id") >= centLo && col("vec_id") < centHi)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(gdot("embedding", "embedding")).as("cn"))
+    val assigned = vecs(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", pround(
+        gdot("embedding", "cv") / (sqrt(gdot("embedding", "embedding")) * col("cn")), 9))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding").as("v")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
+      .withColumn("nv", sqrt(gdot("v", "v")))
+    val ew = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+    assigned.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
+      .join(assigned.select(col("cid"), col("vec_id").as("dst"),
+        col("v").as("dv"), col("nv").as("dn")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("esim", pround(gdot("sv", "dv") / (col("sn") * col("dn")), 9))
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") <= deg)
+      .select(col("src"), col("dst"))
+  }
+
   /** The LSH-bucketed ANN pipeline (see `ann_lsh_topk` for the full scale
     * rationale): 4 fixed hyperplanes → 16 sign buckets, probes search only
     * their own bucket, per-probe top-3. Shared by the declared query and
