@@ -49,7 +49,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scaleInto(spark, src, out, mult)
+    spark.stop()
+  }
 
+  /** The generator body on an existing session (ScaleGenSpec pins its
+    * invariants: exact M× row counts, FK consistency, linear dup
+    * structure, isometric embedding copies).
+    */
+  def scaleInto(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
     def copies(name: String, nOut: Int)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val scaled = (0 until mult).map(k => shift(base, k)).reduce(_ unionByName _)
@@ -86,7 +94,6 @@ object ScaleGen {
       else s.withColumn("embedding", expr(
         s"concat(slice(embedding, ${rot + 1}, ${64 - rot}), slice(embedding, 1, $rot))"))
     }
-    spark.stop()
   }
 }
 
