@@ -131,9 +131,21 @@ object SimilarityQueries {
         struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
       .withColumn("nv", sqrt(gdot("v", "v")))
+    cellKnn(assigned, lit(true), deg)
+  }
+
+  /** Cell-local bounded-degree kNN edges over an `ivfAssigned`-shaped
+    * relation, restricted to `member` vertices — the graph-index build
+    * shared by sim_graph_ann (layer 0 over everything) and
+    * sim_graph_hnsw (layer 1 over the sampled subset). Self-join keys
+    * on cid so only cell-mates pair; the per-src window is
+    * cell-bounded.
+    */
+  private def cellKnn(assigned: DataFrame, member: Column, deg: Int): DataFrame = {
+    val m = assigned.filter(member)
     val ew = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
-    assigned.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
-      .join(assigned.select(col("cid"), col("vec_id").as("dst"),
+    m.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
+      .join(m.select(col("cid"), col("vec_id").as("dst"),
         col("v").as("dv"), col("nv").as("dn")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .withColumn("esim", pround(gdot("sv", "dv") / (col("sn") * col("dn")), 9))
@@ -1008,17 +1020,7 @@ object SimilarityQueries {
         val B = 4
         val DEG = 8
         val assigned = ivfAssigned(spark, dir) // shared (vec_id, cid, v, nv)
-        val ew = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
-        val edges = assigned
-          .select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
-          .join(assigned.select(col("cid"), col("vec_id").as("dst"),
-            col("v").as("dv"), col("nv").as("dn")), Seq("cid"))
-          .filter(col("src") =!= col("dst"))
-          .withColumn("esim", pround(gdot("sv", "dv") / (col("sn") * col("dn")), 9))
-          .withColumn("ern", row_number().over(ew))
-          .filter(col("ern") <= DEG)
-          .select(col("src"), col("dst"))
-          .scopedPersist()
+        val edges = cellKnn(assigned, lit(true), DEG).scopedPersist()
         val corpus = assigned.select(col("vec_id").as("cvid"),
           col("v").as("cv2"), col("nv").as("cn2"))
         val probes = assigned.filter(col("vec_id") < 10)
@@ -1107,6 +1109,153 @@ object SimilarityQueries {
            |SELECT probe, cand, ${proundSql("sim9", 6)} AS sim,
            |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
            |FROM s2 WHERE cand <> probe) WHERE rn <= 3
+           |ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // HIERARCHICAL graph ANN — sim_graph_ann grown its second layer
+    // (VERDICT r11 missing #5; Malkov & Yashunin's multi-layer descent
+    // re-expressed as dataflow). Layer 1 is the deterministic 1/16
+    // vertex sample (vec_id % 16 = 0 — the portable analog of HNSW's
+    // geometric level draw) with its own cell-local kNN graph (deg 4);
+    // layer 0 is the full deg-8 graph. Search descends: enter at ≤8
+    // per-cell layer-1 DELEGATES of the probe's 2 nearest cells (the
+    // delegate cap keeps the entry set bounded BY CONSTRUCTION — cell
+    // growth cannot widen it), one beam hop on the coarse layer-1
+    // graph (B=2), then drop the 2 best layer-1 vertices into layer 0
+    // (plus the probe's own vertex) for two deg-8 hops (B=4); answer =
+    // per-probe top-3 of everything visited. Scale shape: both edge
+    // relations are the cell-local build (layer 1 is 256× cheaper);
+    // probes/beams/expansions are probe-bounded and broadcast; corpus
+    // streams past them with zero corpus shuffle; every window
+    // partitions by src, cid, or probe. GraphAnnSpec grades the
+    // descent's recall and its scored-candidate budget vs the flat
+    // single-layer beam.
+    "sim_graph_hnsw" -> QueryDef(
+      (spark, dir) => {
+        val assigned = ivfAssigned(spark, dir)
+        val edges0 = cellKnn(assigned, lit(true), 8).scopedPersist()
+        val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4).scopedPersist()
+        val corpus = assigned.select(col("vec_id").as("cvid"),
+          col("v").as("cv2"), col("nv").as("cn2"))
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("v").as("pv"), col("nv").as("pn"))
+        def score(c: DataFrame): DataFrame =
+          corpus.join(broadcast(c), col("cand") === col("cvid"))
+            .join(broadcast(probes), Seq("probe"))
+            .select(col("probe"), col("cand"),
+              pround(gdot("pv", "cv2") / (col("pn") * col("cn2")), 9).as("sim9"))
+        val fw = Window.partitionBy("probe").orderBy(col("sim9").desc, col("cand"))
+        // probe's 2 nearest cells (the sim_graph_ann entry knob)
+        val cents = assigned
+          .filter(col("vec_id") >= 480 && col("vec_id") < 490)
+          .select(col("vec_id").as("pcid"), col("v").as("cv0"), col("nv").as("cn0"))
+        val cw = Window.partitionBy("probe").orderBy(col("ps").desc, col("pcid"))
+        val pc = probes.crossJoin(broadcast(cents))
+          .withColumn("ps", pround(gdot("pv", "cv0") / (col("pn") * col("cn0")), 9))
+          .withColumn("crn", row_number().over(cw))
+          .filter(col("crn") <= 2)
+          .select("probe", "pcid")
+        // ≤8 layer-1 delegates per cell, by vec_id — bounded entry set
+        val dw = Window.partitionBy("cid").orderBy("vec_id")
+        val delegates = assigned.filter(col("vec_id") % 16 === 0)
+          .select(col("cid"), col("vec_id"))
+          .withColumn("drn", row_number().over(dw))
+          .filter(col("drn") <= 8)
+          .select(col("cid"), col("vec_id").as("cand"))
+        val entry = pc.join(delegates, col("pcid") === col("cid"))
+          .select("probe", "cand").distinct()
+        var visited = score(entry).scopedPersist()
+        // one coarse hop on the layer-1 graph (B=2)
+        val beam1 = visited.withColumn("frn", row_number().over(fw))
+          .filter(col("frn") <= 2).select("probe", "cand")
+        val reach1 = beam1.join(edges1, col("cand") === col("src"))
+          .select(col("probe"), col("dst").as("cand")).distinct()
+          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+        visited = visited.unionByName(score(reach1)).scopedPersist()
+        // descend: the 2 best layer-1 vertices + the probe's own vertex
+        // enter layer 0, then two deg-8 hops at B=4
+        val drop = visited.withColumn("frn", row_number().over(fw))
+          .filter(col("frn") <= 2).select("probe", "cand")
+        val reach2 = drop.join(edges0, col("cand") === col("src"))
+          .select(col("probe"), col("dst").as("cand"))
+          .unionByName(probes.select(col("probe"), col("probe").as("cand")))
+          .distinct()
+          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+        visited = visited.unionByName(score(reach2)).scopedPersist()
+        val beam0 = visited.withColumn("frn", row_number().over(fw))
+          .filter(col("frn") <= 4).select("probe", "cand")
+        val reach3 = beam0.join(edges0, col("cand") === col("src"))
+          .select(col("probe"), col("dst").as("cand")).distinct()
+          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+        visited = visited.unionByName(score(reach3)).scopedPersist()
+        visited.filter(col("cand") =!= col("probe"))
+          .withColumn("rn", row_number().over(fw))
+          .filter(col("rn") <= 3)
+          .select(col("probe"), col("cand"), pround(col("sim9"), 6).as("sim"))
+          .orderBy(col("probe"), col("sim").desc, col("cand"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val esim = proundSql(
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 9)
+        val psim = proundSql(
+          "list_dot_product(p.pv, c.cv) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val sim9 = proundSql(
+          "list_dot_product(p.pv, e.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(e.v, e.v)))", 9)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1),
+           |ed0 AS (SELECT src, dst FROM (
+           |SELECT a.vec_id AS src, b.vec_id AS dst,
+           |row_number() OVER (PARTITION BY a.vec_id ORDER BY $esim DESC, b.vec_id) AS ern
+           |FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id <> a.vec_id) WHERE ern <= 8),
+           |l1 AS (SELECT vec_id, cid, v FROM asg WHERE vec_id % 16 = 0),
+           |ed1 AS (SELECT src, dst FROM (
+           |SELECT a.vec_id AS src, b.vec_id AS dst,
+           |row_number() OVER (PARTITION BY a.vec_id ORDER BY $esim DESC, b.vec_id) AS ern
+           |FROM l1 a JOIN l1 b ON b.cid = a.cid AND b.vec_id <> a.vec_id) WHERE ern <= 4),
+           |dl AS (SELECT cid, vec_id AS cand FROM (
+           |SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS drn
+           |FROM l1) WHERE drn <= 8),
+           |p AS (SELECT vec_id AS probe, v AS pv FROM e WHERE vec_id < 10),
+           |pc AS (SELECT probe, pcid FROM (
+           |SELECT p.probe, c.cid AS pcid,
+           |row_number() OVER (PARTITION BY p.probe ORDER BY $psim DESC, c.cid) AS crn
+           |FROM p CROSS JOIN c) WHERE crn <= 2),
+           |v0 AS (SELECT DISTINCT pc.probe, dl.cand FROM pc JOIN dl ON dl.cid = pc.pcid),
+           |s0 AS (SELECT v0.probe, v0.cand, $sim9 AS sim9
+           |FROM v0 JOIN e ON e.vec_id = v0.cand JOIN p ON p.probe = v0.probe),
+           |f0 AS (SELECT probe, cand FROM (SELECT probe, cand,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s0) WHERE rn <= 2),
+           |v1 AS (SELECT probe, cand FROM v0 UNION
+           |SELECT f0.probe, ed1.dst AS cand FROM f0 JOIN ed1 ON ed1.src = f0.cand),
+           |s1 AS (SELECT v1.probe, v1.cand, $sim9 AS sim9
+           |FROM v1 JOIN e ON e.vec_id = v1.cand JOIN p ON p.probe = v1.probe),
+           |f1 AS (SELECT probe, cand FROM (SELECT probe, cand,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s1) WHERE rn <= 2),
+           |v2 AS (SELECT probe, cand FROM v1
+           |UNION SELECT f1.probe, ed0.dst AS cand FROM f1 JOIN ed0 ON ed0.src = f1.cand
+           |UNION SELECT probe, probe AS cand FROM p),
+           |s2 AS (SELECT v2.probe, v2.cand, $sim9 AS sim9
+           |FROM v2 JOIN e ON e.vec_id = v2.cand JOIN p ON p.probe = v2.probe),
+           |f2 AS (SELECT probe, cand FROM (SELECT probe, cand,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s2) WHERE rn <= 4),
+           |v3 AS (SELECT probe, cand FROM v2 UNION
+           |SELECT f2.probe, ed0.dst AS cand FROM f2 JOIN ed0 ON ed0.src = f2.cand),
+           |s3 AS (SELECT v3.probe, v3.cand, $sim9 AS sim9
+           |FROM v3 JOIN e ON e.vec_id = v3.cand JOIN p ON p.probe = v3.probe)
+           |SELECT probe, cand, sim FROM (
+           |SELECT probe, cand, ${proundSql("sim9", 6)} AS sim,
+           |row_number() OVER (PARTITION BY probe ORDER BY sim9 DESC, cand) AS rn
+           |FROM s3 WHERE cand <> probe) WHERE rn <= 3
            |ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
       },
       tier = "E"),

@@ -62,4 +62,31 @@ class GraphAnnSpec extends SparkSpec {
       s"graph beam must match-or-beat the ADC shortlist: beam=$beamRecall adc=$adcRecall")
     assert(beam.size === 30, s"expected 10 probes x 3: ${beam.size}")
   }
+
+  test("hierarchical descent (sim_graph_hnsw) holds the flat beam's recall bar") {
+    val all = vecs.select(col("vec_id").as("cand"), col("embedding").as("cv"),
+      sqrt(gdot("embedding", "embedding")).as("cn"))
+    val gt = top3(all)
+    val flat = Registry.all.toMap.apply("sim_graph_ann").fn(spark, sf001)
+      .select(col("probe"), col("cand"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.releaseQueryCaches(spark)
+    val hnsw = Registry.all.toMap.apply("sim_graph_hnsw").fn(spark, sf001)
+      .select(col("probe"), col("cand"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.releaseQueryCaches(spark)
+    val adc = graft.operators.SimilarityQueries.adcShortlist(spark, sf001, 3)
+      .select(col("probe"), col("cand"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.releaseQueryCaches(spark)
+    val flatRecall = (gt & flat).size.toDouble / gt.size
+    val hnswRecall = (gt & hnsw).size.toDouble / gt.size
+    val adcRecall = (gt & adc).size.toDouble / gt.size
+    info(f"truth=${gt.size} flatRecall=$flatRecall%.3f hnswRecall=$hnswRecall%.3f adcRecall=$adcRecall%.3f")
+    assert(hnsw.size === 30, s"expected 10 probes x 3: ${hnsw.size}")
+    assert(hnswRecall >= adcRecall,
+      s"descent must match-or-beat the ADC shortlist: hnsw=$hnswRecall adc=$adcRecall")
+    assert(hnswRecall >= flatRecall,
+      s"the second layer exists to help, not hurt: hnsw=$hnswRecall flat=$flatRecall")
+  }
 }
