@@ -144,9 +144,13 @@ object SimilarityQueries {
   private def cellKnn(assigned: DataFrame, member: Column, deg: Int): DataFrame = {
     val m = assigned.filter(member)
     val ew = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+    // shuffle_hash, not sort-merge: cid has |ring| distinct values, so a
+    // merge join would SORT every (large) cell group just to pair
+    // cell-mates a hash table pairs directly; the per-cell funnel itself
+    // is the ring-size knob (SCALE.md round 12 — ring ∝ √N)
     m.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"), col("nv").as("sn"))
       .join(m.select(col("cid"), col("vec_id").as("dst"),
-        col("v").as("dv"), col("nv").as("dn")), Seq("cid"))
+        col("v").as("dv"), col("nv").as("dn")).hint("shuffle_hash"), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .withColumn("esim", pround(gdot("sv", "dv") / (col("sn") * col("dn")), 9))
       .withColumn("ern", row_number().over(ew))
@@ -1163,31 +1167,38 @@ object SimilarityQueries {
           .withColumn("drn", row_number().over(dw))
           .filter(col("drn") <= 8)
           .select(col("cid"), col("vec_id").as("cand"))
-        val entry = pc.join(delegates, col("pcid") === col("cid"))
+        // every beam/visited/probe-cell relation below is probe-bounded
+        // BY CONSTRUCTION (≤ |probes|·B·deg rows) and broadcast
+        // explicitly: the corpus-scaled edge relations stream past them,
+        // never sort — the declared plan, not an AQE rescue
+        val entry = delegates.join(broadcast(pc), col("pcid") === col("cid"))
           .select("probe", "cand").distinct()
         var visited = score(entry).scopedPersist()
         // one coarse hop on the layer-1 graph (B=2)
         val beam1 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 2).select("probe", "cand")
-        val reach1 = beam1.join(edges1, col("cand") === col("src"))
+        val reach1 = edges1.join(broadcast(beam1), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand")).distinct()
-          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+          .join(broadcast(visited.select("probe", "cand")),
+            Seq("probe", "cand"), "left_anti")
         visited = visited.unionByName(score(reach1)).scopedPersist()
         // descend: the 2 best layer-1 vertices + the probe's own vertex
         // enter layer 0, then two deg-8 hops at B=4
         val drop = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 2).select("probe", "cand")
-        val reach2 = drop.join(edges0, col("cand") === col("src"))
+        val reach2 = edges0.join(broadcast(drop), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand"))
           .unionByName(probes.select(col("probe"), col("probe").as("cand")))
           .distinct()
-          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+          .join(broadcast(visited.select("probe", "cand")),
+            Seq("probe", "cand"), "left_anti")
         visited = visited.unionByName(score(reach2)).scopedPersist()
         val beam0 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 4).select("probe", "cand")
-        val reach3 = beam0.join(edges0, col("cand") === col("src"))
+        val reach3 = edges0.join(broadcast(beam0), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand")).distinct()
-          .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
+          .join(broadcast(visited.select("probe", "cand")),
+            Seq("probe", "cand"), "left_anti")
         visited = visited.unionByName(score(reach3)).scopedPersist()
         visited.filter(col("cand") =!= col("probe"))
           .withColumn("rn", row_number().over(fw))

@@ -767,6 +767,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_graph_hnsw: descent never sort-merges or globally orders the corpus") {
+    val plan = executedPlan("sim_graph_hnsw")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      s"corpus must never sort-merge against probe/beam relations:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"only broadcast crosses against the bounded centroid ring:\n$plan")
+    // TakeOrdered handles the final display sort; nothing else may
+    // funnel the corpus into one partition
+    assert(countOf(plan, "Exchange SinglePartition") === 0,
+      s"descent must not order the corpus globally:\n$plan")
+  }
+
   test("no unbounded relation carries a broadcast hint anywhere in the declared surface") {
     // The repo-wide force-broadcast audit, pinned (VERDICT r11 item 2).
     // Every broadcast() hint in the declared surface must sit on a
