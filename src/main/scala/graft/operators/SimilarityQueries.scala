@@ -134,6 +134,17 @@ object SimilarityQueries {
     cellKnn(assigned, lit(true), deg)
   }
 
+  /** The full deg-8 layer-0 kNN graph — built identically by
+    * sim_graph_ann and sim_graph_hnsw, so it rides the same
+    * harness-level CSE seam as [[ivfAssigned]]: one build per
+    * (session, sf) under `graft.shared.pipeline`, inline scopedPersist
+    * otherwise. Values identical by construction either way.
+    */
+  private def graphEdges0(spark: SparkSession, dir: String): DataFrame =
+    sharedOr(spark, "ged0", dir) {
+      cellKnn(ivfAssigned(spark, dir), lit(true), 8)
+    }
+
   /** Cell-local bounded-degree kNN edges over an `ivfAssigned`-shaped
     * relation, restricted to `member` vertices — the graph-index build
     * shared by sim_graph_ann (layer 0 over everything) and
@@ -1022,9 +1033,8 @@ object SimilarityQueries {
     "sim_graph_ann" -> QueryDef(
       (spark, dir) => {
         val B = 4
-        val DEG = 8
         val assigned = ivfAssigned(spark, dir) // shared (vec_id, cid, v, nv)
-        val edges = cellKnn(assigned, lit(true), DEG).scopedPersist()
+        val edges = graphEdges0(spark, dir)
         val corpus = assigned.select(col("vec_id").as("cvid"),
           col("v").as("cv2"), col("nv").as("cn2"))
         val probes = assigned.filter(col("vec_id") < 10)
@@ -1138,7 +1148,7 @@ object SimilarityQueries {
     "sim_graph_hnsw" -> QueryDef(
       (spark, dir) => {
         val assigned = ivfAssigned(spark, dir)
-        val edges0 = cellKnn(assigned, lit(true), 8).scopedPersist()
+        val edges0 = graphEdges0(spark, dir)
         val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4).scopedPersist()
         val corpus = assigned.select(col("vec_id").as("cvid"),
           col("v").as("cv2"), col("nv").as("cn2"))
