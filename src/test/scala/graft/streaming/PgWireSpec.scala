@@ -232,6 +232,42 @@ class PgWireSpec extends SparkSpec {
     assert(PgWire.parseError(PgWire.errorBody("boom")) === "boom")
   }
 
+  test("the typed reader is total under garbage: bounded allocation, no hangs") {
+    import java.io._
+    def reader(bytes: Array[Byte]) =
+      new DataInputStream(new ByteArrayInputStream(bytes))
+    // absurd declared length must be rejected BEFORE allocating it
+    val huge = java.nio.ByteBuffer.allocate(5)
+      .put('d'.toByte).putInt(Int.MaxValue).array()
+    val e = intercept[IllegalArgumentException](PgWire.readTyped(reader(huge)))
+    assert(e.getMessage.contains("out of range"))
+    // negative / sub-header lengths likewise
+    val neg = java.nio.ByteBuffer.allocate(5).put('d'.toByte).putInt(-7).array()
+    intercept[IllegalArgumentException](PgWire.readTyped(reader(neg)))
+    val tiny = java.nio.ByteBuffer.allocate(5).put('d'.toByte).putInt(3).array()
+    intercept[IllegalArgumentException](PgWire.readTyped(reader(tiny)))
+    // truncated body → EOF, not a hang or a partial message
+    val trunc = java.nio.ByteBuffer.allocate(7)
+      .put('d'.toByte).putInt(100).putShort(1.toShort).array()
+    intercept[java.io.EOFException](PgWire.readTyped(reader(trunc)))
+    // startup reader: same bounds
+    val hugeStartup = java.nio.ByteBuffer.allocate(4).putInt(Int.MaxValue).array()
+    intercept[IllegalArgumentException](PgWire.readStartup(reader(hugeStartup)))
+    val badProto = java.nio.ByteBuffer.allocate(12)
+      .putInt(12).putInt(12345).putInt(0).array()
+    intercept[IllegalArgumentException](PgWire.readStartup(reader(badProto)))
+    // random garbage never over-allocates (the length gate fires first
+    // or the stream EOFs) — 64 deterministic pseudo-random frames
+    (1 to 64).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val junk = Array.fill(rnd.nextInt(40) + 5)(rnd.nextInt(256).toByte)
+      try { PgWire.readTyped(reader(junk)); () }
+      catch {
+        case _: IllegalArgumentException | _: EOFException => ()
+      }
+    }
+  }
+
   test("a non-replication startup is refused with ErrorResponse, like a walsender") {
     val server = new StubPgWire(fixture(1L, 2))
     val port = server.start()
