@@ -456,6 +456,85 @@ object StreamBench {
       else Left(s"survivors $n != distinct digests $b after restart")
     }
 
+    run("band_admit_restart") {
+      // streaming INCREMENTAL NEAR-DEDUP with crash recovery — the
+      // stream form of the declared dedup_band_admit: per micro-batch,
+      // a doc is admitted iff none of its 4 LSH band keys is owned by
+      // an earlier-arriving doc. State = band→owner parquet, batch-id-
+      // keyed (a replayed batch lands on top of itself and reads only
+      // STRICTLY earlier batches, so redelivery can't self-reject);
+      // the query dies after the first chunk and a new incarnation
+      // resumes from the checkpoint, then a full shifted-id COPY of
+      // the first quarter arrives — only restored band state can
+      // reject those cross-incarnation near-dups.
+      import graft.operators.TextQueries.minhashBands
+      val dup = docs.filter(col("doc_id") <= maxDoc / 4)
+        .withColumn("doc_id", col("doc_id") + lit(maxDoc + 1000L))
+      val dupPart = stage.resolve("docs_dup_bands.parquet")
+      stageOne(dup, dupPart)
+      val parts = docParts :+ dupPart
+      val dir = Files.createTempDirectory("graft_sb_badm")
+      val ckpt = Files.createTempDirectory("graft_sb_badm_ck").toString
+      val stateDir = Files.createTempDirectory("graft_sb_badm_state").toString
+      val outDir = Files.createTempDirectory("graft_sb_badm_out").toString
+      def start() = spark.readStream.schema(docSchema).parquet(dir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val bands = minhashBands(df.select(col("doc_id"), col("text")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val batchOwners = bands.groupBy("k").agg(min(col("doc_id")).as("owner"))
+          val prev = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+            .filter(f => f.getName.startsWith("batch=") &&
+              f.getName.stripPrefix("batch=").toLong < id)
+          val prior =
+            if (prev.isEmpty)
+              spark.range(0).select(lit("").as("k"), col("id").as("owner"))
+            else spark.read.parquet(prev.map(_.getPath): _*)
+          val owners = batchOwners.unionByName(prior)
+            .groupBy("k").agg(min(col("owner")).as("owner"))
+          bands.join(owners, Seq("k"))
+            .groupBy("doc_id")
+            .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("rej"))
+            .filter(col("rej") === 0L).select("doc_id")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          batchOwners.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          bands.unpersist()
+          ()
+        }
+        .start()
+      val q1 = start()
+      Files.copy(parts.head, dir.resolve("arrival_000.parquet"))
+      q1.processAllAvailable()
+      q1.stop() // the crash
+      Files.copy(parts(1), dir.resolve("arrival_001.parquet")) // lands while down
+      val q2 = start()
+      q2.processAllAvailable()
+      Files.copy(parts(2), dir.resolve("arrival_002.parquet")) // the near-dup copy
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.option("basePath", outDir).parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch truth over everything that was fed
+      val full = spark.read.parquet(parts.map(_.toString): _*)
+      val tb = minhashBands(full.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val towners = tb.groupBy("k").agg(min(col("doc_id")).as("owner"))
+      val truth = tb.join(towners, Seq("k"))
+        .groupBy("doc_id")
+        .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("rej"))
+        .filter(col("rej") === 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      tb.unpersist()
+      val dupAdmitted = got.count(_ > maxDoc + 1000L)
+      if (got != truth)
+        Left(s"admitted sets differ: stream=${got.size} batch=${truth.size} " +
+          s"missing=${(truth -- got).size} extra=${(got -- truth).size}")
+      else if (dupAdmitted != 0)
+        Left(s"$dupAdmitted cross-incarnation near-dups admitted — state lost")
+      else Right(s"admitted=${got.size} dups_rejected=${dup.count()} restarted=true")
+    }
+
     // ---- artifact ----------------------------------------------------
     val ok = results.count(_._2._1)
     // full JSON string escape: exception messages (the detail of a

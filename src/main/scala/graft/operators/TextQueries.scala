@@ -195,6 +195,30 @@ object TextQueries {
     * localCheckpoint contract as [[vpCache]]/[[winCache]]; un-shared
     * runs keep the real single-query plan (scopedPersist).
     */
+  /** The LSH band keys of a (doc_id, text)-shaped relation — the exact
+    * signature pipeline of dedup_minhash_lsh (3-shingles → one md5 per
+    * shingle → 8 11-hex-window minhash lanes → 4 two-lane band keys),
+    * factored so the BATCH admission operator (dedup_band_admit) and
+    * the STREAMING incremental twin (StreamBench band_admit_restart)
+    * derive bands with one shared definition. Docs under 3 words have
+    * no shingles and emit no bands. One map pass; nothing shuffles.
+    */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    val shingled = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("dg", expr(
+        "transform(transform(sequence(1, size(w) - 2), j -> concat_ws(' ', slice(w, j, 3))), s -> md5(s))"))
+    val withMh = (0 until 8).foldLeft(shingled) { (d, i) =>
+      d.withColumn(s"mh$i",
+        expr(s"array_min(transform(dg, h -> cast(conv(substr(h, ${1 + 3 * i}, 11), 16, 10) as bigint)))"))
+    }
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    }
+    withMh.select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
+  }
+
   private val e2eCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
@@ -554,6 +578,61 @@ object TextQueries {
            |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM (
            |SELECT DISTINCT a.doc_id, b.doc_id FROM bandsc a JOIN bandsc b
            |ON a.k = b.k AND a.doc_id < b.doc_id)""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // GREEDY band-owner admission — the BATCH form of streaming
+    // incremental near-dedup: a doc is admitted iff, for EVERY one of
+    // its 4 LSH band keys, it is the lowest-id doc carrying that key
+    // (equivalently: processed in id order with a seen-band state
+    // table, it collides with nothing already seen — the exact rule
+    // the StreamBench band_admit_restart twin replays incrementally
+    // through a checkpointed stream with crash recovery). Unlike the
+    // pair lanes this has NO self-join at all: one partial+final
+    // min-aggregate over bands and one band-keyed shuffle_hash join
+    // back — admission stays linear even where candidate PAIRS would
+    // go quadratic (the hot-band case), which is why production
+    // curation streams admit this way and only run pair verification
+    // offline. Declared output: the per-lang admission funnel.
+    "dedup_band_admit" -> QueryDef(
+      (spark, dir) => {
+        val bands = minhashBands(
+          t(spark, dir, "documents").select(col("doc_id"), col("text")))
+          .scopedPersist()
+        val owners = bands.groupBy("k").agg(min(col("doc_id")).as("owner"))
+        val adm = bands.join(owners.hint("shuffle_hash"), Seq("k"))
+          .groupBy("doc_id")
+          .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("rej"))
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+          .join(adm.hint("shuffle_hash"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(cnt("docs"),
+            sum(when(col("rej") === 0L, 1L).otherwise(0L)).cast("long").as("admitted"))
+          .withColumn("rejected", (col("docs") - col("admitted")).cast("long"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val mhCols = (0 until 8).map { i =>
+          s"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5(s), ${1 + 3 * i}, 11) AS BIGINT))) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, md5('$b' || '-' || mh${2 * b} || '-' || mh${2 * b + 1}) AS k FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+           |j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) AS shingles FROM docs),
+           |mh AS (SELECT doc_id, $mhCols FROM sh),
+           |bands AS ($bandSelects),
+           |own AS (SELECT k, min(doc_id) AS owner FROM bands GROUP BY k),
+           |adm AS (SELECT b.doc_id,
+           |max(CASE WHEN own.owner < b.doc_id THEN 1 ELSE 0 END) AS rej
+           |FROM bands b JOIN own ON b.k = own.k GROUP BY b.doc_id)
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS docs,
+           |CAST(sum(CASE WHEN rej = 0 THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+           |CAST(count(*) - sum(CASE WHEN rej = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rejected
+           |FROM adm JOIN documents d ON d.doc_id = adm.doc_id
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace("\n", " ")
       },
       tier = "E"),
 
