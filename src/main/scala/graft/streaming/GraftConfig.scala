@@ -115,7 +115,8 @@ object GraftConfig {
         val port = if (i > 0) hp.substring(i + 1).toIntOption else None
         require(port.isDefined, s"source_wire must be host:port, got '$hp'")
         (hp.substring(0, i), port.get)
-      })
+      },
+      sourcePassword = top.get("source_password"))
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

@@ -22,12 +22,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `replication=database` (what routes the session to a walsender),
   * AuthenticationOk → ReadyForQuery, `START_REPLICATION SLOT <slot>
   * LOGICAL <X/X>` as a simple Query, CopyBothResponse, and CopyData
-  * ('d') messages wrapping the replication submessages both ways. A
-  * real PostgreSQL with `trust` auth would be a config change, not a
-  * code change; only the auth NEGOTIATION (SCRAM/SSL) is out of scope
-  * and fails loudly — this environment has no PostgreSQL, so the peer
-  * is a protocol-faithful stub (StubPgWire, tests), exactly the StubCH
-  * arrangement on the sink side. Everything that makes replication
+  * ('d') messages wrapping the replication submessages both ways, and
+  * the full SCRAM-SHA-256 SASL exchange with MUTUAL verification
+  * ([[Scram]]) for password auth. A real PostgreSQL on trust OR
+  * scram-sha-256 auth would be a config change, not a code change;
+  * only SSL negotiation is out of scope and fails loudly — this
+  * environment has no PostgreSQL, so the peer is a protocol-faithful
+  * stub (StubPgWire, tests), exactly the StubCH arrangement on the
+  * sink side. Everything that makes replication
   * CORRECT — LSN-ordered delivery, flush-after-durable ack, keepalive
   * reply, restart from the acked LSN with no gaps or duplicates — is
   * real here and spec-tested (PgWireSpec).
@@ -205,7 +207,8 @@ object PgWire {
 final class PgWireClient(host: String, port: Int, feedDir: String,
                          batchFrames: Int = 64,
                          idleKeepalivesToStop: Int = 2,
-                         soTimeoutMs: Int = 30000) {
+                         soTimeoutMs: Int = 30000,
+                         password: Option[String] = None) {
 
   @volatile private var stopped = false
   @volatile private var flushedLsn = Long.MinValue
@@ -272,18 +275,46 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
       //    walsender (the libpq replication-connection parameter)
       PgWire.writeStartup(out, Seq(
         "user" -> "graft", "database" -> "graft", "replication" -> "database"))
-      // 2. backend greeting to ReadyForQuery. Only AuthenticationOk (0)
-      //    is spoken — SCRAM/SSL negotiation is the one genuinely
-      //    environment-blocked piece (no PG exists here to test against);
-      //    a server demanding it gets a loud failure, not a hang
+      // 2. backend greeting to ReadyForQuery. AuthenticationOk (trust)
+      //    and the full SCRAM-SHA-256 SASL exchange (password auth, the
+      //    PG default since v10 — graft.streaming.Scram) are spoken;
+      //    only SSL negotiation remains out of scope, and a server
+      //    demanding anything else gets a loud failure, not a hang
       var ready = false
+      var scram: Scram.Client = null
       while (!ready) {
         val (typ, body) = PgWire.readTyped(in)
         typ match {
           case 'R' =>
-            val code = ByteBuffer.wrap(body).getInt
-            require(code == 0,
-              s"unsupported authentication request $code (configure trust auth)")
+            def rest: String = new String(body, 4, body.length - 4, UTF_8)
+            ByteBuffer.wrap(body).getInt match {
+              case 0 => () // AuthenticationOk
+              case 10 => // AuthenticationSASL: NUL-separated mechanism list
+                val mechs = rest.split("\u0000").filter(_.nonEmpty)
+                require(mechs.contains(Scram.Mechanism),
+                  s"no common SASL mechanism (server offers: ${mechs.mkString(", ")})")
+                val pw = password.getOrElse(throw new IllegalArgumentException(
+                  "server demands SCRAM-SHA-256 password authentication " +
+                    "but no password is configured"))
+                scram = new Scram.Client(pw,
+                  java.util.UUID.randomUUID().toString.replace("-", ""))
+                val initial = scram.clientFirstMessage.getBytes(UTF_8)
+                val b = new java.io.ByteArrayOutputStream()
+                b.write(PgWire.cstr(Scram.Mechanism))
+                b.write(ByteBuffer.allocate(4).putInt(initial.length).array())
+                b.write(initial)
+                PgWire.writeTyped(out, 'p', b.toByteArray) // SASLInitialResponse
+              case 11 => // AuthenticationSASLContinue: server-first
+                require(scram != null, "SASLContinue before SASL started")
+                PgWire.writeTyped(out, 'p',
+                  scram.clientFinal(rest).getBytes(UTF_8)) // SASLResponse
+              case 12 => // AuthenticationSASLFinal: MUTUAL auth — verify
+                require(scram != null && scram.verifyServerFinal(rest),
+                  "server failed SCRAM mutual authentication (bad server signature)")
+              case code => require(false,
+                s"unsupported authentication request $code " +
+                  "(trust and scram-sha-256 are spoken)")
+            }
           case 'S' | 'K' | 'N' => () // ParameterStatus/BackendKeyData/Notice
           case 'Z' => ready = true
           case 'E' => throw new java.io.IOException(

@@ -82,6 +82,7 @@ object Replicator {
                  batchFrames: Int = 64,
                  idleKeepalivesToStop: Int = Int.MaxValue): Option[PgWireClient] =
     cfg.sourceWire.map { case (host, port) =>
-      new PgWireClient(host, port, cfg.inputDir, batchFrames, idleKeepalivesToStop)
+      new PgWireClient(host, port, cfg.inputDir, batchFrames,
+        idleKeepalivesToStop, password = cfg.sourcePassword)
     }
 }

@@ -103,7 +103,10 @@ object StreamRunner {
       // Replicator.wireClient builds the PgWireClient that lands WAL
       // into inputDir — pg2ch's PG connection params slot (A2's wire
       // half; absent = the feed directory is populated externally)
-      sourceWire: Option[(String, Int)] = None)
+      sourceWire: Option[(String, Int)] = None,
+      // SCRAM-SHA-256 password for the wire source (`source_password:`);
+      // absent = the peer must grant trust auth (AuthenticationOk)
+      sourcePassword: Option[String] = None)
 
   private[streaming] def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
     val tc = cfg.tables.find(_.name == table)

@@ -285,29 +285,84 @@ class PgWireSpec extends SparkSpec {
   }
 
   test("an unsupported authentication request fails loudly, not silently") {
-    // a server demanding SASL (code 10): the client must refuse with a
-    // clear message — auth NEGOTIATION is the one unstubbed piece
-    val server = new java.net.ServerSocket(0)
-    val t = new Thread(() => {
-      try {
-        val sock = server.accept()
-        val in = new java.io.DataInputStream(sock.getInputStream)
-        val out = new java.io.DataOutputStream(sock.getOutputStream)
-        PgWire.readStartup(in)
-        PgWire.writeTyped(out, 'R',
-          java.nio.ByteBuffer.allocate(4).putInt(10).array())
-        Thread.sleep(500)
-        sock.close()
-      } catch { case _: Throwable => () }
-    })
-    t.setDaemon(true); t.start()
+    // a server demanding MD5 password auth (code 5, pre-v10 legacy) or
+    // offering only SCRAM-SHA-256-PLUS: clear refusals, never hangs
+    def serveAuth(body: Array[Byte])(assertClient: Int => Unit): Unit = {
+      val server = new java.net.ServerSocket(0)
+      val t = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          PgWire.readStartup(in)
+          PgWire.writeTyped(out, 'R', body)
+          Thread.sleep(500)
+          sock.close()
+        } catch { case _: Throwable => () }
+      })
+      t.setDaemon(true); t.start()
+      try assertClient(server.getLocalPort) finally server.close()
+    }
+    serveAuth(java.nio.ByteBuffer.allocate(8).putInt(5).putInt(0).array()) { port =>
+      val dir = Files.createTempDirectory("graft_wire_auth5").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir).run(0L))
+      assert(e.getMessage.contains("unsupported authentication request 5"))
+    }
+    serveAuth(java.nio.ByteBuffer.allocate(4).putInt(10).array()
+        ++ PgWire.cstr("SCRAM-SHA-256-PLUS") :+ 0.toByte) { port =>
+      val dir = Files.createTempDirectory("graft_wire_authplus").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir,
+          password = Some("pw")).run(0L))
+      assert(e.getMessage.contains("no common SASL mechanism"))
+    }
+  }
+
+  test("SCRAM-SHA-256 password auth end-to-end: authenticate, stream, land, ack") {
+    val frames = fixture(1L, 6)
+    val server = new StubPgWire(frames, password = Some("s3cret"))
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_wire_scram").toString
     try {
-      val dir = Files.createTempDirectory("graft_wire_auth").toString
-      val e = intercept[IllegalArgumentException] {
-        new PgWireClient("127.0.0.1", server.getLocalPort, dir).run(0L)
-      }
-      assert(e.getMessage.contains("authentication"))
-    } finally server.close()
+      val acked = new PgWireClient("127.0.0.1", port, dir,
+        password = Some("s3cret")).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+      assert(landedLsns(dir).sorted === frames.map(PgOutput.parse(_).lsn.get).sorted)
+    } finally server.stop()
+  }
+
+  test("SCRAM rejections are loud: wrong password, missing password, forged server") {
+    val frames = fixture(1L, 2)
+    // wrong password → the server's ErrorResponse surfaces as IOException
+    val s1 = new StubPgWire(frames, password = Some("right"))
+    val p1 = s1.start()
+    try {
+      val d = Files.createTempDirectory("graft_scram_bad").toString
+      val e = intercept[java.io.IOException](
+        new PgWireClient("127.0.0.1", p1, d, password = Some("wrong")).run(0L))
+      assert(e.getMessage.contains("authentication failed"))
+    } finally s1.stop()
+    // SASL demanded but no password configured → immediate clear failure
+    val s2 = new StubPgWire(frames, password = Some("right"))
+    val p2 = s2.start()
+    try {
+      val d = Files.createTempDirectory("graft_scram_nopw").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", p2, d).run(0L))
+      assert(e.getMessage.contains("no password is configured"))
+    } finally s2.stop()
+    // server that accepts the password but cannot prove it knows the
+    // verifier (tampered v=) → the MUTUAL check refuses to proceed
+    val s3 = new StubPgWire(frames, password = Some("right"),
+      tamperServerSignature = true)
+    val p3 = s3.start()
+    try {
+      val d = Files.createTempDirectory("graft_scram_mitm").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", p3, d, password = Some("right")).run(0L))
+      assert(e.getMessage.contains("mutual authentication"))
+    } finally s3.stop()
   }
 
   test("silent-but-alive peer is IDLE: client acks its position instead of reconnecting") {

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCRAM-SHA-256 math pinned against the PUBLISHED RFC 7677 test
+  * vector (user "user", password "pencil"), plus the client↔verifier
+  * closure laws the wire exchange relies on.
+  */
+class ScramSpec extends AnyFunSuite {
+
+  // The RFC 7677 §3 example, verbatim.
+  private val rfcNonce = "rOprNGfwEbeRWgbNEkqO"
+  private val rfcServerFirst =
+    "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+  private val rfcClientFinal =
+    "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+  private val rfcServerFinal = "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+  test("client reproduces the RFC 7677 test vector byte-for-byte") {
+    val c = new Scram.Client("pencil", rfcNonce, username = "user")
+    assert(c.clientFirstMessage === "n,,n=user,r=" + rfcNonce)
+    assert(c.clientFinal(rfcServerFirst) === rfcClientFinal)
+    assert(c.verifyServerFinal(rfcServerFinal),
+      "the published server signature must verify")
+    assert(!c.verifyServerFinal("v=AAAA"), "a forged signature must not")
+  }
+
+  test("client ↔ verifier closure: fresh exchange authenticates mutually") {
+    val c = new Scram.Client("hunter2", "clientnonce123")
+    val v = new Scram.Verifier("hunter2",
+      "somesalt".getBytes("UTF-8"), 4096, "serverext")
+    val sf = v.serverFirst(c.clientFirstMessage)
+    val cf = c.clientFinal(sf)
+    val fin = v.verifyClientFinal(cf)
+    assert(fin.isDefined, "correct password must authenticate")
+    assert(c.verifyServerFinal(fin.get), "and mutually")
+  }
+
+  test("wrong password, replayed nonce, and forged proof all fail") {
+    val v = new Scram.Verifier("right",
+      "somesalt".getBytes("UTF-8"), 4096, "srv")
+    val bad = new Scram.Client("wrong", "nonceA")
+    val cf = bad.clientFinal(v.serverFirst(bad.clientFirstMessage))
+    assert(v.verifyClientFinal(cf).isEmpty, "wrong password must fail")
+    // nonce replay guard: a server-first whose nonce does not extend
+    // the client's must be rejected before any proof is computed
+    val c2 = new Scram.Client("right", "nonceB")
+    intercept[IllegalArgumentException](
+      c2.clientFinal("r=stolen,s=c29tZXNhbHQ=,i=4096"))
+    // absurd iteration count is a CPU-bomb — refused
+    val c3 = new Scram.Client("right", "nonceC")
+    intercept[IllegalArgumentException](
+      c3.clientFinal(s"r=nonceCx,s=c29tZXNhbHQ=,i=${Int.MaxValue}"))
+    // mangled proof
+    val v2 = new Scram.Verifier("right", "somesalt".getBytes("UTF-8"), 4096, "x")
+    val c4 = new Scram.Client("right", "nonceD")
+    val good = c4.clientFinal(v2.serverFirst(c4.clientFirstMessage))
+    val forged = good.substring(0, good.lastIndexOf("p=")) + "p=AAAA"
+    assert(v2.verifyClientFinal(forged).isEmpty)
+  }
+}

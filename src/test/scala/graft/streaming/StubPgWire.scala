@@ -18,7 +18,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * permit.
   */
 final class StubPgWire(initial: Seq[Array[Byte]],
-                       dieAfterFramesOnce: Int = -1) {
+                       dieAfterFramesOnce: Int = -1,
+                       password: Option[String] = None,
+                       tamperServerSignature: Boolean = false) {
 
   private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   initial.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
@@ -87,8 +89,45 @@ final class StubPgWire(initial: Seq[Array[Byte]],
       sock.close()
       return
     }
-    // AuthenticationOk (trust), a ParameterStatus and BackendKeyData for
-    // realism (clients must skip informational messages), ReadyForQuery
+    // trust → AuthenticationOk directly; password → the real
+    // SCRAM-SHA-256 exchange (AuthenticationSASL 10 → 11 → 12), with the
+    // same Scram math a walsender runs against its stored verifier
+    def authInt(code: Int, tail: Array[Byte] = Array.emptyByteArray) =
+      java.nio.ByteBuffer.allocate(4 + tail.length).putInt(code).put(tail).array()
+    password match {
+      case None => ()
+      case Some(pw) =>
+        PgWire.writeTyped(out, 'R',
+          authInt(10, PgWire.cstr(Scram.Mechanism) :+ 0.toByte))
+        val (t1, b1) = PgWire.readTyped(in)
+        if (t1 != 'p') { sock.close(); return }
+        // SASLInitialResponse: mechanism cstr + int32 len + initial data
+        val mechEnd = b1.indexOf(0.toByte)
+        val mech = new String(b1, 0, mechEnd, UTF_8)
+        if (mech != Scram.Mechanism) {
+          PgWire.writeTyped(out, 'E',
+            PgWire.errorBody(s"unsupported SASL mechanism $mech"))
+          sock.close(); return
+        }
+        val ilen = java.nio.ByteBuffer.wrap(b1, mechEnd + 1, 4).getInt
+        val clientFirst = new String(b1, mechEnd + 5, ilen, UTF_8)
+        val verifier = new Scram.Verifier(pw,
+          "graft-stub-salt".getBytes(UTF_8), 4096, "srvnonce")
+        PgWire.writeTyped(out, 'R',
+          authInt(11, verifier.serverFirst(clientFirst).getBytes(UTF_8)))
+        val (t2, b2) = PgWire.readTyped(in)
+        if (t2 != 'p') { sock.close(); return }
+        verifier.verifyClientFinal(new String(b2, UTF_8)) match {
+          case None =>
+            PgWire.writeTyped(out, 'E', PgWire.errorBody(
+              "password authentication failed for user \"graft\""))
+            sock.close(); return
+          case Some(serverFinal) =>
+            val v = if (tamperServerSignature)
+              serverFinal.dropRight(4) + "AAA=" else serverFinal
+            PgWire.writeTyped(out, 'R', authInt(12, v.getBytes(UTF_8)))
+        }
+    }
     PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
     PgWire.writeTyped(out, 'S',
       PgWire.cstr("server_version") ++ PgWire.cstr("16.0"))
