@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.StructType
   * merge_on_compact: true          # CH part-merge analog (optional)
   * feed_format: pgoutput           # json (default) | pgoutput
   * source_wire: pg-host:5433       # replication socket → PgWireClient (optional)
+  * source_user: graft              # replication role (optional)
+  * source_password: s3cret         # SCRAM-SHA-256 / MD5 auth (optional)
+  * source_ssl: verify-full         # disable|require|verify-ca|verify-full
+  * source_ssl_truststore: /etc/pg/root.p12   # sslrootcert analogue
+  * source_ssl_truststore_password: changeit
   * clickhouse_url: http://ch:8123  # ship TSV inserts too (optional)
   * tables:
   *   users:
@@ -116,7 +121,12 @@ object GraftConfig {
         require(port.isDefined, s"source_wire must be host:port, got '$hp'")
         (hp.substring(0, i), port.get)
       },
-      sourcePassword = top.get("source_password"))
+      sourcePassword = top.get("source_password"),
+      sourceUser = top.getOrElse("source_user", "graft"),
+      sourceSsl = top.getOrElse("source_ssl", "disable"),
+      sourceSslTrustStore = top.get("source_ssl_truststore"),
+      sourceSslTrustStorePassword =
+        top.getOrElse("source_ssl_truststore_password", "changeit"))
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

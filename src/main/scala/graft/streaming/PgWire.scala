@@ -24,11 +24,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * LOGICAL <X/X>` as a simple Query, CopyBothResponse, and CopyData
   * ('d') messages wrapping the replication submessages both ways, and
   * the full SCRAM-SHA-256 SASL exchange with MUTUAL verification
-  * ([[Scram]]) for password auth. A real PostgreSQL on trust OR
-  * scram-sha-256 auth would be a config change, not a code change;
-  * only SSL negotiation is out of scope and fails loudly — this
-  * environment has no PostgreSQL, so the peer is a protocol-faithful
-  * stub (StubPgWire, tests), exactly the StubCH arrangement on the
+  * ([[Scram]]) for password auth, legacy MD5 password auth
+  * ([[PgWire.md5Response]]), and SSLRequest/TLS negotiation with the
+  * libpq sslmode ladder (require / verify-ca / verify-full over JSSE).
+  * A real PostgreSQL on trust, md5, or scram-sha-256 auth — with or
+  * without `sslmode=require` — is a config change, not a code change;
+  * this environment has no PostgreSQL, so the peer is a
+  * protocol-faithful stub (StubPgWire, tests; it serves a self-signed
+  * cert for the TLS legs), exactly the StubCH arrangement on the
   * sink side. Everything that makes replication
   * CORRECT — LSN-ordered delivery, flush-after-durable ack, keepalive
   * reply, restart from the acked LSN with no gaps or duplicates — is
@@ -52,6 +55,12 @@ object PgWire {
   /** Protocol version 3.0: major 3 in the high 16 bits. */
   val ProtocolV3 = 196608
 
+  /** SSLRequest "version" code (1234,5679 in the PG numbering): sent as
+    * `len=8:int32 code:int32` BEFORE the StartupMessage; the server
+    * answers a single raw byte — 'S' (proceed with a TLS handshake on
+    * this socket) or 'N' (no SSL support/policy). */
+  val SslRequestCode = 80877103
+
   // ---- v3 typed message layer ----
 
   /** `type:byte len:int32(len counts itself + body) body` */
@@ -73,7 +82,47 @@ object PgWire {
     (typ, b)
   }
 
+  /** Reads one typed message like [[readTyped]], but distinguishes an
+    * idle timeout (no byte of any frame arrived → `None`: the peer is
+    * silent-but-alive) from a timeout MID-frame (the type byte or part
+    * of the header/body was already consumed → IOException: the stream
+    * is DESYNCHRONIZED — re-entering the reader would interpret a
+    * length/body byte as a type byte and produce garbage. The caller
+    * must tear the connection down and reconnect; resume-from-acked-LSN
+    * makes that loss-free). SocketTimeoutException IS an IOException
+    * subclass, so the mid-frame case is re-wrapped to keep any
+    * timeout-means-idle catch upstream from matching it.
+    */
+  def readTypedIdleAware(in: DataInputStream): Option[(Char, Array[Byte])] = {
+    val typ =
+      try in.readByte().toChar
+      catch { case _: java.net.SocketTimeoutException => return None }
+    try {
+      val n = in.readInt()
+      require(n >= 4 && n <= (1 << 26), s"message length $n out of range")
+      val b = new Array[Byte](n - 4)
+      in.readFully(b)
+      Some((typ, b))
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        throw new java.io.IOException(
+          s"read timeout mid-frame (after type '$typ'): stream desynchronized", e)
+    }
+  }
+
   def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  /** Legacy MD5 password response (AuthenticationMD5Password, code 5;
+    * pre-v10 PG fleets): `"md5" ‖ hex(md5(hex(md5(password‖user)) ‖ salt))`
+    * — the inner hash is what pg_authid stores for `password_encryption
+    * = md5`, the outer one binds it to the per-connection salt. */
+  def md5Response(user: String, password: String, salt: Array[Byte]): String = {
+    def md5(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val stored = hex(md5((password + user).getBytes(UTF_8)))
+    "md5" + hex(md5(stored.getBytes(UTF_8) ++ salt))
+  }
 
   /** StartupMessage (frontend, UNtyped): len:int32 counting the whole
     * message, protocol:int32, `key\0value\0` pairs, terminating `\0`. */
@@ -88,8 +137,14 @@ object PgWire {
     out.flush()
   }
 
-  def readStartup(in: DataInputStream): Map[String, String] = {
-    val n = in.readInt()
+  def readStartup(in: DataInputStream): Map[String, String] =
+    readStartupAfterLen(in, in.readInt())
+
+  /** Startup body once the int32 length is already consumed — the
+    * server side needs this split because SSLRequest and StartupMessage
+    * share the leading-length framing and are told apart by what
+    * follows it. */
+  def readStartupAfterLen(in: DataInputStream, n: Int): Map[String, String] = {
     require(n >= 9 && n <= (1 << 16), s"startup length $n out of range")
     val proto = in.readInt()
     require(proto == ProtocolV3, s"unsupported protocol $proto")
@@ -208,7 +263,14 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
                          batchFrames: Int = 64,
                          idleKeepalivesToStop: Int = 2,
                          soTimeoutMs: Int = 30000,
-                         password: Option[String] = None) {
+                         password: Option[String] = None,
+                         user: String = "graft",
+                         sslMode: String = "disable",
+                         sslTrustStore: Option[String] = None,
+                         sslTrustStorePassword: String = "changeit") {
+
+  require(Set("disable", "require", "verify-ca", "verify-full")(sslMode),
+    s"unsupported sslmode '$sslMode' (disable|require|verify-ca|verify-full)")
 
   @volatile private var stopped = false
   @volatile private var flushedLsn = Long.MinValue
@@ -263,32 +325,107 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
     * cause a duplicate landing: the restarted client asks the server
     * for frames strictly after what the feed already holds.
     */
+  /** TLS layer for the replication socket (libpq's sslmode ladder):
+    * `require` encrypts without authenticating the peer (libpq's
+    * documented require semantics — SCRAM mutual auth still provides
+    * verifier-knowledge proof on top), `verify-ca` validates the
+    * server's chain against the configured trust store (sslrootcert),
+    * `verify-full` additionally matches the certificate's SAN/CN
+    * against the connect host via JSSE endpoint identification.
+    */
+  private def tlsWrap(plain: Socket, in: DataInputStream,
+                      out: DataOutputStream): Socket = {
+    out.writeInt(8); out.writeInt(PgWire.SslRequestCode); out.flush()
+    in.readByte().toChar match {
+      case 'S' =>
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        sslMode match {
+          case "require" =>
+            // encryption-only, like libpq sslmode=require: no chain
+            // validation (SCRAM's mutual proof is the authenticity check)
+            ctx.init(null, Array[javax.net.ssl.TrustManager](
+              new javax.net.ssl.X509TrustManager {
+                def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+                def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+                def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+              }), null)
+          case _ =>
+            val path = sslTrustStore.getOrElse(throw new IllegalArgumentException(
+              s"sslmode=$sslMode requires a trust store (the sslrootcert analogue)"))
+            val ks = java.security.KeyStore.getInstance("PKCS12")
+            val fis = new java.io.FileInputStream(path)
+            try ks.load(fis, sslTrustStorePassword.toCharArray) finally fis.close()
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            ctx.init(null, tmf.getTrustManagers, null)
+        }
+        val ssl = ctx.getSocketFactory.createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        if (sslMode == "verify-full") {
+          val p = ssl.getSSLParameters
+          p.setEndpointIdentificationAlgorithm("HTTPS") // RFC 6125 host match
+          ssl.setSSLParameters(p)
+        }
+        ssl.startHandshake()
+        ssl
+      case 'N' => throw new IllegalStateException(
+        s"server refused SSL ('N') but sslmode=$sslMode demands encryption")
+      case other => throw new IllegalStateException(
+        s"unexpected SSLRequest answer '$other'")
+    }
+  }
+
   def run(startAfter: Long): Long = {
     flushedLsn = math.max(startAfter, landedHighWater())
-    val sock = new Socket(host, port)
+    val plain = new Socket(host, port)
+    plain.setSoTimeout(soTimeoutMs)
+    val sock =
+      if (sslMode == "disable") plain
+      else try tlsWrap(plain, new DataInputStream(plain.getInputStream),
+                       new DataOutputStream(plain.getOutputStream))
+      catch { case e: Throwable => plain.close(); throw e }
     currentSocket = sock
-    sock.setSoTimeout(soTimeoutMs)
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       // 1. PQ v3 startup: `replication=database` routes the session to a
       //    walsender (the libpq replication-connection parameter)
       PgWire.writeStartup(out, Seq(
-        "user" -> "graft", "database" -> "graft", "replication" -> "database"))
-      // 2. backend greeting to ReadyForQuery. AuthenticationOk (trust)
-      //    and the full SCRAM-SHA-256 SASL exchange (password auth, the
-      //    PG default since v10 — graft.streaming.Scram) are spoken;
-      //    only SSL negotiation remains out of scope, and a server
-      //    demanding anything else gets a loud failure, not a hang
+        "user" -> user, "database" -> "graft", "replication" -> "database"))
+      // 2. backend greeting to ReadyForQuery. AuthenticationOk (trust),
+      //    legacy MD5 (code 5), and the full SCRAM-SHA-256 SASL exchange
+      //    (password auth, the PG default since v10 —
+      //    graft.streaming.Scram) are spoken; a server demanding
+      //    anything else gets a loud failure, not a hang
       var ready = false
       var scram: Scram.Client = null
+      // MUTUAL-auth gate (ADVICE r12): once a SASL exchange starts, the
+      // ONLY acceptable path to AuthenticationOk runs through a VERIFIED
+      // AuthenticationSASLFinal (code 12). A hostile/MITM peer that
+      // collects the client proof and then short-circuits with R(0)
+      // never proves it knows the verifier — refuse to proceed.
+      var saslVerified = false
+      def requireMutualDone(at: String): Unit =
+        require(scram == null || saslVerified,
+          s"server skipped SCRAM mutual authentication ($at before a " +
+            "verified AuthenticationSASLFinal) — refusing an unproven peer")
       while (!ready) {
         val (typ, body) = PgWire.readTyped(in)
         typ match {
           case 'R' =>
             def rest: String = new String(body, 4, body.length - 4, UTF_8)
             ByteBuffer.wrap(body).getInt match {
-              case 0 => () // AuthenticationOk
+              case 0 => requireMutualDone("AuthenticationOk") // AuthenticationOk
+              case 5 => // AuthenticationMD5Password: tail = 4-byte salt
+                val pw = password.getOrElse(throw new IllegalArgumentException(
+                  "server demands MD5 password authentication " +
+                    "but no password is configured"))
+                require(body.length >= 8, "MD5 auth request missing salt")
+                val salt = java.util.Arrays.copyOfRange(body, 4, 8)
+                PgWire.writeTyped(out, 'p',
+                  PgWire.cstr(PgWire.md5Response(user, pw, salt)))
               case 10 => // AuthenticationSASL: NUL-separated mechanism list
                 val mechs = rest.split("\u0000").filter(_.nonEmpty)
                 require(mechs.contains(Scram.Mechanism),
@@ -311,12 +448,13 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
               case 12 => // AuthenticationSASLFinal: MUTUAL auth — verify
                 require(scram != null && scram.verifyServerFinal(rest),
                   "server failed SCRAM mutual authentication (bad server signature)")
+                saslVerified = true
               case code => require(false,
                 s"unsupported authentication request $code " +
-                  "(trust and scram-sha-256 are spoken)")
+                  "(trust, md5, and scram-sha-256 are spoken)")
             }
           case 'S' | 'K' | 'N' => () // ParameterStatus/BackendKeyData/Notice
-          case 'Z' => ready = true
+          case 'Z' => requireMutualDone("ReadyForQuery"); ready = true
           case 'E' => throw new java.io.IOException(
             "server error during startup: " + PgWire.parseError(body))
           case other =>
@@ -343,15 +481,16 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
         ack()
       }
       while (!stopped && !copyDone && idle < idleKeepalivesToStop) {
-        // an alive-but-silent peer (no keepalive inside soTimeout) is
-        // IDLE, not dead (ADVICE r11): report our position and keep
-        // listening rather than tearing the connection down
-        val msg =
-          try Some(PgWire.readTyped(in))
-          catch {
-            case _: java.net.SocketTimeoutException =>
-              flushAndAck(); ack(); idle += 1; None
-          }
+        // an alive-but-silent peer (no byte of any frame inside
+        // soTimeout) is IDLE, not dead (ADVICE r11): report our position
+        // and keep listening. A timeout MID-frame, by contrast, leaves
+        // the stream desynchronized — readTypedIdleAware raises
+        // IOException there (ADVICE r12), and runWithReconnect's
+        // resume-from-acked-LSN makes the teardown loss-free.
+        val msg = PgWire.readTypedIdleAware(in) match {
+          case None => flushAndAck(); ack(); idle += 1; None
+          case some => some
+        }
         msg.foreach { case (typ, body) =>
           typ match {
             case 'd' => body(0).toChar match {

@@ -83,6 +83,9 @@ object Replicator {
                  idleKeepalivesToStop: Int = Int.MaxValue): Option[PgWireClient] =
     cfg.sourceWire.map { case (host, port) =>
       new PgWireClient(host, port, cfg.inputDir, batchFrames,
-        idleKeepalivesToStop, password = cfg.sourcePassword)
+        idleKeepalivesToStop, password = cfg.sourcePassword,
+        user = cfg.sourceUser, sslMode = cfg.sourceSsl,
+        sslTrustStore = cfg.sourceSslTrustStore,
+        sslTrustStorePassword = cfg.sourceSslTrustStorePassword)
     }
 }

@@ -104,9 +104,19 @@ object StreamRunner {
       // into inputDir — pg2ch's PG connection params slot (A2's wire
       // half; absent = the feed directory is populated externally)
       sourceWire: Option[(String, Int)] = None,
-      // SCRAM-SHA-256 password for the wire source (`source_password:`);
-      // absent = the peer must grant trust auth (AuthenticationOk)
-      sourcePassword: Option[String] = None)
+      // SCRAM-SHA-256 / MD5 password for the wire source
+      // (`source_password:`); absent = the peer must grant trust auth
+      sourcePassword: Option[String] = None,
+      // replication role name (`source_user:`, default "graft") — also
+      // the salt half of the legacy MD5 double-hash
+      sourceUser: String = "graft",
+      // libpq sslmode ladder for the wire source (`source_ssl:
+      // disable|require|verify-ca|verify-full`) plus the sslrootcert
+      // analogue (`source_ssl_truststore:` PKCS12 path,
+      // `source_ssl_truststore_password:`)
+      sourceSsl: String = "disable",
+      sourceSslTrustStore: Option[String] = None,
+      sourceSslTrustStorePassword: String = "changeit")
 
   private[streaming] def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
     val tc = cfg.tables.find(_.name == table)

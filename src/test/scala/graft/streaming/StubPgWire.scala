@@ -20,7 +20,10 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class StubPgWire(initial: Seq[Array[Byte]],
                        dieAfterFramesOnce: Int = -1,
                        password: Option[String] = None,
-                       tamperServerSignature: Boolean = false) {
+                       tamperServerSignature: Boolean = false,
+                       skipSaslFinal: Boolean = false,
+                       md5Password: Option[String] = None,
+                       tlsContext: Option[javax.net.ssl.SSLContext] = None) {
 
   private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   initial.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
@@ -75,14 +78,40 @@ final class StubPgWire(initial: Seq[Array[Byte]],
     try server.close() catch { case _: Throwable => () }
   }
 
-  private def handle(sock: Socket): Unit = {
-    sock.setSoTimeout(30000)
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
-    // --- PQ v3 handshake (the walsender's side of the public grammar) ---
+  private def handle(plainSock: Socket): Unit = {
+    plainSock.setSoTimeout(30000)
+    var sock = plainSock
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
+    // --- optional SSLRequest, then the PQ v3 handshake (the walsender's
+    // side of the public grammar). SSLRequest and StartupMessage share
+    // the leading int32-length framing: len==8 + the magic code means
+    // SSLRequest; answer 'S' and run the JSSE server handshake when a
+    // TLS context is configured, 'N' otherwise (the sslmode=disable
+    // server posture a require-mode client must refuse).
+    var len = in.readInt()
+    if (len == 8) {
+      val code = in.readInt()
+      if (code != PgWire.SslRequestCode) { sock.close(); return }
+      tlsContext match {
+        case Some(ctx) =>
+          out.writeByte('S'); out.flush()
+          val ssl = ctx.getSocketFactory
+            .createSocket(sock, null, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          ssl.startHandshake()
+          sock = ssl
+          in = new DataInputStream(ssl.getInputStream)
+          out = new DataOutputStream(ssl.getOutputStream)
+        case None =>
+          out.writeByte('N'); out.flush()
+      }
+      len = in.readInt() // now the real StartupMessage
+    }
     // StartupMessage with replication=database, else this is not a
     // replication session and the stub refuses like a real walsender
-    val params = PgWire.readStartup(in)
+    val params = PgWire.readStartupAfterLen(in, len)
     if (!params.get("replication").contains("database")) {
       PgWire.writeTyped(out, 'E',
         PgWire.errorBody("connection is not a replication connection"))
@@ -94,6 +123,23 @@ final class StubPgWire(initial: Seq[Array[Byte]],
     // same Scram math a walsender runs against its stored verifier
     def authInt(code: Int, tail: Array[Byte] = Array.emptyByteArray) =
       java.nio.ByteBuffer.allocate(4 + tail.length).putInt(code).put(tail).array()
+    md5Password.foreach { pw =>
+      // legacy AuthenticationMD5Password (code 5): 4-byte salt out,
+      // "md5<hex>" response back, verified against the same double-md5
+      // a pre-v10 pg_authid row stores
+      val salt = Array[Byte](0x13, 0x37, 0x5a, 0x7e)
+      PgWire.writeTyped(out, 'R', authInt(5, salt))
+      val (tm, bm) = PgWire.readTyped(in)
+      if (tm != 'p') { sock.close(); return }
+      val got = new String(bm.takeWhile(_ != 0), UTF_8)
+      val want = PgWire.md5Response(
+        params.getOrElse("user", ""), pw, salt)
+      if (got != want) {
+        PgWire.writeTyped(out, 'E', PgWire.errorBody(
+          "password authentication failed for user \"graft\""))
+        sock.close(); return
+      }
+    }
     password match {
       case None => ()
       case Some(pw) =>
@@ -123,9 +169,14 @@ final class StubPgWire(initial: Seq[Array[Byte]],
               "password authentication failed for user \"graft\""))
             sock.close(); return
           case Some(serverFinal) =>
-            val v = if (tamperServerSignature)
-              serverFinal.dropRight(4) + "AAA=" else serverFinal
-            PgWire.writeTyped(out, 'R', authInt(12, v.getBytes(UTF_8)))
+            // skipSaslFinal models the MITM short-circuit (ADVICE r12):
+            // collect the client proof, then jump straight to
+            // AuthenticationOk without ever proving verifier knowledge
+            if (!skipSaslFinal) {
+              val v = if (tamperServerSignature)
+                serverFinal.dropRight(4) + "AAA=" else serverFinal
+              PgWire.writeTyped(out, 'R', authInt(12, v.getBytes(UTF_8)))
+            }
         }
     }
     PgWire.writeTyped(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
