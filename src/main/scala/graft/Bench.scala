@@ -234,6 +234,12 @@ object Bench {
     // session cache otherwise hides exactly the part that scales).
     System.setProperty("graft.shared.pipeline",
       sys.env.getOrElse("SPARK_GRAFT_SHARED", "true"))
+    // Bench times the same computation CORRECTNESS verifies: pin the
+    // declared oracle centroid ring (overridable for knob sweeps). The
+    // library default outside these harnesses is the √N production ring;
+    // ScaleKnob + SCALE.md carry its measurements.
+    System.setProperty("graft.ann.ring",
+      sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -20,6 +20,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // audit the declared (oracle-ring) plan by default; override the env
+    // var to audit a production-ring variant (see SimilarityQueries.annRing)
+    System.setProperty("graft.ann.ring",
+      sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
     spark.range(100).selectExpr("sum(id)").collect() // JIT warm
     val fn = Registry.all.toMap.apply(name).fn
     if (explain) println(fn(spark, sfDir).queryExecution.explainString(

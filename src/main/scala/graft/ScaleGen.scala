@@ -97,19 +97,22 @@ object ScaleGen {
   }
 }
 
-/** Measure sim_graph_ann's kNN-edge build at a chosen centroid-ring size
-  * (SCALE.md's "fix where it isn't linear" leg): the declared query pins
-  * 10 centroids, so at M× corpus the cell-local self-join does ~M² the
-  * work; a ring grown ~√N restores ~linear cost. This probe times both
-  * settings on the same corpus so the prescription is a measurement.
+/** Measure sim_graph_ann's kNN-edge build at a chosen centroid ring
+  * (SCALE.md's "fix where it isn't linear" leg): the declared oracle
+  * constant pins 10 centroids, so at M× corpus the cell-local self-join
+  * does ~M² the work; a ring grown ~√N restores near-linear wall. This
+  * probe times the SAME parameterized build the declared queries run
+  * (SimilarityQueries.graphAnnEdges → ivfAssignedAt → cellKnn) at each
+  * setting, so the prescription is a measurement of the shipping path.
   *
-  * Usage: `runMain graft.ScaleKnob <sfDir> <centLo> <centHi>`
+  * Usage: `runMain graft.ScaleKnob <sfDir> <ring>` where ring is
+  * `oracle` (the declared [480,490) constant), `sqrt` (the ⌈√N⌉
+  * production default), or an integer target centroid count.
   */
 object ScaleKnob {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val lo = if (args.length > 1) args(1).toLong else 480L
-    val hi = if (args.length > 2) args(2).toLong else 490L
+    val ringArg = if (args.length > 1) args(1) else "sqrt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,18 +120,22 @@ object ScaleKnob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // resolve through the SAME knob the declared queries read (this is a
+    // standalone main — the property set is process-local and final)
+    System.setProperty("graft.ann.ring", ringArg)
+    val ring = graft.operators.SimilarityQueries.annRing(spark, dir)
     // warm pass (JIT + page cache), then two measured runs, min scored —
     // the Bench discipline in miniature
     def once(): Double = {
       val t0 = System.nanoTime()
-      graft.operators.SimilarityQueries.graphAnnEdges(spark, dir, lo, hi)
+      graft.operators.SimilarityQueries.graphAnnEdges(spark, dir, ring)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     once()
     val sec = math.min(once(), once())
-    val n = graft.operators.SimilarityQueries.graphAnnEdges(spark, dir, lo, hi).count()
-    println(f"[scaleknob] dir=$dir cents=${hi - lo} edges=$n sec=$sec%.2f")
+    val n = graft.operators.SimilarityQueries.graphAnnEdges(spark, dir, ring).count()
+    println(f"[scaleknob] dir=$dir ring=$ring edges=$n sec=$sec%.2f")
     spark.stop()
   }
 }

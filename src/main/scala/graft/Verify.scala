@@ -11,6 +11,10 @@ object Verify {
     // consumers (TextQueries.verifiedShared) — values identical, ~2 full
     // pipeline recomputes saved per sweep.
     System.setProperty("graft.shared.pipeline", "true")
+    // Correctness runs pin the DECLARED centroid ring (vec_id ∈
+    // [480,490)) — the constant the oracle SQL reproduces. The library
+    // default is the √N production ring (SimilarityQueries.annRing).
+    System.setProperty("graft.ann.ring", "oracle")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

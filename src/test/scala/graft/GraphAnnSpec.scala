@@ -89,4 +89,56 @@ class GraphAnnSpec extends SparkSpec {
     assert(hnswRecall >= flatRecall,
       s"the second layer exists to help, not hurt: hnsw=$hnswRecall flat=$flatRecall")
   }
+
+  test("declared path IS the parameterized build at the oracle ring (VERDICT r13 #1)") {
+    import graft.operators.SimilarityQueries
+    // the assignment the declared queries consume (prop pinned to
+    // "oracle" JVM-wide by SparkSpec) must be bit-equal to
+    // ivfAssignedAt(OracleRing) — the knob has ONE implementation
+    val at = SimilarityQueries.ivfAssignedAt(spark, sf001, SimilarityQueries.OracleRing)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declaredCells = Registry.all.toMap.apply("sample_diverse_cells").fn(spark, sf001)
+      .select(col("cid"), col("members")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.core.releaseQueryCaches(spark)
+    val atCells = at.groupBy(_._2).map { case (cid, m) => cid -> m.size.toLong }
+    assert(atCells === declaredCells,
+      "declared cell populations diverge from the parameterized build at the oracle point")
+  }
+
+  test("spread ring (the √N production default) partitions the corpus and bounds degree") {
+    import graft.operators.SimilarityQueries
+    val n = vecs.count()
+    val rootN = math.round(math.sqrt(n.toDouble))
+    val ring = SimilarityQueries.SpreadRing(rootN)
+    val members = vecs.filter(SimilarityQueries.ringPred(ring))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // hash-spread: ~N/k = ~√N centroids, and never a corpus-sized set
+    assert(members.size >= rootN / 3 && members.size <= rootN * 3,
+      s"spread ring badly sized: ${members.size} vs target ~$rootN")
+    val assigned = SimilarityQueries.ivfAssignedAt(spark, sf001, ring)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every corpus vector lands in exactly one cell, and only ring cells
+    assert(assigned.length.toLong === n)
+    assert(assigned.map(_._1).distinct.length.toLong === n)
+    assert(assigned.map(_._2).toSet.subsetOf(members))
+    // cell population drops ∝ N/|ring| — the whole point of the knob:
+    // the largest cell must be far below the 10-ring's ~N/10 average
+    val maxCell = assigned.groupBy(_._2).map(_._2.size).max
+    assert(maxCell < n / 10,
+      s"ring did not shrink cells: max cell $maxCell of $n")
+    // the knobbed kNN build stays a valid bounded-degree graph
+    val edges = SimilarityQueries.graphAnnEdges(spark, sf001, ring)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (s, d) => s != d })
+    val outDeg = edges.groupBy(_._1).map(_._2.size)
+    assert(outDeg.max <= 8, s"degree bound broken: ${outDeg.max}")
+    // edges stay cell-local: both endpoints share the spread assignment
+    val cellOf = assigned.toMap
+    assert(edges.forall { case (s, d) => cellOf(s) == cellOf(d) },
+      "edge crosses cells — the cell-local build leaked")
+  }
 }

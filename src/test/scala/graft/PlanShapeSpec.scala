@@ -779,6 +779,37 @@ class PlanShapeSpec extends SparkSpec {
       s"descent must not order the corpus globally:\n$plan")
   }
 
+  test("parameterized ring build keeps the declared plan shape at a spread ring (VERDICT r13 #1)") {
+    // the √N production ring must execute the SAME physical shape the
+    // oracle-ring plan was graded on: centroids broadcast into the
+    // assignment (never a partitioned cross), the argmax stays a
+    // partial+final aggregate (no corpus window), and the cell-local
+    // kNN self-join stays a shuffled-hash pairing (a merge join would
+    // sort every cell group; SpreadRing keys are ~√N-ary, not dim-ary)
+    import graft.operators.SimilarityQueries
+    val df = SimilarityQueries.graphAnnEdges(spark, sf001,
+      SimilarityQueries.SpreadRing(22L))
+    df.write.format("noop").mode("overwrite").save()
+    val plan =
+      try df.queryExecution.executedPlan.toString
+      finally {
+        graft.core.releaseQueryCaches(spark)
+        spark.catalog.clearCache()
+      }
+    assert(countOf(plan, "BroadcastExchange") >= 1,
+      s"ring centroids must broadcast into the assignment:\n$plan")
+    assert(countOf(plan, "CartesianProduct") === 0,
+      s"only broadcast crosses against the bounded ring:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
+      s"assignment argmax must stay a partial+final aggregate:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
+      s"only the per-src degree rank may window:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") === 0,
+      s"cell-local kNN must not sort-merge:\n$plan")
+    assert(countOf(plan, "ShuffledHashJoin") >= 1,
+      s"cell-local kNN self-join must stay shuffled-hash:\n$plan")
+  }
+
   test("no unbounded relation carries a broadcast hint anywhere in the declared surface") {
     // The repo-wide force-broadcast audit, pinned (VERDICT r11 item 2).
     // Every broadcast() hint in the declared surface must sit on a

@@ -11,7 +11,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
+  lazy val session: SparkSession = {
+    // Declared-query suites grade against oracle-pinned values, so the
+    // test JVM pins the declared centroid ring ONCE before any query
+    // runs (the library default is the √N production ring). Knob-
+    // specific legs bypass the property via the explicit-Ring APIs
+    // (ivfAssignedAt/graphAnnEdges), so this stays constant JVM-wide —
+    // no property races across parallel suites.
+    System.setProperty("graft.ann.ring", "oracle")
+    mkSession
+  }
+
+  private def mkSession: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
