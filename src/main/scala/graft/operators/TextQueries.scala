@@ -2543,6 +2543,36 @@ object TextQueries {
         // prefix bands still explode is inherently quadratic under EXACT
         // similarity join and belongs on the approximate lane
         // (dedup_minhash_lsh).
+        //
+        // ROUTING GUARD (VERDICT r13 #2 — the SCALE.md policy, now
+        // executable): before the pair join launches, measure the exact
+        // candidate load the prefix index implies — Σ_band c·(c−1)/2,
+        // i.e. the join's pre-distinct output — and REFUSE to run once it
+        // exceeds `graft.jaccard.maxPairsPerDoc` candidate pairs per
+        // document (default 4096; 0 disables). The two guard jobs are
+        // linear map-side aggregates over relations the query builds
+        // anyway (`sorted` is persisted and reused by the verify join),
+        // so the probe costs one narrow pass — at 100 TB that pass is
+        // what stands between a dense corpus and a quadratic join the
+        // cluster cannot finish. The declared testdata and its ScaleGen
+        // twins measure ~120–1250 pairs/doc (linear dup structure), well
+        // inside the budget; a boilerplate-heavy corpus past it gets an
+        // explicit route-to-LSH error instead of a runaway stage.
+        val capPerDoc = sys.props.get("graft.jaccard.maxPairsPerDoc")
+          .map(_.toLong).getOrElse(4096L)
+        if (capPerDoc > 0) {
+          val docs = math.max(1L, sorted.count())
+          val load = keyed.groupBy("band").agg(cnt("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+              .cast("long").as("pairs"))
+            .head.getLong(0)
+          if (load / docs > capPerDoc) throw new IllegalStateException(
+            s"dedup_jaccard_prefix routed off the exact lane: prefix-band density " +
+              s"${load / docs} candidate pairs/doc (docs=$docs, candidates=$load) exceeds " +
+              s"graft.jaccard.maxPairsPerDoc=$capPerDoc. EXACT set-similarity join is " +
+              s"quadratic in same-band density; run this corpus on the banded-LSH lane " +
+              s"(dedup_minhash_lsh) or raise the budget explicitly.")
+        }
         val pairs = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
           .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
             Seq("band"))
