@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Contention hardening (VERDICT r07 #1): the second measurement of each
   * query is interleaved (all queries once, then all again) so one
   * sustained load spike can't cover both runs of a query; a fixed canary
-  * probe is recorded through the sweep; and a >3x disagreement between a
+  * probe is recorded through the sweep; and a >1.5x disagreement between a
   * query's two runs triggers a third.
   */
 class BenchSpec extends SparkSpec {
@@ -74,9 +74,11 @@ class BenchSpec extends SparkSpec {
     assert(json.contains("\"canary_every\":1"))
   }
 
-  test(">3x disagreement between the two measured runs triggers a third measurement") {
+  test(">1.5x disagreement between the two measured runs triggers a third measurement") {
     // call 1 is the unmeasured warmup; call 2 (measured pass 1) sleeps —
-    // an artificial 'spike' covering one measured run only
+    // an artificial 'spike' covering one measured run only. The trigger
+    // threshold matches pair_agree_pct's 1.5x (VERDICT r12 #7), so every
+    // pair the health metric counts as disagreeing gets its tiebreak.
     var calls = 0
     val spiky: (SparkSession, String) => DataFrame = (s, _) => {
       calls += 1
@@ -84,9 +86,23 @@ class BenchSpec extends SparkSpec {
       s.range(5).toDF("n")
     }
     val r = Bench.runAll(spark, sf001, Seq("spiky" -> spiky)).results.head
-    assert(r.runs.size === 3, s"expected a third run after >3x disagreement; got ${r.runs}")
+    assert(r.runs.size === 3, s"expected a third run after >1.5x disagreement; got ${r.runs}")
     assert(r.sec === r.runs.min)
     assert(calls === 4, "warmup + two measured + one tiebreak")
+  }
+
+  test("moderate (2x) disagreement — under the old 3x trigger — now also tiebreaks") {
+    // pass-1 run inflates ~2x over pass 2: between the old 3x trigger
+    // and the 1.5x one. The r12/r13 driver artifacts showed exactly this
+    // band (diffuse 1.38-2x inflation) passing un-tiebroken.
+    var calls = 0
+    val drifty: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      Thread.sleep(if (calls == 2) 900 else 300)
+      s.range(5).toDF("n")
+    }
+    val r = Bench.runAll(spark, sf001, Seq("drifty" -> drifty)).results.head
+    assert(r.runs.size === 3, s"expected a tiebreak in the 1.5x-3x band; got ${r.runs}")
   }
 
   test("steady queries keep exactly two runs") {
@@ -130,6 +146,10 @@ class BenchSpec extends SparkSpec {
     assert(line.contains("\"value\":9.500"))
     // one steady pair + one >1.5x pair -> 50%
     assert(line.contains("\"pair_agree_pct\":50.0"))
+    // the disagreeing key self-labels with its FULL run list (the third
+    // tiebreak run included), not just a percentage
+    assert(line.contains("\"disagree\":{\"zz_heavy\":[9.000,29.000,9.500]}"),
+      s"per-key disagreement evidence missing: $line")
     assert(line.contains("\"canary_med\":0.2000"))
     assert(line.contains("\"canary_max\":0.9000"))
     assert(line.contains("\"detail\":\"detail.json\""))
