@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.StructType
   * source_ssl: verify-full         # disable|require|verify-ca|verify-full
   * source_ssl_truststore: /etc/pg/root.p12   # sslrootcert analogue
   * source_ssl_truststore_password: changeit
+  * source_auth: scram              # any (default) | scram | md5 — refuse downgrades
   * clickhouse_url: http://ch:8123  # ship TSV inserts too (optional)
   * tables:
   *   users:
@@ -123,10 +124,26 @@ object GraftConfig {
       },
       sourcePassword = top.get("source_password"),
       sourceUser = top.getOrElse("source_user", "graft"),
-      sourceSsl = top.getOrElse("source_ssl", "disable"),
+      sourceSsl = {
+        // fail-fast (ADVICE r13): an invalid sslmode or a verify-* mode
+        // without its trust store should fail at CONFIG LOAD, not when
+        // the replication client first connects hours later
+        val mode = top.getOrElse("source_ssl", "disable")
+        require(Set("disable", "require", "verify-ca", "verify-full")(mode),
+          s"config: source_ssl '$mode' is not one of disable|require|verify-ca|verify-full")
+        require(!mode.startsWith("verify-") || top.contains("source_ssl_truststore"),
+          s"config: source_ssl=$mode requires source_ssl_truststore (the sslrootcert analogue)")
+        mode
+      },
       sourceSslTrustStore = top.get("source_ssl_truststore"),
       sourceSslTrustStorePassword =
-        top.getOrElse("source_ssl_truststore_password", "changeit"))
+        top.getOrElse("source_ssl_truststore_password", "changeit"),
+      sourceAuth = {
+        val m = top.getOrElse("source_auth", "any")
+        require(Set("any", "scram", "md5")(m),
+          s"config: source_auth '$m' is not one of any|scram|md5")
+        m
+      })
   }
 
   /** `500ms` / `5s` / `2m` / `1h` → milliseconds. */

@@ -124,6 +124,21 @@ object PgWire {
     "md5" + hex(md5(stored.getBytes(UTF_8) ++ salt))
   }
 
+  /** RFC 5929 `tls-server-end-point` channel-binding data: the hash of
+    * the server certificate's DER encoding, using the hash of the
+    * certificate's own signature algorithm — except MD5 and SHA-1,
+    * which the RFC upgrades to SHA-256 (also the fallback for exotic
+    * algorithms, matching PostgreSQL's be_tls_get_certificate_hash).
+    */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase
+    val h =
+      if (alg.contains("SHA384")) "SHA-384"
+      else if (alg.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
+  }
+
   /** StartupMessage (frontend, UNtyped): len:int32 counting the whole
     * message, protocol:int32, `key\0value\0` pairs, terminating `\0`. */
   def writeStartup(out: DataOutputStream, params: Seq[(String, String)]): Unit = {
@@ -267,14 +282,24 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
                          user: String = "graft",
                          sslMode: String = "disable",
                          sslTrustStore: Option[String] = None,
-                         sslTrustStorePassword: String = "changeit") {
+                         sslTrustStorePassword: String = "changeit",
+                         authMethod: String = "any") {
 
   require(Set("disable", "require", "verify-ca", "verify-full")(sslMode),
     s"unsupported sslmode '$sslMode' (disable|require|verify-ca|verify-full)")
+  // source_auth (ADVICE r13): which password-auth requests this client
+  // will answer. Default "any" matches libpq; "scram" refuses the silent
+  // MD5 downgrade an on-path attacker can request on a plaintext socket
+  // (libpq's require_auth=scram-sha-256 analogue), "md5" pins legacy.
+  require(Set("any", "scram", "md5")(authMethod),
+    s"unsupported auth method '$authMethod' (any|scram|md5)")
 
   @volatile private var stopped = false
   @volatile private var flushedLsn = Long.MinValue
   @volatile private var currentSocket: Socket = _
+  // RFC 5929 tls-server-end-point hash of the CURRENT connection's peer
+  // certificate (set by tlsWrap) — the SCRAM channel-binding datum
+  @volatile private var tlsEndpointHash: Option[Array[Byte]] = None
   private var fileSeq = 0
   // instance tag for landed-file names: random UUID (truncated) — nanoTime
   // is an arbitrary-origin monotonic clock (often time-since-boot), so it
@@ -326,12 +351,17 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
     * for frames strictly after what the feed already holds.
     */
   /** TLS layer for the replication socket (libpq's sslmode ladder):
-    * `require` encrypts without authenticating the peer (libpq's
-    * documented require semantics — SCRAM mutual auth still provides
-    * verifier-knowledge proof on top), `verify-ca` validates the
-    * server's chain against the configured trust store (sslrootcert),
-    * `verify-full` additionally matches the certificate's SAN/CN
-    * against the connect host via JSSE endpoint identification.
+    * `require` encrypts WITHOUT authenticating the peer — libpq's
+    * documented require semantics, i.e. protection from passive
+    * eavesdropping only; an active MITM that terminates both TLS legs
+    * is not detected by the handshake, and plain SCRAM's mutual proof
+    * relays through it (no channel binding in the base mechanism).
+    * SCRAM-SHA-256-PLUS channel binding, negotiated automatically when
+    * the server offers it, closes exactly that relay; `verify-ca`
+    * validates the server's chain against the configured trust store
+    * (sslrootcert), and `verify-full` — the recommended posture —
+    * additionally matches the certificate's SAN/CN against the connect
+    * host via JSSE endpoint identification.
     */
   private def tlsWrap(plain: Socket, in: DataInputStream,
                       out: DataOutputStream): Socket = {
@@ -342,7 +372,10 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
         sslMode match {
           case "require" =>
             // encryption-only, like libpq sslmode=require: no chain
-            // validation (SCRAM's mutual proof is the authenticity check)
+            // validation, so an active TLS-terminating MITM passes here
+            // (and relays plain SCRAM's mutual proof). SCRAM-SHA-256-PLUS
+            // channel binding detects that relay when the server offers
+            // it; verify-full is the posture that refuses it outright.
             ctx.init(null, Array[javax.net.ssl.TrustManager](
               new javax.net.ssl.X509TrustManager {
                 def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
@@ -369,9 +402,26 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
           ssl.setSSLParameters(p)
         }
         ssl.startHandshake()
+        // capture the peer certificate's RFC 5929 hash for SCRAM
+        // channel binding (available in every mode, validated or not —
+        // binding to an UNvalidated cert is precisely what lets -PLUS
+        // catch a require-mode MITM)
+        tlsEndpointHash = ssl.getSession.getPeerCertificates.headOption.collect {
+          case c: java.security.cert.X509Certificate => PgWire.tlsServerEndPoint(c)
+        }
         ssl
       case 'N' => throw new IllegalStateException(
         s"server refused SSL ('N') but sslmode=$sslMode demands encryption")
+      case 'E' =>
+        // some older servers / poolers answer SSLRequest with an
+        // ErrorResponse instead of 'N' (ADVICE r13): the type byte is
+        // consumed, so read the pending frame (int32 len + fields) and
+        // surface the server's own message instead of a bare code
+        val elen = in.readInt()
+        val ebody = new Array[Byte](math.max(0, elen - 4))
+        in.readFully(ebody)
+        throw new IllegalStateException(
+          "server answered SSLRequest with an error: " + PgWire.parseError(ebody))
       case other => throw new IllegalStateException(
         s"unexpected SSLRequest answer '$other'")
     }
@@ -379,6 +429,7 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
 
   def run(startAfter: Long): Long = {
     flushedLsn = math.max(startAfter, landedHighWater())
+    tlsEndpointHash = None // per-connection; set by tlsWrap
     val plain = new Socket(host, port)
     plain.setSoTimeout(soTimeoutMs)
     val sock =
@@ -419,6 +470,11 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
             ByteBuffer.wrap(body).getInt match {
               case 0 => requireMutualDone("AuthenticationOk") // AuthenticationOk
               case 5 => // AuthenticationMD5Password: tail = 4-byte salt
+                require(authMethod != "scram",
+                  "server requested MD5 password authentication but " +
+                    "source_auth=scram forbids the downgrade (an on-path " +
+                    "attacker can request MD5 and collect an offline-" +
+                    "crackable, password-equivalent hash)")
                 val pw = password.getOrElse(throw new IllegalArgumentException(
                   "server demands MD5 password authentication " +
                     "but no password is configured"))
@@ -427,17 +483,30 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
                 PgWire.writeTyped(out, 'p',
                   PgWire.cstr(PgWire.md5Response(user, pw, salt)))
               case 10 => // AuthenticationSASL: NUL-separated mechanism list
+                require(authMethod != "md5",
+                  "server requested SCRAM authentication but source_auth=md5 " +
+                    "pins the legacy method")
                 val mechs = rest.split("\u0000").filter(_.nonEmpty)
-                require(mechs.contains(Scram.Mechanism),
-                  s"no common SASL mechanism (server offers: ${mechs.mkString(", ")})")
+                // prefer -PLUS whenever a TLS channel exists to bind; a
+                // PLUS-only server reached WITHOUT TLS has no common
+                // mechanism (there is no channel to bind)
+                val usePlus =
+                  tlsEndpointHash.isDefined && mechs.contains(Scram.MechanismPlus)
+                require(usePlus || mechs.contains(Scram.Mechanism),
+                  s"no common SASL mechanism (server offers: ${mechs.mkString(", ")}" +
+                    (if (mechs.contains(Scram.MechanismPlus))
+                      "; channel binding needs sslmode != disable" else "") + ")")
                 val pw = password.getOrElse(throw new IllegalArgumentException(
                   "server demands SCRAM-SHA-256 password authentication " +
                     "but no password is configured"))
+                val mech = if (usePlus) Scram.MechanismPlus else Scram.Mechanism
                 scram = new Scram.Client(pw,
-                  java.util.UUID.randomUUID().toString.replace("-", ""))
+                  java.util.UUID.randomUUID().toString.replace("-", ""),
+                  channelBinding = if (usePlus) tlsEndpointHash else None,
+                  tlsAvailable = tlsEndpointHash.isDefined)
                 val initial = scram.clientFirstMessage.getBytes(UTF_8)
                 val b = new java.io.ByteArrayOutputStream()
-                b.write(PgWire.cstr(Scram.Mechanism))
+                b.write(PgWire.cstr(mech))
                 b.write(ByteBuffer.allocate(4).putInt(initial.length).array())
                 b.write(initial)
                 PgWire.writeTyped(out, 'p', b.toByteArray) // SASLInitialResponse
@@ -451,7 +520,7 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
                 saslVerified = true
               case code => require(false,
                 s"unsupported authentication request $code " +
-                  "(trust, md5, and scram-sha-256 are spoken)")
+                  "(trust, md5, scram-sha-256 and scram-sha-256-plus are spoken)")
             }
           case 'S' | 'K' | 'N' => () // ParameterStatus/BackendKeyData/Notice
           case 'Z' => requireMutualDone("ReadyForQuery"); ready = true

@@ -86,6 +86,7 @@ object Replicator {
         idleKeepalivesToStop, password = cfg.sourcePassword,
         user = cfg.sourceUser, sslMode = cfg.sourceSsl,
         sslTrustStore = cfg.sourceSslTrustStore,
-        sslTrustStorePassword = cfg.sourceSslTrustStorePassword)
+        sslTrustStorePassword = cfg.sourceSslTrustStorePassword,
+        authMethod = cfg.sourceAuth)
     }
 }

@@ -116,7 +116,10 @@ object StreamRunner {
       // `source_ssl_truststore_password:`)
       sourceSsl: String = "disable",
       sourceSslTrustStore: Option[String] = None,
-      sourceSslTrustStorePassword: String = "changeit")
+      sourceSslTrustStorePassword: String = "changeit",
+      // which password-auth requests the wire client answers:
+      // any (libpq default) | scram (refuse the MD5 downgrade) | md5
+      sourceAuth: String = "any")
 
   private[streaming] def sinkFor(cfg: RunnerConfig, table: String): BufferedSink = {
     val tc = cfg.tables.find(_.name == table)

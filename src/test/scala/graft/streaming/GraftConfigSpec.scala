@@ -67,6 +67,7 @@ class GraftConfigSpec extends SparkSpec {
            |source_ssl: verify-full
            |source_ssl_truststore: /etc/pg/root.p12
            |source_ssl_truststore_password: zzz
+           |source_auth: scram
            |""".stripMargin)
     val cfg = GraftConfig.load(cfgFile.toString)
     assert(cfg.sourceWire === Some(("db.example", 5433)))
@@ -75,6 +76,7 @@ class GraftConfigSpec extends SparkSpec {
     assert(cfg.sourceSsl === "verify-full")
     assert(cfg.sourceSslTrustStore === Some("/etc/pg/root.p12"))
     assert(cfg.sourceSslTrustStorePassword === "zzz")
+    assert(cfg.sourceAuth === "scram")
     // and the built client actually honors it: a TLS-demanding config
     // against a plaintext-only peer must refuse, not silently downgrade
     val stub = new StubPgWire(Seq(PgOutput.encodeRelation(1, 9, "t", Seq("k"))))
@@ -229,6 +231,26 @@ class GraftConfigSpec extends SparkSpec {
     assert(cfg.inactivityFlushMs === Some(5000L))
     assert(cfg.feedFormat === "json")
     assert(cfg.tables.map(_.relId) === Seq(42, 43, 44))
+  }
+
+  test("ssl/auth misconfiguration fails at CONFIG LOAD, not at first connect") {
+    // ADVICE r13: a typo'd sslmode or a verify-* mode missing its trust
+    // store used to surface only when PgWireClient was constructed
+    def withWire(extra: String): String =
+      configText("/in", "/out", "/ckpt") +
+        s"source_wire: db.example:5433\n$extra\n"
+    val e1 = intercept[IllegalArgumentException](
+      GraftConfig.parse(withWire("source_ssl: requied")))
+    assert(e1.getMessage.contains("source_ssl"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GraftConfig.parse(withWire("source_ssl: verify-ca")))
+    assert(e2.getMessage.contains("source_ssl_truststore"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      GraftConfig.parse(withWire("source_auth: kerberos")))
+    assert(e3.getMessage.contains("source_auth"), e3.getMessage)
+    // the valid forms still load
+    assert(GraftConfig.parse(withWire("source_ssl: require")).sourceSsl === "require")
+    assert(GraftConfig.parse(withWire("source_auth: md5")).sourceAuth === "md5")
   }
 
   test("durations parse across units") {

@@ -619,6 +619,112 @@ class PgWireSpec extends SparkSpec {
     } finally s3.stop()
   }
 
+  // ---- SCRAM-SHA-256-PLUS channel binding (VERDICT r13 #6) ----
+
+  test("PLUS-only server over TLS: channel-bound SCRAM succeeds end-to-end") {
+    // a hardened PG fleet advertises ONLY SCRAM-SHA-256-PLUS; the stub's
+    // verifier REQUIRES client-final's c= to carry the gs2 header plus
+    // the server certificate's RFC 5929 hash — success here proves the
+    // client negotiated -PLUS and bound to the right certificate
+    val frames = fixture(1L, 4)
+    val server = new StubPgWire(frames, password = Some("s3cret"),
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)),
+      saslMechanisms = Seq(Scram.MechanismPlus))
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_plus_ok").toString
+    try {
+      val acked = new PgWireClient("127.0.0.1", port, dir,
+        password = Some("s3cret"), sslMode = "require").run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+      assert(landedLsns(dir).sorted ===
+        frames.map(PgOutput.parse(_).lsn.get).sorted)
+    } finally server.stop()
+  }
+
+  test("channel-binding mismatch (relaying MITM model) is refused by the verifier") {
+    // the server's expected binding hash differs from the certificate
+    // the client's TLS leg saw — exactly a MITM terminating both TLS
+    // legs with its own cert; the password is CORRECT on both sides,
+    // and the exchange must still fail
+    val server = new StubPgWire(fixture(1L, 2), password = Some("s3cret"),
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)),
+      saslMechanisms = Seq(Scram.MechanismPlus), tamperChannelBinding = true)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_plus_mitm").toString
+    try {
+      val e = intercept[java.io.IOException](
+        new PgWireClient("127.0.0.1", port, dir,
+          password = Some("s3cret"), sslMode = "require").run(0L))
+      assert(e.getMessage.contains("authentication failed"),
+        s"binding mismatch must fail auth, not succeed: ${e.getMessage}")
+    } finally server.stop()
+  }
+
+  test("PLUS-only server WITHOUT TLS has no common mechanism (no channel to bind)") {
+    val server = new StubPgWire(fixture(1L, 2), password = Some("s3cret"),
+      saslMechanisms = Seq(Scram.MechanismPlus)) // no tlsContext
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_plus_nossl").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir,
+          password = Some("s3cret")).run(0L))
+      assert(e.getMessage.contains("no common SASL mechanism"))
+      assert(e.getMessage.contains("sslmode"),
+        s"refusal should point at the missing TLS channel: ${e.getMessage}")
+    } finally server.stop()
+  }
+
+  test("both mechanisms offered: TLS client picks -PLUS, plaintext client still authenticates") {
+    val frames = fixture(1L, 3)
+    val both = Seq(Scram.MechanismPlus, Scram.Mechanism)
+    val s1 = new StubPgWire(frames, password = Some("s3cret"),
+      tlsContext = Some(TlsFixtures.serverContext(TlsFixtures.goodKeystore)),
+      saslMechanisms = both,
+      // expectCbind only applies to the -PLUS mechanism: success under
+      // tampering would mean the TLS client fell back to the base
+      // mechanism instead of preferring the bound one
+      tamperChannelBinding = true)
+    val p1 = s1.start()
+    try {
+      val dir = Files.createTempDirectory("graft_plus_pref").toString
+      val e = intercept[java.io.IOException](
+        new PgWireClient("127.0.0.1", p1, dir,
+          password = Some("s3cret"), sslMode = "require").run(0L))
+      assert(e.getMessage.contains("authentication failed"),
+        s"TLS client must PREFER -PLUS when offered: ${e.getMessage}")
+    } finally s1.stop()
+    val s2 = new StubPgWire(frames, password = Some("s3cret"),
+      saslMechanisms = both)
+    val p2 = s2.start()
+    try {
+      val dir = Files.createTempDirectory("graft_plus_plain").toString
+      val acked = new PgWireClient("127.0.0.1", p2, dir,
+        password = Some("s3cret")).run(0L)
+      assert(acked === frames.map(PgOutput.parse(_).lsn.get).max)
+    } finally s2.stop()
+  }
+
+  // ---- source_auth downgrade gate (ADVICE r13) ----
+
+  test("source_auth=scram refuses a server that requests MD5 (downgrade gate)") {
+    val server = new StubPgWire(fixture(1L, 2), md5Password = Some("s3cret"))
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_auth_gate").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir,
+          password = Some("s3cret"), authMethod = "scram").run(0L))
+      assert(e.getMessage.contains("source_auth=scram"),
+        s"MD5 downgrade must be refused by name: ${e.getMessage}")
+      // and the same server streams fine when the method is allowed
+      val dir2 = Files.createTempDirectory("graft_auth_ok").toString
+      val acked = new PgWireClient("127.0.0.1", port, dir2,
+        password = Some("s3cret"), authMethod = "md5").run(0L)
+      assert(acked > 0L)
+    } finally server.stop()
+  }
+
   test("stop() unblocks a blocked read promptly (no 30s soTimeout wait)") {
     val server = new java.net.ServerSocket(0)
     val t = new Thread(() => {

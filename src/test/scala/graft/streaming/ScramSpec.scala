@@ -60,4 +60,53 @@ class ScramSpec extends AnyFunSuite {
     val forged = good.substring(0, good.lastIndexOf("p=")) + "p=AAAA"
     assert(v2.verifyClientFinal(forged).isEmpty)
   }
+
+  test("gs2 flags follow RFC 5802: n (no channel), y (unbound TLS), p (bound)") {
+    val hash = Array.tabulate[Byte](32)(_.toByte)
+    assert(new Scram.Client("pw", "n1").gs2Header === "n,,")
+    assert(new Scram.Client("pw", "n2", tlsAvailable = true).gs2Header === "y,,")
+    val bound = new Scram.Client("pw", "n3", channelBinding = Some(hash))
+    assert(bound.gs2Header === "p=tls-server-end-point,,")
+    // cbind-input = gs2 header bytes ++ binding data (RFC 5802 §6)
+    assert(bound.cbindInput ===
+      "p=tls-server-end-point,,".getBytes("UTF-8") ++ hash)
+  }
+
+  test("channel-bound exchange closes only against the matching binding") {
+    val hash = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val expect = "p=tls-server-end-point,,".getBytes("UTF-8") ++ hash
+    val v = new Scram.Verifier("pw",
+      "somesalt".getBytes("UTF-8"), 4096, "srv", Some(expect))
+    val c = new Scram.Client("pw", "bn1", channelBinding = Some(hash))
+    val fin = v.verifyClientFinal(c.clientFinal(v.serverFirst(c.clientFirstMessage)))
+    assert(fin.isDefined, "matching binding + password must authenticate")
+    assert(c.verifyServerFinal(fin.get), "and mutually")
+    // a client bound to a DIFFERENT certificate (the relaying-MITM
+    // shape) fails even with the correct password
+    val other = hash.map(b => (b ^ 1).toByte)
+    val v2 = new Scram.Verifier("pw",
+      "somesalt".getBytes("UTF-8"), 4096, "srv", Some(expect))
+    val c2 = new Scram.Client("pw", "bn2", channelBinding = Some(other))
+    assert(v2.verifyClientFinal(
+      c2.clientFinal(v2.serverFirst(c2.clientFirstMessage))).isEmpty)
+    // and an UNBOUND client against a binding-requiring verifier fails
+    val v3 = new Scram.Verifier("pw",
+      "somesalt".getBytes("UTF-8"), 4096, "srv", Some(expect))
+    val c3 = new Scram.Client("pw", "bn3", tlsAvailable = true)
+    assert(v3.verifyClientFinal(
+      c3.clientFinal(v3.serverFirst(c3.clientFirstMessage))).isEmpty)
+  }
+
+  test("tls-server-end-point: SHA-256 of the certificate's DER (RFC 5929)") {
+    // the fixture certs are SHA256withRSA → hash alg maps to SHA-256
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(TlsFixtures.goodKeystore.toFile)
+    try ks.load(fis, TlsFixtures.storePass.toCharArray) finally fis.close()
+    val cert = ks.getCertificate("stub")
+      .asInstanceOf[java.security.cert.X509Certificate]
+    val got = PgWire.tlsServerEndPoint(cert)
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(cert.getEncoded)
+    assert(got === want)
+  }
 }

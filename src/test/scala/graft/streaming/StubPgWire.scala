@@ -23,7 +23,14 @@ final class StubPgWire(initial: Seq[Array[Byte]],
                        tamperServerSignature: Boolean = false,
                        skipSaslFinal: Boolean = false,
                        md5Password: Option[String] = None,
-                       tlsContext: Option[javax.net.ssl.SSLContext] = None) {
+                       tlsContext: Option[javax.net.ssl.SSLContext] = None,
+                       // SASL mechanisms advertised when `password` is set:
+                       // a hardened PG fleet serves ONLY -PLUS
+                       saslMechanisms: Seq[String] = Seq(Scram.Mechanism),
+                       // models the relaying MITM: the server's expected
+                       // channel binding is computed from a DIFFERENT
+                       // certificate than the one the client's TLS leg saw
+                       tamperChannelBinding: Boolean = false) {
 
   private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   initial.foreach(f => log += ((PgOutput.parse(f).lsn.get, f)))
@@ -83,6 +90,9 @@ final class StubPgWire(initial: Seq[Array[Byte]],
     var sock = plainSock
     var in = new DataInputStream(sock.getInputStream)
     var out = new DataOutputStream(sock.getOutputStream)
+    // the server's OWN certificate hash (RFC 5929) once TLS is up — what
+    // a -PLUS verifier binds the SCRAM exchange to
+    var localCertHash: Option[Array[Byte]] = None
     // --- optional SSLRequest, then the PQ v3 handshake (the walsender's
     // side of the public grammar). SSLRequest and StartupMessage share
     // the leading int32-length framing: len==8 + the magic code means
@@ -101,6 +111,9 @@ final class StubPgWire(initial: Seq[Array[Byte]],
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setUseClientMode(false)
           ssl.startHandshake()
+          localCertHash = ssl.getSession.getLocalCertificates.headOption.collect {
+            case c: java.security.cert.X509Certificate => PgWire.tlsServerEndPoint(c)
+          }
           sock = ssl
           in = new DataInputStream(ssl.getInputStream)
           out = new DataOutputStream(ssl.getOutputStream)
@@ -144,21 +157,31 @@ final class StubPgWire(initial: Seq[Array[Byte]],
       case None => ()
       case Some(pw) =>
         PgWire.writeTyped(out, 'R',
-          authInt(10, PgWire.cstr(Scram.Mechanism) :+ 0.toByte))
+          authInt(10, saslMechanisms.flatMap(PgWire.cstr).toArray :+ 0.toByte))
         val (t1, b1) = PgWire.readTyped(in)
         if (t1 != 'p') { sock.close(); return }
         // SASLInitialResponse: mechanism cstr + int32 len + initial data
         val mechEnd = b1.indexOf(0.toByte)
         val mech = new String(b1, 0, mechEnd, UTF_8)
-        if (mech != Scram.Mechanism) {
+        if (!saslMechanisms.contains(mech)) {
           PgWire.writeTyped(out, 'E',
             PgWire.errorBody(s"unsupported SASL mechanism $mech"))
           sock.close(); return
         }
         val ilen = java.nio.ByteBuffer.wrap(b1, mechEnd + 1, 4).getInt
         val clientFirst = new String(b1, mechEnd + 5, ilen, UTF_8)
+        // -PLUS: the verifier REQUIRES client-final's c= to carry the
+        // gs2 header plus THIS server's certificate hash (tampered under
+        // tamperChannelBinding — the relaying-MITM model, whose own cert
+        // necessarily differs from the one the client bound to)
+        val expectCbind =
+          if (mech != Scram.MechanismPlus) None
+          else localCertHash.map { h =>
+            val bound = if (tamperChannelBinding) h.map(b => (b ^ 0x5a).toByte) else h
+            "p=tls-server-end-point,,".getBytes(UTF_8) ++ bound
+          }
         val verifier = new Scram.Verifier(pw,
-          "graft-stub-salt".getBytes(UTF_8), 4096, "srvnonce")
+          "graft-stub-salt".getBytes(UTF_8), 4096, "srvnonce", expectCbind)
         PgWire.writeTyped(out, 'R',
           authInt(11, verifier.serverFirst(clientFirst).getBytes(UTF_8)))
         val (t2, b2) = PgWire.readTyped(in)
