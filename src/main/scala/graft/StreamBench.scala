@@ -41,6 +41,20 @@ object StreamBench {
     Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Per-twin streaming-state size (VERDICT r13 #4): total rows across
+    * the final micro-batch's state operators — the number that must stay
+    * O(live keys), not O(events), for watermark eviction to be real.
+    * Keyed by the runTwin/restartTwin name; −1 marks "no progress seen".
+    */
+  private val stateRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+  private def recordState(name: String,
+                          q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val p = q.lastProgress
+    stateRows(name) =
+      if (p == null) -1L else p.stateOperators.map(_.numRowsTotal).sum
+  }
+
   /** Run one twin: drop the staged files into a fresh watched directory
     * one at a time (a real micro-batch per arrival), collect the memory
     * sink's rows.
@@ -55,6 +69,7 @@ object StreamBench {
       Files.copy(p, dir.resolve(f"arrival_$i%03d.parquet"))
       q.processAllAvailable()
     }
+    recordState(name, q)
     q.stop()
     spark.table(s"sb_$name").collect()
   }
@@ -98,6 +113,7 @@ object StreamBench {
     val q2 = start()
     q2.processAllAvailable() // catch up on what landed during the outage
     drop(parts.size - arrived, Some(q2))
+    recordState(name, q2)
     q2.stop()
     spark.read.option("basePath", out).parquet(out).collect()
   }
@@ -548,7 +564,12 @@ object StreamBench {
     val twinJson = results.map { case (n, (good, detail, sec)) =>
       s""""$n":{"ok":$good,"sec":${f"$sec%.2f"},"detail":"${jEsc(detail)}"}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"stream_twin_matches","value":$ok,"total":${results.size},"sf":"$sfDir","twins":$twinJson}"""
+    // final-batch state-store rows per streaming query (keyed by the
+    // runTwin name; foreachBatch twins keep state outside the store and
+    // report through their detail strings instead)
+    val stateJson = stateRows.map { case (n, v) => s""""$n":$v""" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"stream_twin_matches","value":$ok,"total":${results.size},"sf":"$sfDir","state_rows":$stateJson,"twins":$twinJson}"""
     println(s"[streambench] $json")
     Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
