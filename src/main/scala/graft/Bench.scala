@@ -244,6 +244,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count (right at sf0.1), but
+    // scaled sweeps must size partitions to the DATA, not the cores — at
+    // 100x, 60M-row sorts split 32 ways are ~2M rows per concurrent task
+    // and exhaust executor memory; 100 TB rule: partitions ≈ volume/128MB
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     // harness-level common-subexpression sharing: the minhash consumers
     // (lsh/verified/keep_list/cluster_components/est/incremental) reuse
     // ONE materialized pipeline per (session, sf) — semantics unchanged
@@ -261,7 +267,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -140,27 +140,40 @@ object StreamBench {
     }
 
     // ---- staged feeds ------------------------------------------------
-    // events: 3 chunks split on the dense, ts-monotone event_id (the
-    // LSN role) — arrivals stay event-time-ordered across micro-batches,
-    // the contract every CDC-shaped twin documents.
+    // events: 3 chunks split on event-TIME terciles — arrivals must stay
+    // event-time-ordered across micro-batches, the contract every
+    // watermarked twin documents (late data is exercised separately and
+    // deliberately, via the sentinel). On the base testdata event_id is
+    // ts-monotone, so this equals the old id-tercile split; on a
+    // ScaleGen twin it does NOT — every key-shifted copy replays the
+    // base ts range, so an id split hands the watermark operators
+    // arbitrarily late replays of whole copies. The round-14 x10 run
+    // measured exactly that: the four watermark twins (session,
+    // interval_join, dedup_counts, hourly_topk) diverged under the id
+    // split — a harness-contract bug, not an engine one. The CDC change
+    // feeds below keep their LSN (event_id) split: a replication log
+    // arrives in LSN order by definition, whatever the event times say.
     val stage = Files.createTempDirectory("graft_sb_stage")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val rawN = normalize(raw)
     val maxId = raw.agg(max("event_id")).head.getLong(0)
     val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val tsCuts = rawN.agg(expr(
+      "percentile(cast(unix_micros(ts) as double), array(0.3333, 0.6667))"))
+      .head.getSeq[Double](0)
+    val tsv = unix_micros(col("ts")).cast("double")
     val evParts = Seq(
-      raw.filter(col("event_id") <= cuts(0)),
-      raw.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
-      raw.filter(col("event_id") > cuts(1))
+      rawN.filter(tsv <= tsCuts(0)),
+      rawN.filter(tsv > tsCuts(0) && tsv <= tsCuts(1)),
+      rawN.filter(tsv > tsCuts(1))
     ).zipWithIndex.map { case (df, i) =>
       val p = stage.resolve(s"events_$i.parquet"); stageOne(df, p); p
     }
     // watermark sentinel: the max-ts row pushed 4 h forward — flushes
     // every real hour through the 2 h watermarks (the spec's pattern)
-    val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val sentinel = raw.orderBy(col("ts").desc).limit(1).select(raw.columns.map {
+    val sentinel = rawN.orderBy(col("ts").desc).limit(1).select(rawN.columns.map {
       case "event_id" => lit(-1L).as("event_id")
-      case "ts" => (if (tsIsLong) col("ts") + lit(14400L * 1000000000L)
-                    else col("ts") + expr("INTERVAL 4 HOURS")).as("ts")
+      case "ts" => (col("ts") + expr("INTERVAL 4 HOURS")).as("ts")
       case "user_id" => lit(999999L).as("user_id")
       case "event_type" => lit("view").as("event_type")
       case c => col(c)
@@ -246,12 +259,22 @@ object StreamBench {
     }
 
     run("interval_join") {
-      val s = events("ivj", "append")(StreamTwins.intervalJoinStream(_))
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // the batch twin DECLARES an ordered LIMIT 500 while the stream
+      // emits the full join, so compare the stream's (p_id, v_id)-ordered
+      // 500-prefix against the batch rows — identical to the old whole-set
+      // compare whenever total pairs ≤ 500 (the base corpus), and correct
+      // at scale where the declared limit truncates (round-14 x10 run:
+      // 7140 stream pairs vs the batch's 500 — a comparison bug, the
+      // stream's prefix matched throughout)
+      val sAll = events("ivj", "append")(StreamTwins.intervalJoinStream(_))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val s = sAll.sortBy(t => (t._1, t._2)).take(500).toSet
       val b = batch("stream_interval_join")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       if (b.isEmpty) Left("batch join empty — fixture not exercised")
-      else if (s == b) Right(s"pairs=${b.size}") else Left(s"sets differ: ${s.size} vs ${b.size}")
+      else if (sAll.length < b.size) Left(s"stream lost pairs: ${sAll.length} < ${b.size}")
+      else if (s == b) Right(s"pairs=${b.size} stream_total=${sAll.length}")
+      else Left(s"ordered 500-prefixes differ: stream=${s.size} batch=${b.size}")
     }
 
     run("ontime_counts") {
