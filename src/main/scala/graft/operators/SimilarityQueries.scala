@@ -123,10 +123,29 @@ object SimilarityQueries {
         sqrt(gdot("embedding", "embedding")).as("cn"))
 
   /** Corpus IVF assignment `(vec_id, cid, v, nv)` at an ARBITRARY ring —
-    * the single broadcast-centroid max_by implementation behind both the
-    * declared queries and the ScaleKnob sweep.
+    * the single entry point behind both the declared queries and the
+    * ScaleKnob sweep. Two physical forms with BIT-IDENTICAL semantics
+    * (GraphAnnSpec pins the equivalence):
+    *
+    *  - [[ivfAssignedAgg]] — crossJoin(broadcast ring) + max_by partial+
+    *    final aggregate: the DECLARED plan every oracle SQL mirrors
+    *    (kept for the oracle ring so plan pins and the DuckDB contract
+    *    stand bit-for-bit).
+    *  - [[ivfAssignedFold]] — for spread rings: the ring is bounded
+    *    (~√N), so collect it once, ship it as ONE array literal in the
+    *    task binary, and argmax it per row inside a codegen'd fold. No
+    *    N×|ring| intermediate, no exchange AT ALL — the round-14 sweep
+    *    measured the agg form's N×|ring| aggregate input as the √N
+    *    ring's cost on assignment-only queries (sim_ivf_topk 0.58→4.17 s
+    *    at 30×); this form removes exactly that term.
     */
-  private[graft] def ivfAssignedAt(spark: SparkSession, dir: String, ring: Ring): DataFrame = {
+  private[graft] def ivfAssignedAt(spark: SparkSession, dir: String, ring: Ring): DataFrame =
+    ring match {
+      case OracleRing     => ivfAssignedAgg(spark, dir, ring)
+      case _: SpreadRing  => ivfAssignedFold(spark, dir, ring)
+    }
+
+  private[graft] def ivfAssignedAgg(spark: SparkSession, dir: String, ring: Ring): DataFrame = {
     val cents = ringCents(spark, dir, ring)
     vecs(spark, dir)
       .crossJoin(broadcast(cents))
@@ -137,6 +156,34 @@ object SimilarityQueries {
         struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
       .withColumn("nv", sqrt(gdot("v", "v")))
+  }
+
+  /** Map-side argmax over a collected ring (see [[ivfAssignedAt]]).
+    * Equivalence argument: csim is the SAME expression sequence
+    * (graft_dot / (precomputed-norm × collected-cn), pround(9)) so the
+    * ranked values are bit-equal, and the fold walks cids in ASCENDING
+    * order replacing only on strictly-greater csim — identical to
+    * max_by's (csim, −cid) ordering. The collected ring is ~√N×64
+    * floats (25 MB at a 10¹⁰-vector corpus) shipped once per executor
+    * with the task binary.
+    */
+  private def ivfAssignedFold(spark: SparkSession, dir: String, ring: Ring): DataFrame = {
+    val centsLocal: Seq[(Long, Seq[Float], Double)] =
+      ringCents(spark, dir, ring).orderBy("cid").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    require(centsLocal.nonEmpty, s"empty centroid ring $ring")
+    val init = struct(lit(-1L).as("cid"), lit(-2.0).as("s"))
+    vecs(spark, dir)
+      .withColumn("nv", sqrt(gdot("embedding", "embedding")))
+      .withColumn("m", aggregate(
+        transform(typedLit(centsLocal), c => struct(
+          c.getField("_1").as("cid"),
+          pround(call_function("graft_dot", col("embedding"), c.getField("_2"))
+            / (col("nv") * c.getField("_3")), 9).as("s"))),
+        init,
+        (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc)))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("embedding").as("v"), col("nv"))
   }
 
   /** [[ivfAssignedAt]] at the session ring, shared/persisted — the IVF

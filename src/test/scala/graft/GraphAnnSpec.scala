@@ -129,6 +129,14 @@ class GraphAnnSpec extends SparkSpec {
     val maxCell = assigned.groupBy(_._2).map(_._2.size).max
     assert(maxCell < n / 10,
       s"ring did not shrink cells: max cell $maxCell of $n")
+    // the fold (map-side) and aggregate (crossJoin+max_by) assignment
+    // forms must be BIT-EQUAL on the same ring — the fold is the spread
+    // ring's physical plan, the aggregate is the declared/oracle one
+    val agg = SimilarityQueries.ivfAssignedAgg(spark, sf001, ring)
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assigned.toSet === agg,
+      "fold assignment diverged from the aggregate form on the same ring")
     // the knobbed kNN build stays a valid bounded-degree graph
     val edges = SimilarityQueries.graphAnnEdges(spark, sf001, ring)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -779,13 +779,13 @@ class PlanShapeSpec extends SparkSpec {
       s"descent must not order the corpus globally:\n$plan")
   }
 
-  test("parameterized ring build keeps the declared plan shape at a spread ring (VERDICT r13 #1)") {
-    // the √N production ring must execute the SAME physical shape the
-    // oracle-ring plan was graded on: centroids broadcast into the
-    // assignment (never a partitioned cross), the argmax stays a
-    // partial+final aggregate (no corpus window), and the cell-local
-    // kNN self-join stays a shuffled-hash pairing (a merge join would
-    // sort every cell group; SpreadRing keys are ~√N-ary, not dim-ary)
+  test("parameterized ring build: spread-ring assignment is MAP-SIDE, cell join shuffled-hash (VERDICT r13 #1)") {
+    // the √N production ring ships the collected ring as one literal
+    // and argmaxes it per row inside codegen: the edge build's ONLY
+    // exchanges are the cell-local self-join's (plus its degree-rank
+    // window) — no crossJoin, no assignment aggregate, no broadcast at
+    // all. A merge join would sort every cell group; SpreadRing keys
+    // are ~√N-ary, not dim-ary, so shuffled-hash stays pinned.
     import graft.operators.SimilarityQueries
     val df = SimilarityQueries.graphAnnEdges(spark, sf001,
       SimilarityQueries.SpreadRing(22L))
@@ -796,12 +796,10 @@ class PlanShapeSpec extends SparkSpec {
         graft.core.releaseQueryCaches(spark)
         spark.catalog.clearCache()
       }
-    assert(countOf(plan, "BroadcastExchange") >= 1,
-      s"ring centroids must broadcast into the assignment:\n$plan")
-    assert(countOf(plan, "CartesianProduct") === 0,
-      s"only broadcast crosses against the bounded ring:\n$plan")
-    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
-      s"assignment argmax must stay a partial+final aggregate:\n$plan")
+    assert(countOf(plan, "CartesianProduct") + countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"spread-ring assignment must not cross-join the corpus:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") === 0,
+      s"spread-ring assignment is a per-row fold — no aggregate anywhere in the edge build:\n$plan")
     assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") <= 1,
       s"only the per-src degree rank may window:\n$plan")
     assert(countOf(plan, "SortMergeJoin") === 0,
