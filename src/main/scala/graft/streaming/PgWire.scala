@@ -133,11 +133,46 @@ object PgWire {
   def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
     val alg = cert.getSigAlgName.toUpperCase
     val h =
-      if (alg.contains("SHA384")) "SHA-384"
+      if (alg.contains("RSASSA-PSS")) {
+        // the digest hides in the signature's AlgorithmParameters, not
+        // the name; mapping PSS blindly to SHA-256 would silently
+        // diverge from PostgreSQL's be_tls_get_certificate_hash and turn
+        // a -PLUS handshake into an opaque auth failure. Recover the
+        // MGF/hash from the params; refuse loudly if we cannot.
+        pssDigest(cert).getOrElse(throw new IllegalStateException(
+          "unsupported certificate signature algorithm for channel " +
+            "binding: RSASSA-PSS with an unrecoverable digest parameter " +
+            "— use sslmode without -PLUS or reissue the server cert"))
+      }
+      else if (alg.contains("SHA384")) "SHA-384"
       else if (alg.contains("SHA512")) "SHA-512"
+      else if (alg.contains("SHA224")) throw new IllegalStateException(
+        "unsupported certificate signature algorithm for channel " +
+          "binding: SHA-224 (PostgreSQL's be_tls_get_certificate_hash " +
+          "has no SHA-224 branch; reissue the server cert)")
       else "SHA-256"
     java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
   }
+
+  /** Digest algorithm of an RSASSA-PSS certificate signature, read from
+    * the signature AlgorithmParameters (RFC 4055 `RSASSA-PSS-params`,
+    * first field = hashAlgorithm). Returns None when the JCA provider
+    * cannot surface the params in PSS form. */
+  private[streaming] def pssDigest(
+      cert: java.security.cert.X509Certificate): Option[String] =
+    Option(cert.getSigAlgParams).flatMap { der =>
+      try {
+        val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+        ap.init(der)
+        val spec = ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
+        spec.getDigestAlgorithm.toUpperCase.replace("SHA", "SHA-").replace("--", "-") match {
+          case "SHA-256" => Some("SHA-256")
+          case "SHA-384" => Some("SHA-384")
+          case "SHA-512" => Some("SHA-512")
+          case _         => None // SHA-224 & exotics: no PG analogue
+        }
+      } catch { case _: Exception => None }
+    }
 
   /** StartupMessage (frontend, UNtyped): len:int32 counting the whole
     * message, protocol:int32, `key\0value\0` pairs, terminating `\0`. */
@@ -468,7 +503,19 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
           case 'R' =>
             def rest: String = new String(body, 4, body.length - 4, UTF_8)
             ByteBuffer.wrap(body).getInt match {
-              case 0 => requireMutualDone("AuthenticationOk") // AuthenticationOk
+              case 0 => // AuthenticationOk
+                // source_auth=scram pins the METHOD, not just the
+                // downgrade ladder: a server (or on-path MITM under
+                // sslmode=require, where certs go unvalidated) that
+                // answers the startup with an immediate AuthenticationOk
+                // has proven nothing. libpq's require_auth=scram-sha-256
+                // likewise rejects trust-auth servers.
+                require(authMethod != "scram" || (scram != null && saslVerified),
+                  "server accepted the connection without SCRAM " +
+                    "authentication but source_auth=scram requires a " +
+                    "completed SASL exchange — refusing a trust-auth " +
+                    "(or downgrading MITM) peer")
+                requireMutualDone("AuthenticationOk")
               case 5 => // AuthenticationMD5Password: tail = 4-byte salt
                 require(authMethod != "scram",
                   "server requested MD5 password authentication but " +

@@ -725,6 +725,28 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("source_auth=scram refuses a trust-auth server (immediate AuthenticationOk)") {
+    // ADVICE r14 (medium): the scram pin must demand that a SASL
+    // exchange actually HAPPENED — a MITM under sslmode=require can
+    // otherwise skip SCRAM entirely by answering the startup with
+    // AuthenticationOk, and requireMutualDone passes vacuously
+    // (scram==null). libpq's require_auth=scram-sha-256 analogue.
+    val server = new StubPgWire(fixture(1L, 2)) // trust: immediate R(0)
+    val port = server.start()
+    val dir = Files.createTempDirectory("graft_auth_trust").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", port, dir,
+          password = Some("s3cret"), authMethod = "scram").run(0L))
+      assert(e.getMessage.contains("source_auth=scram"),
+        s"trust-auth under the scram pin must be refused by name: ${e.getMessage}")
+      // default (unpinned) client accepts the same trust server
+      val dir2 = Files.createTempDirectory("graft_auth_trust_ok").toString
+      val acked = new PgWireClient("127.0.0.1", port, dir2).run(0L)
+      assert(acked > 0L)
+    } finally server.stop()
+  }
+
   test("stop() unblocks a blocked read promptly (no 30s soTimeout wait)") {
     val server = new java.net.ServerSocket(0)
     val t = new Thread(() => {

@@ -109,4 +109,30 @@ class ScramSpec extends AnyFunSuite {
       .digest(cert.getEncoded)
     assert(got === want)
   }
+
+  private def loadCert(ksPath: java.nio.file.Path): java.security.cert.X509Certificate = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath.toFile)
+    try ks.load(fis, TlsFixtures.storePass.toCharArray) finally fis.close()
+    ks.getCertificate("stub").asInstanceOf[java.security.cert.X509Certificate]
+  }
+
+  test("tls-server-end-point: RSASSA-PSS digest recovered from signature params (ADVICE r14)") {
+    // getSigAlgName is just "RSASSA-PSS"; the real digest lives in the
+    // RFC 4055 params. Mapping PSS blindly to SHA-256 only happens to
+    // work when the params SAY SHA-256 — assert we actually read them.
+    val cert = loadCert(TlsFixtures.pssKeystore)
+    assert(cert.getSigAlgName.toUpperCase.contains("RSASSA-PSS"))
+    assert(PgWire.pssDigest(cert) === Some("SHA-256"))
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(cert.getEncoded)
+    assert(PgWire.tlsServerEndPoint(cert) === want)
+  }
+
+  test("tls-server-end-point: SHA-224 certificate is refused with a clear diagnostic") {
+    val cert = loadCert(TlsFixtures.sha224Keystore)
+    val e = intercept[IllegalStateException](PgWire.tlsServerEndPoint(cert))
+    assert(e.getMessage.contains("channel binding"),
+      s"SHA-224 must fail loudly, not silently map to SHA-256: ${e.getMessage}")
+  }
 }

@@ -35,13 +35,15 @@ object TlsFixtures {
   }
 
   private def genKeystore(name: String, dname: String,
-                          san: Option[String]): Path = {
+                          san: Option[String],
+                          sigAlg: Option[String] = None): Path = {
     val ks = dir.resolve(s"$name.p12")
     val base = Seq("-genkeypair", "-alias", "stub", "-keyalg", "RSA",
       "-keysize", "2048", "-storetype", "PKCS12",
       "-keystore", ks.toString, "-storepass", storePass,
       "-keypass", storePass, "-dname", dname, "-validity", "3650")
-    keytool(base ++ san.toSeq.flatMap(s => Seq("-ext", s"SAN=$s")): _*)
+    keytool(base ++ sigAlg.toSeq.flatMap(a => Seq("-sigalg", a))
+      ++ san.toSeq.flatMap(s => Seq("-ext", s"SAN=$s")): _*)
     ks
   }
 
@@ -51,6 +53,16 @@ object TlsFixtures {
     genKeystore("badhost", "CN=elsewhere.example", Some("dns:elsewhere.example"))
   lazy val otherKeystore: Path =
     genKeystore("other", "CN=unrelated", None)
+  /** RSASSA-PSS-signed cert (digest hidden in the signature params) —
+    * exercises the PSS branch of PgWire.tlsServerEndPoint. */
+  lazy val pssKeystore: Path =
+    genKeystore("pss", "CN=localhost", Some("dns:localhost,ip:127.0.0.1"),
+      sigAlg = Some("RSASSA-PSS"))
+  /** SHA-224 signature: PostgreSQL's be_tls_get_certificate_hash has no
+    * SHA-224 branch, so channel binding must refuse it loudly. */
+  lazy val sha224Keystore: Path =
+    genKeystore("s224", "CN=localhost", Some("dns:localhost,ip:127.0.0.1"),
+      sigAlg = Some("SHA224withRSA"))
 
   private def loadKs(p: Path): KeyStore = {
     val ks = KeyStore.getInstance("PKCS12")
