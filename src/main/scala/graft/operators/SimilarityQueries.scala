@@ -58,8 +58,15 @@ object SimilarityQueries {
                       (build: => DataFrame): DataFrame =
     if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) scopedPersist(build)
     else simCache.synchronized {
+      // key salted with the dataset fingerprint: a ScaleGen regeneration
+      // at the same dir mid-session gets a fresh build, not stale rows.
+      // Entries hold checkpointed DataFrames and thus SparkSession refs
+      // for the JVM lifetime — the documented shared-pipeline contract
+      // (Bench/Verify sweeps own one session per JVM; a long-lived
+      // service embedding multiple sessions must leave the knob off).
       simCache.getOrElseUpdate(
-        (spark, dir + "#" + key, spark.conf.get("spark.sql.shuffle.partitions", "")),
+        (spark, dir + "#" + embFingerprint(dir) + "#" + key,
+          spark.conf.get("spark.sql.shuffle.partitions", "")),
         build.localCheckpoint(true))
     }
 
@@ -86,20 +93,49 @@ object SimilarityQueries {
   private[graft] sealed trait Ring
   private[graft] case object OracleRing extends Ring
   private[graft] final case class SpreadRing(k: Long) extends Ring
+  /** A spread ring whose membership hash is the repo's PORTABLE 60-bit
+    * md5 (first 15 hex digits as an integer) instead of xxhash64 — same
+    * √N sizing, same one-narrow-predicate selection, but DuckDB can
+    * mirror it, so the production fold-assignment path earns its own
+    * CORRECTNESS row (`sim_ivf_spread`) instead of resting solely on
+    * GraphAnnSpec's fold≡aggregate pin (VERDICT r14 #1). */
+  private[graft] final case class PortableSpreadRing(k: Long) extends Ring
+
+  /** Spark-side portable 60-bit hash of vec_id (TextQueries' hx trick). */
+  private val vidHash =
+    "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"
 
   private[graft] def ringPred(r: Ring): Column = r match {
-    case OracleRing    => col("vec_id") >= 480 && col("vec_id") < 490
-    case SpreadRing(k) => pmod(xxhash64(col("vec_id")), lit(k)) === 0
+    case OracleRing            => col("vec_id") >= 480 && col("vec_id") < 490
+    case SpreadRing(k)         => pmod(xxhash64(col("vec_id")), lit(k)) === 0
+    case PortableSpreadRing(k) => expr(s"$vidHash % $k") === 0
   }
 
-  private val nCache = scala.collection.mutable.Map.empty[(SparkSession, String), Long]
+  private val nCache = scala.collection.mutable.Map.empty[(String, String), Long]
+
+  /** Cheap dataset fingerprint of `dir/embeddings.parquet` — file count,
+    * total bytes, max mtime. Keys [[nCache]] (and salts [[sharedOr]]'s
+    * key) so regenerating the dataset at a different scale IN THE SAME
+    * SESSION (ScaleGen → query, ADVICE r14) re-counts instead of sizing
+    * spread rings from a stale N. One filesystem stat, no Spark job.
+    */
+  private def embFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
+      else Seq(f)
+    val fs = walk(new java.io.File(s"$dir/embeddings.parquet"))
+    s"${fs.size}:${fs.map(_.length()).sum}:${if (fs.isEmpty) 0L else fs.map(_.lastModified()).max}"
+  }
 
   /** Corpus row count — one parquet metadata-level count, cached per
-    * (session, dir) — sizes the spread rings. Never runs in oracle mode.
+    * (dir, fingerprint): dataset-determined, so the map holds no
+    * SparkSession reference. Sizes the spread rings; never runs in
+    * oracle mode.
     */
   private def corpusN(spark: SparkSession, dir: String): Long =
     nCache.synchronized {
-      nCache.getOrElseUpdate((spark, dir), t(spark, dir, "embeddings").count())
+      nCache.getOrElseUpdate((dir, embFingerprint(dir)),
+        t(spark, dir, "embeddings").count())
     }
 
   /** Resolve the session ring for the declared queries (knob table above). */
@@ -141,8 +177,8 @@ object SimilarityQueries {
     */
   private[graft] def ivfAssignedAt(spark: SparkSession, dir: String, ring: Ring): DataFrame =
     ring match {
-      case OracleRing     => ivfAssignedAgg(spark, dir, ring)
-      case _: SpreadRing  => ivfAssignedFold(spark, dir, ring)
+      case OracleRing => ivfAssignedAgg(spark, dir, ring)
+      case _          => ivfAssignedFold(spark, dir, ring) // all spread rings
     }
 
   private[graft] def ivfAssignedAgg(spark: SparkSession, dir: String, ring: Ring): DataFrame = {
@@ -526,6 +562,49 @@ object SimilarityQueries {
            |row_number() OVER (PARTITION BY pc.probe ORDER BY $sim DESC, b.vec_id) AS rn
            |FROM pc JOIN asg b ON b.cid = pc.pcid AND b.vec_id <> pc.probe)
            |WHERE rn <= 3 ORDER BY probe, sim DESC, cand""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // PRODUCTION spread-ring IVF assignment, oracle-checked (VERDICT r14
+    // #1). The declared IVF keys pin `graft.ann.ring=oracle` in Verify/
+    // Bench, so CORRECTNESS never executed the √N fold path — its
+    // equivalence rested on GraphAnnSpec's fold≡aggregate pin. This key
+    // closes the loop THROUGH the DuckDB oracle: ring membership is the
+    // portable 60-bit md5 hash (hash(vec_id) % k == 0, k = round(√N),
+    // both engines computing k from their own count), so DuckDB mirrors
+    // the exact production ring and the fold-form assignment
+    // ([[ivfAssignedFold]]: collected ~√N ring shipped in the task
+    // binary, per-row codegen'd argmax, ZERO exchanges before the final
+    // O(√N)-row cell aggregate) is hash-checked end-to-end. Output is
+    // the per-cell census — members + vec_id sum/min/max — so any single
+    // assignment flip moves two rows. Scale shape: one narrow corpus
+    // pass + one partial+final agg keyed cid; the ring is ~√N rows
+    // (~25 MB at a 10¹⁰-vector corpus) collected once.
+    "sim_ivf_spread" -> QueryDef(
+      (spark, dir) => {
+        val n = corpusN(spark, dir)
+        val k = math.max(1L, math.round(math.sqrt(n.toDouble)))
+        ivfAssignedAt(spark, dir, PortableSpreadRing(k))
+          .groupBy(col("cid"))
+          .agg(cnt("members"), sum(col("vec_id")).cast("long").as("sum_vid"),
+            min(col("vec_id")).as("min_vid"), max(col("vec_id")).as("max_vid"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |k AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS kk FROM e),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e, k
+           |WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % kk = 0),
+           |asg AS (SELECT vec_id, cid FROM (
+           |SELECT e.vec_id, c.cid,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS members,
+           |CAST(sum(vec_id) AS BIGINT) AS sum_vid,
+           |min(vec_id) AS min_vid, max(vec_id) AS max_vid
+           |FROM asg GROUP BY cid ORDER BY cid""".stripMargin.replace("\n", " ")
       },
       tier = "E"),
 

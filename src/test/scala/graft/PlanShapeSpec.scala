@@ -33,6 +33,22 @@ class PlanShapeSpec extends SparkSpec {
       "partial+final argmax aggregate missing")
   }
 
+  test("sim_ivf_spread: fold assignment — zero joins/windows, one cell-agg exchange") {
+    // the production √N fold path (VERDICT r14 #1): the collected ring
+    // rides the task binary as a literal, so the corpus pass must plan
+    // NO join of any kind and NO window; the only exchange is the final
+    // O(√N)-row groupBy(cid) partial+final aggregate.
+    val plan = executedPlan("sim_ivf_spread")
+    assert(countOf(plan, "Join") === 0,
+      s"fold assignment must not plan a join:\n$plan")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"fold assignment must not plan a window:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"only the final cell aggregate may exchange:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
+      "partial+final cell aggregate missing")
+  }
+
   test("sim_ivf_nprobe: assignment is an aggregate; only bounded per-probe windows") {
     val plan = executedPlan("sim_ivf_nprobe")
     // two windows max — the 10×10 probe-cell rank and the per-probe top-k;
