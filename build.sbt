@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SEQUENTIALLY inside the forked test JVM (sbt's
+// testForkedParallel default, pinned here explicitly): several specs
+// mutate JVM-wide graft.* knobs (graft.jaccard.maxPairsPerDoc,
+// graft.ann.ring) mid-test and would flake under parallel suites.
+Test / testForkedParallel := false
 run / fork := true
 // Pass the forked JVM's stdout straight through instead of routing it via
 // sbt's logger: the logger prefixes every line with "[info] ", which broke

@@ -26,8 +26,14 @@ object PlanAudit {
       sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
     spark.range(100).selectExpr("sum(id)").collect() // JIT warm
     val fn = Registry.all.toMap.apply(name).fn
-    if (explain) println(fn(spark, sfDir).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    if (explain) {
+      // plan-only build: suppress eager guard probes (e.g. the jaccard
+      // density guard) so asking for the plan never runs real jobs
+      System.setProperty("graft.planOnly", "true")
+      try println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      finally System.clearProperty("graft.planOnly")
+    }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

