@@ -47,12 +47,18 @@ object StreamBench {
     * Keyed by the runTwin/restartTwin name; −1 marks "no progress seen".
     */
   private val stateRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+  /** Final event-time watermark (epoch seconds) per twin — lets append-
+    * mode legs compute the batch side's closed-by-watermark subset. */
+  private val lastWatermark = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
   private def recordState(name: String,
                           q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val p = q.lastProgress
     stateRows(name) =
       if (p == null) -1L else p.stateOperators.map(_.numRowsTotal).sum
+    if (p != null) Option(p.eventTime.get("watermark")).foreach { w =>
+      lastWatermark(name) = java.time.Instant.parse(w).getEpochSecond
+    }
   }
 
   /** Run one twin: drop the staged files into a fresh watched directory
@@ -256,6 +262,52 @@ object StreamBench {
       if (s != b) Left(s"session counts differ")
       else if (total != n) Left(s"sessions do not partition events: $total != $n")
       else Right(s"users=${b.size} events=$n")
+    }
+
+    run("session_append") {
+      // BOUNDED-STATE session leg (VERDICT r14 #2): the complete-mode
+      // twin above must hold every session ever seen (a harness
+      // necessity — complete mode is what lets the memory sink equal
+      // the batch query), so its state is O(all sessions). This leg
+      // runs the SAME session_window aggregate in APPEND mode: the
+      // watermark closes sessions as event time advances, closed
+      // sessions are emitted and EVICTED, and final state holds only
+      // the sessions still open inside the last watermark+gap horizon —
+      // O(open sessions) ≈ O(active users). Emissions are checked
+      // exactly against the batch inventory's closed-by-watermark
+      // subset (either boundary convention accepted: end ≤ W / end < W).
+      val rows = events("session_append", "append")(StreamTwins.sessionCounts(_))
+      val s = rows.map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2))).toSet
+      // batch session inventory: the declared lag-flag arithmetic plus a
+      // running session id, one row per (user, session) with start/end
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = normalize(spark.read.parquet(s"$sfDir/events.parquet"))
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+        .withColumn("flag",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .withColumn("sid", sum(col("flag")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("es")).as("start"),
+          (max(col("es")) + lit(1800L)).as("end"), count(lit(1)).as("cnt"))
+        .select("user_id", "start", "end", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val wm = lastWatermark.getOrElse("session_append", Long.MinValue)
+      def closed(strict: Boolean) = sess
+        .filter(x => if (strict) x._3 < wm else x._3 <= wm)
+        .map(x => (x._1, x._2, x._4)).toSet
+      val users = sess.map(_._1).distinct.length.toLong
+      val open = sess.length - s.size
+      val st = stateRows.getOrElse("session_append", -1L)
+      if (s != closed(false) && s != closed(true))
+        Left(s"closed-session sets differ: emitted=${s.size} " +
+          s"closedLE=${closed(false).size} closedLT=${closed(true).size} wm=$wm")
+      else if (st < 0 || st > 4 * users)
+        Left(s"session state not bounded by active users: state_rows=$st users=$users")
+      else Right(s"closed=${s.size} open=$open of=${sess.length} state_rows=$st users=$users")
     }
 
     run("interval_join") {
