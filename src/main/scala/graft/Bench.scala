@@ -241,15 +241,42 @@ object Bench {
     if (full.length <= 1880) full else render(Seq.empty)
   }
 
+  /** Data-derived shuffle-partition default (the SCALE.md sizing rule):
+    * one partition per ~8 MiB of on-disk parquet — the calibration the
+    * round-14 sweep measured (≈17 MB sf0.1 and the 187 MB 10× twin run
+    * clean at the 32-core floor; the 1.8 GB 100× twin needs ≈256: its
+    * 60M-row iterative-join sorts at 32-way splitting exhaust an 8 GB
+    * heap, and 8 MiB of columnar parquet decodes to ≈128 MB of row-form
+    * shuffle input there). Rounded UP to a power of two (halvable by
+    * AQE coalescing), floored at the core count, capped at 4096. At
+    * cluster scale the same rule is the volume-proportional INITIAL
+    * partition count handed to AQE, not a fixed core-count constant.
+    */
+  private[graft] def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(size).sum)
+      else f.length()
+    val bytes = size(new java.io.File(sfDir))
+    val perPartition = 8L << 20
+    val raw = math.max(cpus.toLong, (bytes + perPartition - 1) / perPartition)
+    var p = 1L
+    while (p < raw) p <<= 1
+    math.min(p, 4096L).toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle partitions default to the core count (right at sf0.1), but
-    // scaled sweeps must size partitions to the DATA, not the cores — at
-    // 100x, 60M-row sorts split 32 ways are ~2M rows per concurrent task
-    // and exhaust executor memory; 100 TB rule: partitions ≈ volume/128MB
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // shuffle partitions are sized to the DATA by default (VERDICT r14
+    // #3 — the SCALE.md rule as code, not prose): at 100x the r14 sweep
+    // measured graph_pagerank DYING at partitions=cores (60M-row sorts
+    // split 32 ways exhaust an 8 GB heap) and running clean at 256.
+    // [[autoShufflePartitions]] derives the default from corpus bytes;
+    // the env var still overrides for sweeps that pin the knob.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      autoShufflePartitions(sfDir, cpus.toInt).toString)
+    println(s"[bench] shuffle_partitions=$shufflePartitions " +
+      (if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) "(env)" else "(auto)"))
     // harness-level common-subexpression sharing: the minhash consumers
     // (lsh/verified/keep_list/cluster_components/est/incremental) reuse
     // ONE materialized pipeline per (session, sf) — semantics unchanged
@@ -268,6 +295,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Iterative-graph exchange reuse (VERDICT r14 #5): at the default
+      // (true) AQE may repartition cached plans, so consumers cannot
+      // rely on a cached relation's layout and re-exchange it. false
+      // preserves cached-plan output partitioning; measured at sf0.1
+      // this cuts graph_pagerank's runtime shuffle 49.1->20.0 MB
+      // (4.35M->2.02M records) with LPA and the rest neutral.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -58,11 +58,17 @@ object ScaleGen {
     * structure, isometric embedding copies).
     */
   def scaleInto(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
-    def copies(name: String, nOut: Int)(shift: (DataFrame, Int) => DataFrame): Unit = {
+    def copies(name: String, nOutBase: Int)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val scaled = (0 until mult).map(k => shift(base, k)).reduce(_ unionByName _)
+      // output files scale with the data, not a fixed constant (VERDICT
+      // r14 #3): nOutBase is calibrated for a 10× twin, so beyond 10×
+      // grow it linearly — a 100× lineitem lands in 320 files instead of
+      // 32 monoliths, keeping per-file size (and any reader that maps
+      // files to splits) flat as M grows.
+      val nOut = math.max(nOutBase, nOutBase * mult / 10)
       scaled.repartition(nOut).write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] $name x$mult -> $out")
+      println(s"[scalegen] $name x$mult -> $out ($nOut files)")
     }
     def shifted(cols: String*)(df: DataFrame, k: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * Stride)))

@@ -19,6 +19,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Iterative-graph exchange reuse (VERDICT r14 #5): at the default
+      // (true) AQE may repartition cached plans, so consumers cannot
+      // rely on a cached relation's layout and re-exchange it. false
+      // preserves cached-plan output partitioning; measured at sf0.1
+      // this cuts graph_pagerank's runtime shuffle 49.1->20.0 MB
+      // (4.35M->2.02M records) with LPA and the rest neutral.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

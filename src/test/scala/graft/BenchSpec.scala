@@ -134,6 +134,24 @@ class BenchSpec extends SparkSpec {
     Bench.Sweep(rs, Seq.fill(40)(0.321), 8)
   }
 
+  test("auto shuffle partitions: data-derived, core-floored, power-of-two") {
+    // calibration points from the r14 sweep: the ~17 MB sf0.1 corpus and
+    // the 187 MB 10x twin stay at the core floor; the 1.8 GB 100x twin
+    // lands at 256 (the measured OOM-clearing setting) with NO env knob
+    def fake(bytes: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_autosp")
+      val f = new java.io.RandomAccessFile(dir.resolve("t.parquet").toFile, "rw")
+      try f.setLength(bytes) finally f.close()
+      dir.toString
+    }
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 32) === 32)
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 32)
+    assert(Bench.autoShufflePartitions(fake(1830L << 20), 32) === 256)
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 4)
+    // monotone cap: absurd volume cannot explode the partition count
+    assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
+  }
+
   test("compact line fits the driver's 2000-char tail at full surface size") {
     val line = Bench.renderCompact(fakeSweep(300, errs = 50),
       "/root/testdata/sf0.1", "/root/repo/bench_full.json")

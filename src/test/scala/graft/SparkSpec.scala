@@ -26,6 +26,10 @@ object SparkSpec {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same setting as the Bench/Verify harness sessions (measured r15:
+    // pagerank's runtime shuffle drops 49.1->20.0 MB / 4.35M->2.02M
+    // records at sf0.1 with cached-plan partitioning preserved).
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
