@@ -242,22 +242,26 @@ object Bench {
   }
 
   /** Data-derived shuffle-partition default (the SCALE.md sizing rule):
-    * one partition per ~8 MiB of on-disk parquet — the calibration the
-    * round-14 sweep measured (≈17 MB sf0.1 and the 187 MB 10× twin run
-    * clean at the 32-core floor; the 1.8 GB 100× twin needs ≈256: its
-    * 60M-row iterative-join sorts at 32-way splitting exhaust an 8 GB
-    * heap, and 8 MiB of columnar parquet decodes to ≈128 MB of row-form
-    * shuffle input there). Rounded UP to a power of two (halvable by
-    * AQE coalescing), floored at the core count, capped at 4096. At
-    * cluster scale the same rule is the volume-proportional INITIAL
-    * partition count handed to AQE, not a fixed core-count constant.
+    * one partition per ~4 MiB of on-disk parquet. Calibration is
+    * measured, twice: the r14 sweep showed 60M-row iterative-join sorts
+    * at the 32-core floor exhausting an 8 GB heap on the ≈1.8 GB 100×
+    * twin while 256 ran clean — and an r15 re-run at exactly 256 still
+    * tipped over once mid-sweep (UNABLE_TO_ACQUIRE_MEMORY in pagerank's
+    * sort), so 256 is the cliff edge, not a safe point; 4 MiB lands the
+    * 100× twin at 512 (~4 MiB of columnar parquet ≈ 64 MB of row-form
+    * shuffle input per partition, sorts comfortably inside the ~170 MB
+    * per-task execution share at local[32]/8 GB). sf0.1 (≈17 MB) stays
+    * at the core-count floor. Rounded UP to a power of two (halvable by
+    * AQE coalescing), capped at 4096. At cluster scale the same rule is
+    * the volume-proportional INITIAL partition count handed to AQE, not
+    * a fixed core-count constant.
     */
   private[graft] def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
     def size(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(size).sum)
       else f.length()
     val bytes = size(new java.io.File(sfDir))
-    val perPartition = 8L << 20
+    val perPartition = 4L << 20
     val raw = math.max(cpus.toLong, (bytes + perPartition - 1) / perPartition)
     var p = 1L
     while (p < raw) p <<= 1

@@ -32,6 +32,20 @@ object StreamBench {
       case _ => df
     }
 
+  /** Land a staged part in a WATCHED directory atomically: copy to a
+    * dot-prefixed temp name (Spark's file listing ignores hidden files)
+    * and rename into place — same directory, so the move is atomic. A
+    * plain Files.copy raced the always-on micro-batch poll at 100×
+    * (45 MB per chunk): the source listed the half-written file and the
+    * query died with FAILED_READ_FILE, a scale-revealed harness bug in
+    * the same family as round-14's id-split one.
+    */
+  private def arrive(src: Path, dir: Path, name: String): Unit = {
+    val tmp = dir.resolve("." + name + ".tmp")
+    Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Stage `df` as ONE parquet file at `dest` (a future feed arrival). */
   private def stageOne(df: DataFrame, dest: Path): Unit = {
     val tmp = Files.createTempDirectory("graft_sb_chunk").toString
@@ -72,7 +86,7 @@ object StreamBench {
     val q = build(spark.readStream.schema(schema).parquet(dir.toString))
       .writeStream.format("memory").queryName(s"sb_$name").outputMode(mode).start()
     parts.zipWithIndex.foreach { case (p, i) =>
-      Files.copy(p, dir.resolve(f"arrival_$i%03d.parquet"))
+      arrive(p, dir, f"arrival_$i%03d.parquet")
       q.processAllAvailable()
     }
     recordState(name, q)
@@ -108,7 +122,7 @@ object StreamBench {
     var arrived = 0
     def drop(n: Int, q: Option[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
       parts.slice(arrived, arrived + n).foreach { p =>
-        Files.copy(p, dir.resolve(f"arrival_$arrived%03d.parquet"))
+        arrive(p, dir, f"arrival_$arrived%03d.parquet")
         arrived += 1
         q.foreach(_.processAllAvailable())
       }
@@ -602,13 +616,13 @@ object StreamBench {
         }
         .start()
       val q1 = start()
-      Files.copy(parts.head, dir.resolve("arrival_000.parquet"))
+      arrive(parts.head, dir, "arrival_000.parquet")
       q1.processAllAvailable()
       q1.stop() // the crash
-      Files.copy(parts(1), dir.resolve("arrival_001.parquet")) // lands while down
+      arrive(parts(1), dir, "arrival_001.parquet") // lands while down
       val q2 = start()
       q2.processAllAvailable()
-      Files.copy(parts(2), dir.resolve("arrival_002.parquet")) // the near-dup copy
+      arrive(parts(2), dir, "arrival_002.parquet") // the near-dup copy
       q2.processAllAvailable()
       q2.stop()
       val got = spark.read.option("basePath", outDir).parquet(outDir)

@@ -135,9 +135,10 @@ class BenchSpec extends SparkSpec {
   }
 
   test("auto shuffle partitions: data-derived, core-floored, power-of-two") {
-    // calibration points from the r14 sweep: the ~17 MB sf0.1 corpus and
-    // the 187 MB 10x twin stay at the core floor; the 1.8 GB 100x twin
-    // lands at 256 (the measured OOM-clearing setting) with NO env knob
+    // calibration points (r14/r15 measurements): the ~17 MB sf0.1 corpus
+    // stays at the core floor; the ~1.9 GB 100x twin lands at 512 — one
+    // step PAST the 256 cliff edge where an r15 re-run still OOM'd once
+    // mid-sweep — with NO env knob
     def fake(bytes: Long): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_autosp")
       val f = new java.io.RandomAccessFile(dir.resolve("t.parquet").toFile, "rw")
@@ -145,9 +146,10 @@ class BenchSpec extends SparkSpec {
       dir.toString
     }
     assert(Bench.autoShufflePartitions(fake(17L << 20), 32) === 32)
-    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 32)
-    assert(Bench.autoShufflePartitions(fake(1830L << 20), 32) === 256)
-    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 4)
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 64)
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 512)
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 8) // data > floor
+    assert(Bench.autoShufflePartitions(fake(1L << 20), 4) === 4)  // floor
     // monotone cap: absurd volume cannot explode the partition count
     assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
   }
