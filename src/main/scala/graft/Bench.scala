@@ -241,28 +241,41 @@ object Bench {
     if (full.length <= 1880) full else render(Seq.empty)
   }
 
-  /** Data-derived shuffle-partition default (the SCALE.md sizing rule):
-    * one partition per ~4 MiB of on-disk parquet. Calibration is
-    * measured, twice: the r14 sweep showed 60M-row iterative-join sorts
-    * at the 32-core floor exhausting an 8 GB heap on the ≈1.8 GB 100×
-    * twin while 256 ran clean — and an r15 re-run at exactly 256 still
-    * tipped over once mid-sweep (UNABLE_TO_ACQUIRE_MEMORY in pagerank's
-    * sort), so 256 is the cliff edge, not a safe point; 4 MiB lands the
-    * 100× twin at 512 (~4 MiB of columnar parquet ≈ 64 MB of row-form
-    * shuffle input per partition, sorts comfortably inside the ~170 MB
-    * per-task execution share at local[32]/8 GB). sf0.1 (≈17 MB) stays
-    * at the core-count floor. Rounded UP to a power of two (halvable by
-    * AQE coalescing), capped at 4096. At cluster scale the same rule is
-    * the volume-proportional INITIAL partition count handed to AQE, not
-    * a fixed core-count constant.
+  /** Data-derived shuffle-partition default (the SCALE.md sizing rule),
+    * every constant in it measured. The 100× calibration, twice: the
+    * r14 sweep showed 60M-row iterative-join sorts at the 32-core floor
+    * exhausting an 8 GB heap on the ≈1.9 GB 100× twin while 256 ran
+    * clean — and an r15 re-run at exactly 256 still tipped over once
+    * mid-sweep (UNABLE_TO_ACQUIRE_MEMORY in pagerank's sort), so 256 is
+    * the cliff edge, not a safe point; the memory regime sizes at
+    * 4 MiB/partition → 512 there (~4 MiB of columnar parquet ≈ 64 MB of
+    * row-form shuffle input, sorts comfortably inside the ~170 MB
+    * per-task execution share at local[32]/8 GB). The 10× calibration:
+    * a blind 4 MiB rule split the 187 MB twin 64 ways and cost 21%
+    * task-overhead wall (219.9 s vs 181.8 s at the core floor), so the
+    * floor holds until even a COARSE 16 MiB split would exceed the core
+    * count. Rounded UP to a power of two (halvable by AQE coalescing),
+    * capped at 4096. At cluster scale the same rule is the
+    * volume-proportional INITIAL partition count handed to AQE, not a
+    * fixed core-count constant.
     */
   private[graft] def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
     def size(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(size).sum)
       else f.length()
     val bytes = size(new java.io.File(sfDir))
-    val perPartition = 4L << 20
-    val raw = math.max(cpus.toLong, (bytes + perPartition - 1) / perPartition)
+    // Two regimes with a measured boundary: while a 16 MiB/partition
+    // split still fits inside the core count the corpus is latency-
+    // bound and MORE partitions only add task overhead (the 187 MB 10×
+    // twin ran 181.8 s at the 32-core floor and 219.9 s split 64 ways —
+    // scale/bench_full_10x_{r14,r15}.json); past that boundary the
+    // corpus is sort-memory-bound and gets the tight 4 MiB/partition
+    // sizing (512 at the 1.9 GB 100× twin — one step past the measured
+    // 256 OOM cliff).
+    val coarse = (bytes + (16L << 20) - 1) / (16L << 20)
+    val raw =
+      if (coarse <= cpus) cpus.toLong
+      else (bytes + (4L << 20) - 1) / (4L << 20)
     var p = 1L
     while (p < raw) p <<= 1
     math.min(p, 4096L).toInt

@@ -146,10 +146,10 @@ class BenchSpec extends SparkSpec {
       dir.toString
     }
     assert(Bench.autoShufflePartitions(fake(17L << 20), 32) === 32)
-    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 64)
-    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 512)
-    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 8) // data > floor
-    assert(Bench.autoShufflePartitions(fake(1L << 20), 4) === 4)  // floor
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 32) // latency regime
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 512) // memory regime
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 4)
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 4) === 64) // 4-core boundary
     // monotone cap: absurd volume cannot explode the partition count
     assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
   }
