@@ -146,10 +146,13 @@ object PgWire {
       }
       else if (alg.contains("SHA384")) "SHA-384"
       else if (alg.contains("SHA512")) "SHA-512"
-      else if (alg.contains("SHA224")) throw new IllegalStateException(
-        "unsupported certificate signature algorithm for channel " +
-          "binding: SHA-224 (PostgreSQL's be_tls_get_certificate_hash " +
-          "has no SHA-224 branch; reissue the server cert)")
+      // ADVICE r15: PostgreSQL only REMAPS MD5/SHA-1 to SHA-256; every
+      // other signature digest resolves via EVP_get_digestbynid, which
+      // supports SHA-224 — a SHA-224-signed cert channel-binds fine
+      // with libpq, so this client must hash with SHA-224 too (the JDK
+      // MessageDigest supports it). Refusal is reserved for digests PG
+      // genuinely cannot resolve (the PSS unrecoverable-params branch).
+      else if (alg.contains("SHA224")) "SHA-224"
       else "SHA-256"
     java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
   }
@@ -166,10 +169,11 @@ object PgWire {
         ap.init(der)
         val spec = ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
         spec.getDigestAlgorithm.toUpperCase.replace("SHA", "SHA-").replace("--", "-") match {
+          case "SHA-224" => Some("SHA-224") // EVP resolves it; so does the JDK
           case "SHA-256" => Some("SHA-256")
           case "SHA-384" => Some("SHA-384")
           case "SHA-512" => Some("SHA-512")
-          case _         => None // SHA-224 & exotics: no PG analogue
+          case _         => None // exotics (e.g. SHA-3): no PG analogue
         }
       } catch { case _: Exception => None }
     }
@@ -493,10 +497,20 @@ final class PgWireClient(host: String, port: Int, feedDir: String,
       // collects the client proof and then short-circuits with R(0)
       // never proves it knows the verifier — refuse to proceed.
       var saslVerified = false
-      def requireMutualDone(at: String): Unit =
+      def requireMutualDone(at: String): Unit = {
         require(scram == null || saslVerified,
           s"server skipped SCRAM mutual authentication ($at before a " +
             "verified AuthenticationSASLFinal) — refusing an unproven peer")
+        // ADVICE r15: the scram METHOD pin must hold on EVERY path to
+        // readiness, not just the AuthenticationOk handler — a hostile
+        // peer can skip the Authentication message family entirely and
+        // go straight to ParameterStatus/BackendKeyData/ReadyForQuery,
+        // leaving scram==null so the clause above passes vacuously.
+        require(authMethod != "scram" || saslVerified,
+          s"server reached $at without a completed SCRAM exchange but " +
+            "source_auth=scram requires one — refusing a trust-auth " +
+            "(or authentication-skipping MITM) peer")
+      }
       while (!ready) {
         val (typ, body) = PgWire.readTyped(in)
         typ match {

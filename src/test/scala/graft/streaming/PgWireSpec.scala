@@ -747,6 +747,44 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("source_auth=scram refuses a server that skips Authentication entirely") {
+    // ADVICE r15 (medium): the trust-auth pin lived only in the R(0)
+    // handler — a hostile peer can send NO Authentication message at
+    // all (ParameterStatus/BackendKeyData straight to ReadyForQuery),
+    // leaving scram==null so requireMutualDone passed vacuously and the
+    // client reached ready=true without any SCRAM exchange. The pin
+    // must be demanded on the readiness path itself.
+    val server = new java.net.ServerSocket(0)
+    @volatile var served = false
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        PgWire.readStartup(in)
+        // ParameterStatus, BackendKeyData, ReadyForQuery — NO 'R' frame
+        val ps = new java.io.ByteArrayOutputStream()
+        ps.write(PgWire.cstr("server_version")); ps.write(PgWire.cstr("16.0"))
+        PgWire.writeTyped(out, 'S', ps.toByteArray)
+        PgWire.writeTyped(out, 'K',
+          java.nio.ByteBuffer.allocate(8).putInt(42).putInt(7).array())
+        PgWire.writeTyped(out, 'Z', Array('I'.toByte))
+        served = true
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.start()
+    val dir = Files.createTempDirectory("graft_auth_skip").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        new PgWireClient("127.0.0.1", server.getLocalPort, dir,
+          password = Some("s3cret"), authMethod = "scram").run(0L))
+      assert(e.getMessage.contains("source_auth=scram"),
+        s"an authentication-skipping peer must be refused by name: ${e.getMessage}")
+      assert(served, "stub must have completed its frame sequence")
+    } finally { server.close(); t.join(5000) }
+  }
+
   test("stop() unblocks a blocked read promptly (no 30s soTimeout wait)") {
     val server = new java.net.ServerSocket(0)
     val t = new Thread(() => {

@@ -129,10 +129,16 @@ class ScramSpec extends AnyFunSuite {
     assert(PgWire.tlsServerEndPoint(cert) === want)
   }
 
-  test("tls-server-end-point: SHA-224 certificate is refused with a clear diagnostic") {
+  test("tls-server-end-point: SHA-224 certificate hashes with SHA-224 (matches PG)") {
+    // ADVICE r15: PostgreSQL's be_tls_get_certificate_hash only remaps
+    // MD5/SHA-1 to SHA-256; SHA-224 resolves via EVP_get_digestbynid and
+    // channel-binds fine with libpq — so must we (NOT a silent SHA-256
+    // map, and NOT a refusal: both would break interop with a server
+    // that works today).
     val cert = loadCert(TlsFixtures.sha224Keystore)
-    val e = intercept[IllegalStateException](PgWire.tlsServerEndPoint(cert))
-    assert(e.getMessage.contains("channel binding"),
-      s"SHA-224 must fail loudly, not silently map to SHA-256: ${e.getMessage}")
+    assert(cert.getSigAlgName.toUpperCase.contains("SHA224"))
+    val want = java.security.MessageDigest.getInstance("SHA-224")
+      .digest(cert.getEncoded)
+    assert(PgWire.tlsServerEndPoint(cert) === want)
   }
 }
