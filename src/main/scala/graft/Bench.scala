@@ -273,9 +273,13 @@ object Bench {
     // sizing (512 at the 1.9 GB 100× twin — one step past the measured
     // 256 OOM cliff).
     val coarse = (bytes + (16L << 20) - 1) / (16L << 20)
-    val raw =
-      if (coarse <= cpus) cpus.toLong
-      else (bytes + (4L << 20) - 1) / (4L << 20)
+    // Latency regime returns the core count DIRECTLY (ADVICE r15): the
+    // power-of-two rounding exists so AQE can coalesce the data-derived
+    // value cleanly, but rounding the core floor itself would hand a
+    // local[12] 16 partitions — pure task overhead vs the partitions=
+    // cores default this rule is calibrated against.
+    if (coarse <= cpus) return cpus
+    val raw = (bytes + (4L << 20) - 1) / (4L << 20)
     var p = 1L
     while (p < raw) p <<= 1
     math.min(p, 4096L).toInt

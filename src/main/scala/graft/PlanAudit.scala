@@ -35,11 +35,12 @@ object PlanAudit {
     val fn = Registry.all.toMap.apply(name).fn
     if (explain) {
       // plan-only build: suppress eager guard probes (e.g. the jaccard
-      // density guard) so asking for the plan never runs real jobs
-      System.setProperty("graft.planOnly", "true")
-      try println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      finally System.clearProperty("graft.planOnly")
+      // density guard) so asking for the plan never runs real jobs.
+      // Scoped per call stack (ADVICE r15), not a JVM-wide property.
+      core.planOnly.withValue(true) {
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
     }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()

@@ -94,6 +94,56 @@ object StreamBench {
     spark.table(s"sb_$name").collect()
   }
 
+  /** Order-insensitive engine-side digest of a relation: row count plus
+    * an exact DECIMAL(38,0) sum of a 60-bit xxhash of `cols` — equal
+    * digests ⟺ equal multisets (whp), computed WITHOUT materializing a
+    * single row on the driver. The decimal sum cannot overflow below
+    * ~10²⁰ rows and is ANSI-safe; both comparands run in THIS session,
+    * so xxhash64 portability is not needed (unlike the DuckDB oracles'
+    * md5 trick).
+    */
+  private def digestCols(cols: Seq[String]): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).cast("long").as("c"),
+    coalesce(sum(pmod(xxhash64(cols.map(col): _*), lit(1L << 60))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+      lit(java.math.BigDecimal.ZERO)).as("h"))
+
+  private def digestOf(df: DataFrame, cols: Seq[String]): (Long, java.math.BigDecimal) = {
+    val r = df.agg(digestCols(cols).head, digestCols(cols).tail: _*).head
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Like [[runTwin]] but BOUNDED-DRIVER (VERDICT r15 #3): instead of a
+    * memory sink that collects every emitted row (the scd2 twin's
+    * full interval table — 10M rows at 100×, the reason the streaming
+    * sweep needed a 24 GB driver heap), the sink folds each micro-batch
+    * into the count+checksum digest, batch-id-keyed so a replayed batch
+    * lands on top of itself (the BufferedSink idempotence discipline).
+    * One aggregate row crosses to the driver per micro-batch.
+    */
+  private def runTwinDigest(spark: SparkSession, parts: Seq[Path], schema: StructType,
+                            name: String, mode: String, cols: Seq[String])
+                           (build: DataFrame => DataFrame): (Long, java.math.BigDecimal) = {
+    val dir = Files.createTempDirectory(s"graft_sb_$name")
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Long, java.math.BigDecimal)]()
+    val q = build(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode(mode)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        acc.put(id, digestOf(df, cols)); ()
+      }
+      .start()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      arrive(p, dir, f"arrival_$i%03d.parquet")
+      q.processAllAvailable()
+    }
+    recordState(name, q)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.values.asScala.foldLeft((0L, java.math.BigDecimal.ZERO)) {
+      case ((c, h), (c2, h2)) => (c + c2, h.add(h2))
+    }
+  }
+
   /** Crash-recovery run (VERDICT r11 #5): the twin processes the first
     * arrival, the query is STOPPED, `downArrivals` further files land
     * while it is down, then a NEW query resumes from the same
@@ -360,16 +410,34 @@ object StreamBench {
     }
 
     run("scd2") {
-      val s = events("scd2", "append")(StreamTwins.scd2HistoryStream(_))
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
-      val rows = batch("cdc_scd2_history")
-      val closed = rows.filter(_.getLong(5) == 0L)
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
-      val open = rows.filter(_.getLong(5) == 1L).map(r => (r.getLong(0), r.getLong(1))).toSet
-      if (closed.isEmpty) Left("no closed intervals")
-      else if (!closed.forall { case (k, v) => s.get(k).contains(v) }) Left("closed intervals diverge")
-      else if (open.exists(s.contains)) Left("open interval leaked into append output")
-      else Right(s"closed=${closed.size} open=${open.size}")
+      // ENGINE-SIDE comparison (VERDICT r15 #3): the old harness
+      // collected the stream's full closed-interval table through the
+      // memory sink — 10M rows at 100×, the single reason the streaming
+      // sweep needed SPARK_DRIVER_MEM=24g. Both sides now reduce to a
+      // (count, 60-bit-hash-sum) digest in the engine: equal digests ⟺
+      // the emitted multiset EQUALS the batch inventory's closed
+      // (valid_to IS NOT NULL) subset — full-set equality, STRONGER
+      // than the old 500-row-subset + open-leak probe (a leaked open
+      // interval or any extra/missing row flips the count or the sum).
+      val cols = Seq("user_id", "valid_from", "valid_to", "event_type", "value_r")
+      val (sc, sh) = runTwinDigest(spark, evParts, evSchema, "scd2", "append", cols)(
+        s => StreamTwins.scd2HistoryStream(normalize(s)))
+      // full batch inventory (the declared key carries a LIMIT 500 —
+      // build the unlimited relation inline, same lead() arithmetic)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val inv = normalize(spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("user_id"), col("event_id").as("valid_from"),
+          lead(col("event_id"), 1).over(w).as("valid_to"),
+          col("event_type"), graft.core.pround(col("value"), 2).as("value_r"))
+      val (bc, bh) = digestOf(inv.filter(col("valid_to").isNotNull), cols)
+      val users = inv.filter(col("valid_to").isNull).count()
+      val st = stateRows.getOrElse("scd2", -1L)
+      if (bc == 0L) Left("no closed intervals")
+      else if (sc != bc) Left(s"closed-interval counts differ: stream=$sc batch=$bc")
+      else if (sh.compareTo(bh) != 0) Left("closed-interval checksums diverge")
+      else if (st < 0 || st > users) Left(s"state not O(users): $st > $users")
+      else Right(s"closed=$bc open=$users state_rows=$st")
     }
 
     run("asof_tolerance") {

@@ -142,4 +142,34 @@ package object core {
     def scopedPersist(): DataFrame = core.scopedPersist(df)
     def scopedCheckpoint(): DataFrame = core.scopedCheckpoint(df)
   }
+
+  /** Plan-only builds (PlanAudit --explain): suppress eager guard probe
+    * jobs for THIS call stack only. A DynamicVariable, not a JVM-wide
+    * system property (ADVICE r15) — a concurrent thread building the
+    * same query still runs its guard, and nested/forgotten cleanup
+    * cannot leak the flag past the `withValue` scope.
+    */
+  val planOnly = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Named long accumulators for operator telemetry (VERDICT r15 #7):
+    * registered once per (SparkContext, name) so a cluster operator
+    * sees the value on the listener bus / status APIs, where a
+    * driver-local system property is invisible. Driver-set gauges:
+    * reset + add on each measurement.
+    */
+  private val gaugeReg = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String),
+    org.apache.spark.util.LongAccumulator]()
+
+  def gauge(spark: SparkSession, name: String): org.apache.spark.util.LongAccumulator =
+    gaugeReg.computeIfAbsent((spark.sparkContext, name), { key =>
+      val acc = new org.apache.spark.util.LongAccumulator
+      key._1.register(acc, key._2)
+      acc
+    })
+
+  def setGauge(spark: SparkSession, name: String, v: Long): Unit = {
+    val g = gauge(spark, name)
+    g.reset(); g.add(v)
+  }
 }

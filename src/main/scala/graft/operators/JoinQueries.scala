@@ -62,8 +62,29 @@ object JoinQueries {
     else graphCache.synchronized {
       val key = (spark, dir + "#pr", spark.conf.get("spark.sql.shuffle.partitions", ""))
       graphCache.getOrElseUpdate(key, {
-        val (deg, edgesDeg) = build(identity)
-        (deg.localCheckpoint(true), edgesDeg.localCheckpoint(true))
+        // Carrier choice (VERDICT r15 #2, measured in SCALE.md round-16):
+        //  - checkpoint (default): deserialized row blocks — cheapest to
+        //    RE-SCAN, so warm sweep runs are fast (r15 bench numbers),
+        //    but the layout is stripped and every iteration re-exchanges
+        //    edgesDeg (49.1 MB runtime shuffle at sf0.1 local[4]).
+        //  - persist: the SAME three relations the unshared scopedPersist
+        //    path caches (edges included — persisting only deg/edgesDeg
+        //    leaves the cached edgesDeg behind an exchange consumers
+        //    repeat): layout preserved under the pinned
+        //    canChangeCachedPlanOutputPartitioning=false, 2.4× less
+        //    shuffle (20.0 MB), but the columnar cache re-scan costs
+        //    ~+2-3 s per warm run locally. On a multi-node cluster the
+        //    shuffle crosses the NETWORK while the cache re-scan stays
+        //    node-local — there, persist is the right default; in this
+        //    single-JVM harness wall-clock favors checkpoint.
+        // ShuffleAudit measures both via graft.shared.carrier.
+        sys.props.getOrElse("graft.shared.carrier", "checkpoint") match {
+          case "checkpoint" =>
+            val (deg, edgesDeg) = build(identity)
+            (deg.localCheckpoint(true), edgesDeg.localCheckpoint(true))
+          case _ =>
+            build(_.persist())
+        }
       })
     }
   }
@@ -90,7 +111,13 @@ object JoinQueries {
     else graphCache.synchronized {
       val key = (spark, dir + "#tri", spark.conf.get("spark.sql.shuffle.partitions", ""))
       graphCache.getOrElseUpdate(key, {
-        val e = build.localCheckpoint(true); (e, e)
+        // persist for the same layout reason as [[pagerankGraph]]: the
+        // distinct's hashpartitioning(x, y) stays visible to consumers
+        if (sys.props.getOrElse("graft.shared.carrier", "checkpoint") == "checkpoint") {
+          val e = build.localCheckpoint(true); (e, e)
+        } else {
+          val e = build.persist(); (e, e)
+        }
       })._1
     }
   }

@@ -51,23 +51,55 @@ object SimilarityQueries {
   // the expression chain the queries previously inlined.
   // ------------------------------------------------------------------
 
+  private final case class SimKey(spark: SparkSession, dir: String,
+                                  fp: String, key: String, parts: String)
   private val simCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.mutable.Map.empty[SimKey, DataFrame]
 
-  private def sharedOr(spark: SparkSession, key: String, dir: String)
+  /** Best-effort release of a localCheckpoint'ed DataFrame's blocks: the
+    * checkpointed RDD sits behind the LogicalRDD the checkpoint wrapped.
+    * A miss (plan shape change across Spark versions) just leaves the
+    * old contract — blocks live for the JVM lifetime. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
+  /** Test hook: live shared-pipeline cache fingerprints for `dir`. */
+  private[graft] def simCacheFps(dir: String): Seq[String] =
+    simCache.synchronized { simCache.keys.filter(_.dir == dir).map(_.fp).toSeq }
+
+  /** Test hook: drop and free EVERY shared entry for `dir` (a spec that
+    * exercised the shared pipeline must leave no cached blocks behind —
+    * DeterminismSpec's sweep-end zero-blocks pin runs later in the same
+    * session). */
+  private[graft] def evictSharedFor(dir: String): Unit =
+    simCache.synchronized {
+      simCache.keys.filter(_.dir == dir).toSeq
+        .foreach { k => simCache.remove(k).foreach(freeCheckpoint) }
+    }
+
+  private[graft] def sharedOr(spark: SparkSession, key: String, dir: String)
                       (build: => DataFrame): DataFrame =
     if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) scopedPersist(build)
     else simCache.synchronized {
       // key salted with the dataset fingerprint: a ScaleGen regeneration
-      // at the same dir mid-session gets a fresh build, not stale rows.
-      // Entries hold checkpointed DataFrames and thus SparkSession refs
-      // for the JVM lifetime — the documented shared-pipeline contract
+      // at the same dir mid-session gets a fresh build, not stale rows —
+      // and (ADVICE r15) the superseded generation's checkpointed blocks
+      // are released on insert, so growth is per-LIVE-dataset, not
+      // per-regeneration. Entries still hold SparkSession refs for the
+      // JVM lifetime — the documented shared-pipeline contract
       // (Bench/Verify sweeps own one session per JVM; a long-lived
       // service embedding multiple sessions must leave the knob off).
-      simCache.getOrElseUpdate(
-        (spark, dir + "#" + embFingerprint(dir) + "#" + key,
-          spark.conf.get("spark.sql.shuffle.partitions", "")),
-        build.localCheckpoint(true))
+      val fp = embFingerprint(dir)
+      val k = SimKey(spark, dir, fp, key,
+        spark.conf.get("spark.sql.shuffle.partitions", ""))
+      if (!simCache.contains(k)) {
+        val stale = simCache.keys.filter(o => o.dir == dir && o.fp != fp).toSeq
+        stale.foreach { o => simCache.remove(o).foreach(freeCheckpoint) }
+      }
+      simCache.getOrElseUpdate(k, build.localCheckpoint(true))
     }
 
   // ------------------------------------------------------------------
@@ -114,28 +146,40 @@ object SimilarityQueries {
   private val nCache = scala.collection.mutable.Map.empty[(String, String), Long]
 
   /** Cheap dataset fingerprint of `dir/embeddings.parquet` — file count,
-    * total bytes, max mtime. Keys [[nCache]] (and salts [[sharedOr]]'s
-    * key) so regenerating the dataset at a different scale IN THE SAME
-    * SESSION (ScaleGen → query, ADVICE r14) re-counts instead of sizing
-    * spread rings from a stale N. One filesystem stat, no Spark job.
+    * total bytes, max NANOSECOND mtime (Files.getLastModifiedTime; the
+    * millisecond File.lastModified collapses to 1 s granularity on many
+    * filesystems, so a same-size regeneration within the same second
+    * could silently reuse a stale count — ADVICE r15). Keys [[nCache]]
+    * (and salts [[sharedOr]]'s key) so regenerating the dataset at a
+    * different scale IN THE SAME SESSION (ScaleGen → query, ADVICE r14)
+    * re-counts instead of sizing spread rings from a stale N. One
+    * filesystem stat pass, no Spark job.
     */
   private def embFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
       else Seq(f)
     val fs = walk(new java.io.File(s"$dir/embeddings.parquet"))
-    s"${fs.size}:${fs.map(_.length()).sum}:${if (fs.isEmpty) 0L else fs.map(_.lastModified()).max}"
+    def mtimeNanos(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified() * 1000000L }
+    s"${fs.size}:${fs.map(_.length()).sum}:${if (fs.isEmpty) 0L else fs.map(mtimeNanos).max}"
   }
 
   /** Corpus row count — one parquet metadata-level count, cached per
     * (dir, fingerprint): dataset-determined, so the map holds no
-    * SparkSession reference. Sizes the spread rings; never runs in
-    * oracle mode.
+    * SparkSession reference. Stale generations of the same dir are
+    * evicted on insert. Sizes the spread rings; never runs in oracle
+    * mode.
     */
-  private def corpusN(spark: SparkSession, dir: String): Long =
+  private[graft] def corpusN(spark: SparkSession, dir: String): Long =
     nCache.synchronized {
-      nCache.getOrElseUpdate((dir, embFingerprint(dir)),
-        t(spark, dir, "embeddings").count())
+      val fp = embFingerprint(dir)
+      if (!nCache.contains((dir, fp)))
+        nCache.keys.filter(k => k._1 == dir && k._2 != fp).toSeq
+          .foreach(nCache.remove)
+      nCache.getOrElseUpdate((dir, fp), t(spark, dir, "embeddings").count())
     }
 
   /** Resolve the session ring for the declared queries (knob table above). */
@@ -208,18 +252,45 @@ object SimilarityQueries {
       ringCents(spark, dir, ring).orderBy("cid").collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
     require(centsLocal.nonEmpty, s"empty centroid ring $ring")
-    val init = struct(lit(-1L).as("cid"), lit(-2.0).as("s"))
-    vecs(spark, dir)
-      .withColumn("nv", sqrt(gdot("embedding", "embedding")))
-      .withColumn("m", aggregate(
-        transform(typedLit(centsLocal), c => struct(
-          c.getField("_1").as("cid"),
-          pround(call_function("graft_dot", col("embedding"), c.getField("_2"))
-            / (col("nv") * c.getField("_3")), 9).as("s"))),
-        init,
-        (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc)))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        col("embedding").as("v"), col("nv"))
+    // Ring carrier (VERDICT r15 #6): the typedLit form embeds the ring
+    // in the plan/codegen constant pool — fine while small, but plan
+    // size would grow with √N. Past `graft.ring.broadcastBytes`
+    // (default 4 MiB) the ring ships as an sc.broadcast instead and the
+    // plan carries an O(1) handle; GraphAnnSpec pins both carriers
+    // bit-equal. Broadcasts are cached per (dir, fingerprint, ring) and
+    // superseded generations unpersisted, mirroring [[sharedOr]].
+    val estBytes = centsLocal.iterator.map(c => 40L + 4L * c._2.length).sum
+    val bcFloor = sys.props.get("graft.ring.broadcastBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    if (estBytes > bcFloor) {
+      graft.plans.RingArgmaxCid.register(spark)
+      val key = s"$dir#${embFingerprint(dir)}#$ring"
+      graft.plans.RingArgmaxCid.evict(s"$dir#", keep = key)
+      graft.plans.RingArgmaxCid.getOrBroadcast(key) {
+        spark.sparkContext.broadcast(graft.plans.RingArgmaxCid.RingPayload(
+          centsLocal.map(_._1).toArray,
+          centsLocal.map(_._2.toArray).toArray,
+          centsLocal.map(_._3).toArray))
+      }
+      vecs(spark, dir)
+        .withColumn("nv", sqrt(gdot("embedding", "embedding")))
+        .withColumn("cid",
+          graft.plans.RingArgmaxCid.ringArgmax(key, col("embedding"), col("nv")))
+        .select(col("vec_id"), col("cid"), col("embedding").as("v"), col("nv"))
+    } else {
+      val init = struct(lit(-1L).as("cid"), lit(-2.0).as("s"))
+      vecs(spark, dir)
+        .withColumn("nv", sqrt(gdot("embedding", "embedding")))
+        .withColumn("m", aggregate(
+          transform(typedLit(centsLocal), c => struct(
+            c.getField("_1").as("cid"),
+            pround(call_function("graft_dot", col("embedding"), c.getField("_2"))
+              / (col("nv") * c.getField("_3")), 9).as("s"))),
+          init,
+          (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc)))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("embedding").as("v"), col("nv"))
+    }
   }
 
   /** [[ivfAssignedAt]] at the session ring, shared/persisted — the IVF
@@ -744,6 +815,70 @@ object SimilarityQueries {
           "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 480 AND vec_id < 490),
+           |asg AS (SELECT vec_id, cid, v FROM (
+           |SELECT e.vec_id, c.cid, e.v,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn
+           |FROM e CROSS JOIN c) WHERE arn = 1),
+           |drp AS (SELECT DISTINCT b.vec_id AS dropped_id
+           |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE $psim >= 0.4)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS members,
+           |CAST(sum(CASE WHEN dropped_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+           |CAST(count(*) - sum(CASE WHEN dropped_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           |FROM asg LEFT JOIN drp ON asg.vec_id = drp.dropped_id
+           |GROUP BY cid ORDER BY cid""".stripMargin.replace("\n", " ")
+      },
+      tier = "E"),
+
+    // PRODUCTION spread-ring SEMANTIC DEDUP, oracle-checked (VERDICT r15
+    // #1). `dedup_semantic` pins the declared 10-centroid oracle ring —
+    // which is why it is the 100× board's most expensive key (cell
+    // population ∝ N/10 makes the within-cell pair join quadratic in N)
+    // — while the production path runs the √N ring where cells stay
+    // ~√N and total pair work is ~N^1.5 (measured ~10× cheaper at 30×,
+    // SCALE.md round 14). sim_ivf_spread proved the portable-md5 ring
+    // recipe for the ASSIGNMENT; this key runs the full SemDeDup
+    // pipeline on that ring — fold assignment (zero exchanges before
+    // the cell stage), cid-keyed within-cell pair join, near-dup drop at
+    // cosine ≥ 0.4 — and hash-checks the per-cell census against DuckDB
+    // deriving k = round(√N) from its own count. Scale shape: one
+    // narrow corpus pass for assignment; the pair join keys on cid so
+    // each ~√N-member cell co-locates once; drops rejoin on vec_id.
+    "dedup_semantic_spread" -> QueryDef(
+      (spark, dir) => {
+        val n = corpusN(spark, dir)
+        val k = math.max(1L, math.round(math.sqrt(n.toDouble)))
+        val ring = PortableSpreadRing(k)
+        val assigned = sharedOr(spark, s"ivf@$ring", dir) {
+          ivfAssignedAt(spark, dir, ring)
+        }
+        val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+          col("v").as("e1"), col("nv").as("n1"))
+        val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+          col("v").as("e2"), col("nv").as("n2"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("v1") < col("v2"))
+          .withColumn("sim", pround(gdot("e1", "e2") / (col("n1") * col("n2")), 6))
+          .filter(col("sim") >= 0.4)
+          .select(col("v2").as("dropped_id")).distinct()
+        assigned
+          .join(dropped, col("vec_id") === col("dropped_id"), "left")
+          .groupBy("cid")
+          .agg(cnt("members"),
+            sum(when(col("dropped_id").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("dropped"))
+          .withColumn("kept", col("members") - col("dropped"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val csim = proundSql(
+          "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))", 9)
+        val psim = proundSql(
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 6)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |k AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS kk FROM e),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e, k
+           |WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % kk = 0),
            |asg AS (SELECT vec_id, cid, v FROM (
            |SELECT e.vec_id, c.cid, e.v,
            |row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, c.cid) AS arn

@@ -2560,12 +2560,15 @@ object TextQueries {
         // explicit route-to-LSH error instead of a runaway stage.
         val capPerDoc = sys.props.get("graft.jaccard.maxPairsPerDoc")
           .map(_.toLong).getOrElse(4096L)
-        // `graft.planOnly` (PlanAudit --explain sets it): the guard's two
-        // probe jobs are EAGER Spark jobs — a consumer that only wants
-        // the logical/physical plan must not trigger real execution
-        // (ADVICE r14). Execution paths (Verify/Bench/tests) leave it
-        // unset, so the guard always runs before a real pair join.
-        if (capPerDoc > 0 && !java.lang.Boolean.getBoolean("graft.planOnly")) {
+        // `core.planOnly` (PlanAudit --explain scopes it): the guard's
+        // two probe jobs are EAGER Spark jobs — a consumer that only
+        // wants the logical/physical plan must not trigger real
+        // execution (ADVICE r14). Per-call-stack DynamicVariable, not a
+        // JVM-wide property (ADVICE r15): a concurrent thread building
+        // this query still runs its guard. Execution paths
+        // (Verify/Bench/tests) never set it, so the guard always runs
+        // before a real pair join.
+        if (capPerDoc > 0 && !planOnly.value) {
           val docs = math.max(1L, sorted.count())
           val r = keyed.groupBy("band").agg(cnt("c"))
             .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
@@ -2580,8 +2583,18 @@ object TextQueries {
           val (avg, hot) = (load / docs, math.max(0L, maxc - 1))
           // telemetry gauge (VERDICT r14 #6): how close the corpus sits
           // to the routing threshold, visible on the HEALTHY path too.
+          // Emitted BOTH as the driver-local property (the sandbox
+          // harness surface) and as named Spark accumulators (VERDICT
+          // r15 #7) — on a real cluster the property is invisible to
+          // operators; the accumulators ride the listener bus / status
+          // APIs the UI reads.
           System.setProperty("graft.jaccard.lastDensity",
             s"avg=$avg hot=$hot docs=$docs candidates=$load cap=$capPerDoc")
+          setGauge(spark, "graft.jaccard.density.avg", avg)
+          setGauge(spark, "graft.jaccard.density.hot", hot)
+          setGauge(spark, "graft.jaccard.density.docs", docs)
+          setGauge(spark, "graft.jaccard.density.candidates", load)
+          setGauge(spark, "graft.jaccard.density.cap", capPerDoc)
           if (avg > capPerDoc) throw new IllegalStateException(
             s"dedup_jaccard_prefix routed off the exact lane: prefix-band density " +
               s"$avg candidate pairs/doc (docs=$docs, candidates=$load) exceeds " +

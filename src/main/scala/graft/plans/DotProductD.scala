@@ -110,5 +110,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((SimHash64D.ident, SimHash64D.info, SimHash64D.builder))
     e.injectFunction((SortedIntersectD.ident, SortedIntersectD.info, SortedIntersectD.builder))
     e.injectFunction((GroupArrayN.ident, GroupArrayN.info, GroupArrayN.builder))
+    e.injectFunction((RingArgmaxCid.ident, RingArgmaxCid.info, RingArgmaxCid.builder))
   }
 }

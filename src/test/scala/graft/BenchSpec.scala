@@ -152,6 +152,10 @@ class BenchSpec extends SparkSpec {
     assert(Bench.autoShufflePartitions(fake(187L << 20), 4) === 64) // 4-core boundary
     // monotone cap: absurd volume cannot explode the partition count
     assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
+    // latency regime on a NON-power-of-two core count returns the core
+    // count itself (ADVICE r15) — 12, not a rounded-up 16
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 12) === 12)
+    assert(Bench.autoShufflePartitions(fake(100L << 20), 7) === 7)
   }
 
   test("compact line fits the driver's 2000-char tail at full surface size") {

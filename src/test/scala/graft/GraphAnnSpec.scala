@@ -137,6 +137,21 @@ class GraphAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(assigned.toSet === agg,
       "fold assignment diverged from the aggregate form on the same ring")
+    // …and the BROADCAST ring carrier (VERDICT r15 #6) is bit-equal to
+    // both: force the size threshold to 0 so even this small ring ships
+    // as an sc.broadcast handle instead of a typedLit constant
+    System.setProperty("graft.ring.broadcastBytes", "0")
+    try {
+      val bc = SimilarityQueries.ivfAssignedAt(spark, sf001, ring)
+      // the plan must carry the handle, not the ring: no literal array
+      // of the ring's size may appear in the expression tree
+      assert(bc.queryExecution.analyzed.toString.contains("graft_ring_argmax"),
+        "threshold=0 must route assignment through the broadcast carrier")
+      val got = bc.select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === agg,
+        "broadcast-carrier assignment diverged from the aggregate form")
+    } finally sys.props -= "graft.ring.broadcastBytes"
     // the knobbed kNN build stays a valid bounded-degree graph
     val edges = SimilarityQueries.graphAnnEdges(spark, sf001, ring)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -43,6 +43,11 @@ class JaccardGuardSpec extends SparkSpec {
     val g = sys.props.get("graft.jaccard.lastDensity")
     assert(g.exists(_.contains("avg=")) && g.exists(_.contains("hot=")),
       s"density gauge must record the refused measurement: $g")
+    // and the cluster-visible surface (VERDICT r15 #7): the named
+    // accumulators carry the same refused measurement
+    assert(graft.core.gauge(spark, "graft.jaccard.density.avg").value > 4096,
+      "accumulator gauge must record the over-budget density")
+    assert(graft.core.gauge(spark, "graft.jaccard.density.cap").value === 4096L)
   }
 
   test("guard stays silent on the declared corpus and leaves results intact") {
@@ -61,6 +66,10 @@ class JaccardGuardSpec extends SparkSpec {
     val avg = g.get.split(" ").find(_.startsWith("avg="))
       .map(_.stripPrefix("avg=").toLong).get
     assert(avg >= 0 && avg <= 4096, s"declared corpus density out of range: $avg")
+    // the named accumulators mirror the healthy-path measurement — the
+    // surface a real cluster operator reads (VERDICT r15 #7)
+    assert(graft.core.gauge(spark, "graft.jaccard.density.avg").value === avg)
+    assert(graft.core.gauge(spark, "graft.jaccard.density.docs").value > 0)
   }
 
   test("hot-band gate: one boilerplate band trips the guard past a sparse average") {
@@ -94,19 +103,35 @@ class JaccardGuardSpec extends SparkSpec {
     } finally sys.props -= "graft.jaccard.maxPairsPerDoc"
   }
 
-  test("graft.planOnly suppresses the guard's eager probe jobs") {
+  test("core.planOnly suppresses the guard's eager probe jobs, scoped per call stack") {
     // PlanAudit --explain builds the DataFrame only to print its plan;
     // the guard must not launch real Spark jobs on that path. Proxy: the
-    // gauge (set by the probe) stays unset.
+    // gauge (set by the probe) stays unset. The flag is a
+    // DynamicVariable (ADVICE r15): it cannot leak past withValue, and a
+    // concurrent thread sees its own (false) binding.
     sys.props -= "graft.jaccard.lastDensity"
-    System.setProperty("graft.planOnly", "true")
+    // an INDEPENDENT thread (created OUTSIDE the binding, like another
+    // harness worker already running) must see its own false binding —
+    // the process-global property failed exactly this (ADVICE r15).
+    // (A thread spawned INSIDE the scope inherits it — DynamicVariable
+    // is an InheritableThreadLocal — which is the right call-stack
+    // semantic for helper threads the audited build itself forks.)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    pool.submit(new Runnable { def run(): Unit = () }).get() // materialize the worker NOW
     try {
-      val df = fn(spark, sf001) // builds the full plan, no guard jobs
-      assert(df.schema.fieldNames.sameElements(Array("d1", "d2", "ja")))
-      assert(sys.props.get("graft.jaccard.lastDensity").isEmpty,
-        "plan-only build must not execute the density probe")
+      graft.core.planOnly.withValue(true) {
+        val df = fn(spark, sf001) // builds the full plan, no guard jobs
+        assert(df.schema.fieldNames.sameElements(Array("d1", "d2", "ja")))
+        assert(sys.props.get("graft.jaccard.lastDensity").isEmpty,
+          "plan-only build must not execute the density probe")
+        val other = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = graft.core.planOnly.value
+        }).get(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(!other, "planOnly must be call-stack-scoped, not process-global")
+      }
+      assert(!graft.core.planOnly.value, "flag must not leak past withValue")
     } finally {
-      System.clearProperty("graft.planOnly")
+      pool.shutdownNow()
       graft.core.releaseQueryCaches(spark)
     }
   }

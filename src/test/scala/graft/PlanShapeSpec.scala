@@ -49,6 +49,21 @@ class PlanShapeSpec extends SparkSpec {
       "partial+final cell aggregate missing")
   }
 
+  test("dedup_semantic_spread: fold assignment, cid-keyed pair join, zero windows") {
+    // the production-ring SemDeDup lane (VERDICT r15 #1): assignment is
+    // the collected-ring fold (NO join, NO window, NO exchange before
+    // the cell stage); the only joins are the cid-keyed within-cell
+    // pair join and the vec_id drop rejoin — never a nested-loop over
+    // the corpus, never a window.
+    val plan = executedPlan("dedup_semantic_spread")
+    assert(countOf(plan, "Window ") + countOf(plan, "Window\\(") === 0,
+      s"spread SemDeDup must not plan a window:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 0,
+      s"no nested-loop join may touch the corpus:\n$plan")
+    assert(countOf(plan, "SortAggregate") + countOf(plan, "HashAggregate") >= 2,
+      "partial+final cell census aggregate missing")
+  }
+
   test("sim_ivf_nprobe: assignment is an aggregate; only bounded per-probe windows") {
     val plan = executedPlan("sim_ivf_nprobe")
     // two windows max — the 10×10 probe-cell rank and the per-probe top-k;
