@@ -113,6 +113,69 @@ object StreamBench {
     (r.getLong(0), r.getDecimal(1))
   }
 
+  /** Bounded-driver COMPLETE-mode twin: each trigger re-emits the full
+    * result table, so only the LAST trigger matters — apply an
+    * engine-side `reduce` per trigger and keep the latest batch's rows
+    * (the memory sink instead held the whole 9.5M-row session table on
+    * the driver — the second 100× heap breaker beside scd2).
+    */
+  private def runTwinComplete(spark: SparkSession, parts: Seq[Path], schema: StructType,
+                              name: String)
+                             (build: DataFrame => DataFrame)
+                             (reduce: DataFrame => Array[Row]): Array[Row] = {
+    val dir = Files.createTempDirectory(s"graft_sb_$name")
+    val last = new java.util.concurrent.atomic.AtomicReference[(Long, Array[Row])](
+      (-1L, Array.empty[Row]))
+    val q = build(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val r = reduce(df)
+        last.updateAndGet(cur => if (id >= cur._1) (id, r) else cur); ()
+      }
+      .start()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      arrive(p, dir, f"arrival_$i%03d.parquet")
+      q.processAllAvailable()
+    }
+    recordState(name, q)
+    q.stop()
+    last.get()._2
+  }
+
+  /** Bounded-driver GROUPED twin: folds each micro-batch into per-group
+    * counts in the engine (one ≤|groups|-row aggregate crosses to the
+    * driver per micro-batch, batch-id-keyed for replay idempotence) —
+    * for twins whose emissions are O(events) but whose comparison is a
+    * small count map (transition_pairs OOM'd the default heap at 100×
+    * collecting 9.85M pair rows through the memory sink).
+    */
+  private def runTwinGrouped(spark: SparkSession, parts: Seq[Path], schema: StructType,
+                             name: String, mode: String, groupCols: Seq[String])
+                            (build: DataFrame => DataFrame): Map[Seq[Any], Long] = {
+    val dir = Files.createTempDirectory(s"graft_sb_$name")
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Map[Seq[Any], Long]]()
+    val q = build(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode(mode)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val m = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).cast("long").as("c"))
+          .collect()
+          .map(r => (groupCols.indices.map(r.get).toList: Seq[Any]) -> r.getLong(groupCols.length))
+          .toMap
+        acc.put(id, m); ()
+      }
+      .start()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      arrive(p, dir, f"arrival_$i%03d.parquet")
+      q.processAllAvailable()
+    }
+    recordState(name, q)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.values.asScala.foldLeft(Map.empty[Seq[Any], Long]) { (z, m) =>
+      m.foldLeft(z) { case (z2, (k, v)) => z2.updated(k, z2.getOrElse(k, 0L) + v) }
+    }
+  }
+
   /** Like [[runTwin]] but BOUNDED-DRIVER (VERDICT r15 #3): instead of a
     * memory sink that collects every emitted row (the scd2 twin's
     * full interval table — 10M rows at 100×, the reason the streaming
@@ -325,8 +388,16 @@ object StreamBench {
     }
 
     run("session") {
-      val rows = events("session", "complete")(StreamTwins.sessionCounts(_))
-      val s = rows.groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+      // engine-side per-user digest of the complete-mode session table
+      // (VERDICT r15 #3 family): the comparison needs per-user session
+      // counts + the conservation total, never the 9.5M session rows
+      val rows = runTwinComplete(spark, evParts, evSchema, "session")(
+        s => StreamTwins.sessionCounts(normalize(s))) { df =>
+        val c = df.columns
+        df.groupBy(col(c(0))).agg(count(lit(1)).cast("long").as("sessions"),
+          coalesce(sum(col(c(2))), lit(0L)).cast("long").as("events")).collect()
+      }
+      val s = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       val b = batch("stream_session_window").map(r => r.getLong(0) -> r.getLong(1)).toMap
       val total = rows.map(_.getLong(2)).sum
       val n = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -347,11 +418,20 @@ object StreamBench {
       // O(open sessions) ≈ O(active users). Emissions are checked
       // exactly against the batch inventory's closed-by-watermark
       // subset (either boundary convention accepted: end ≤ W / end < W).
-      val rows = events("session_append", "append")(StreamTwins.sessionCounts(_))
-      val s = rows.map(r =>
-        (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2))).toSet
+      // Both sides reduce to (count, checksum) digests in the engine
+      // (VERDICT r15 #3 family) — the old set comparison held 9.5M
+      // closed-session tuples on the driver at 100×.
+      val cols = Seq("user_id", "start_s", "cnt")
+      val (sc2, sh2) = runTwinDigest(spark, evParts, evSchema,
+        "session_append", "append", cols) { s =>
+        val d = StreamTwins.sessionCounts(normalize(s))
+        val c = d.columns
+        d.select(col(c(0)).cast("long").as("user_id"),
+          unix_timestamp(col(c(1))).as("start_s"), col(c(2)).cast("long").as("cnt"))
+      }
       // batch session inventory: the declared lag-flag arithmetic plus a
-      // running session id, one row per (user, session) with start/end
+      // running session id, one row per (user, session) with start/end —
+      // NEVER collected; filtered and digested engine-side
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val sess = normalize(spark.read.parquet(s"$sfDir/events.parquet"))
@@ -362,23 +442,26 @@ object StreamBench {
         .withColumn("sid", sum(col("flag")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("es")).as("start"),
-          (max(col("es")) + lit(1800L)).as("end"), count(lit(1)).as("cnt"))
-        .select("user_id", "start", "end", "cnt").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .agg(min(col("es")).as("start_s"),
+          (max(col("es")) + lit(1800L)).as("end"), count(lit(1)).cast("long").as("cnt"))
+        .select("user_id", "start_s", "end", "cnt")
+      val sessP = graft.core.scopedPersist(sess)
       val wm = lastWatermark.getOrElse("session_append", Long.MinValue)
-      def closed(strict: Boolean) = sess
-        .filter(x => if (strict) x._3 < wm else x._3 <= wm)
-        .map(x => (x._1, x._2, x._4)).toSet
-      val users = sess.map(_._1).distinct.length.toLong
-      val open = sess.length - s.size
+      def closedDigest(strict: Boolean) = digestOf(
+        sessP.filter(if (strict) col("end") < wm else col("end") <= wm), cols)
+      val (cLE, hLE) = closedDigest(strict = false)
+      val (cLT, hLT) = closedDigest(strict = true)
+      val totalSessions = sessP.count()
+      val users = sessP.select("user_id").distinct().count()
+      val open = totalSessions - sc2
       val st = stateRows.getOrElse("session_append", -1L)
-      if (s != closed(false) && s != closed(true))
-        Left(s"closed-session sets differ: emitted=${s.size} " +
-          s"closedLE=${closed(false).size} closedLT=${closed(true).size} wm=$wm")
+      if (!((sc2 == cLE && sh2.compareTo(hLE) == 0) ||
+            (sc2 == cLT && sh2.compareTo(hLT) == 0)))
+        Left(s"closed-session digests differ: emitted=$sc2 " +
+          s"closedLE=$cLE closedLT=$cLT wm=$wm")
       else if (st < 0 || st > 4 * users)
         Left(s"session state not bounded by active users: state_rows=$st users=$users")
-      else Right(s"closed=${s.size} open=$open of=${sess.length} state_rows=$st users=$users")
+      else Right(s"closed=$sc2 open=$open of=$totalSessions state_rows=$st users=$users")
     }
 
     run("interval_join") {
@@ -553,9 +636,13 @@ object StreamBench {
     }
 
     run("transition_pairs") {
-      val s = events("trans", "append")(StreamTwins.transitionPairsStream(_))
-        .map(r => (r.getString(1), r.getString(2)))
-        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // engine-side per-(from,to) counts (VERDICT r15 #3 family): the
+      // stream emits O(events) pair rows — 9.85M at 100×, a harness
+      // OOM through the memory sink — but the comparison is a ≤|types|²
+      // count map, so fold each micro-batch to counts in the engine
+      val s = runTwinGrouped(spark, evParts, evSchema, "trans", "append",
+        Seq("from_t", "to_t"))(e => StreamTwins.transitionPairsStream(normalize(e)))
+        .map { case (k, v) => (k.head.toString, k(1).toString) -> v }
       val b = batch("agg_transition_matrix")
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       if (s == b) Right(s"pairs=${b.size}") else Left("transition counts diverge")
