@@ -67,7 +67,7 @@ object ShuffleAudit {
       Thread.sleep(500)
     }
     println(f"""[shuffleaudit] {"query":"$name","carrier":"${
-      sys.props.getOrElse("graft.shared.carrier", "persist")}","shared":${
+      sys.props.getOrElse("graft.shared.carrier", "auto")}","shared":${
       sys.props("graft.shared.pipeline")},"cpus":$cpus,"partitions":$shufflePartitions,"shuffle_mb":${
       bytes.get / 1e6}%.1f,"shuffle_records":${records.get},"wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     spark.stop()

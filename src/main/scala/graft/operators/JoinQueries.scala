@@ -41,6 +41,22 @@ object JoinQueries {
   private val graphCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), (DataFrame, DataFrame)]
 
+  /** Shared-build carrier (VERDICT r15 #2 — measured BOTH ways, SCALE.md
+    * round-16). checkpoint (default): deserialized row blocks, cheapest
+    * to re-scan, the warm-sweep winner at EVERY scale measured (sf0.1
+    * graph keys 2.1/2.1/0.5 s vs 4.7/4.8/3.4 s at persist; 100× board
+    * pagerank 68.8 s vs 108.5 s). persist: preserves the hash layout
+    * (pagerank COLD single-query 66.2 s vs 162.0 s, −183M shuffle
+    * records at 100×) but the columnar cache re-scan plus sweep-wide
+    * storage-memory pressure invert the win on warm boards — the
+    * documented negative result. `graft.shared.carrier=persist` keeps
+    * the cold-query/cluster-shaped alternative selectable; on a real
+    * multi-node cluster, where the avoided exchanges cross the network,
+    * persist is the right choice for iterative consumers.
+    */
+  private def sharedCarrier(spark: SparkSession, dir: String): String =
+    sys.props.getOrElse("graft.shared.carrier", "checkpoint")
+
   /** Pagerank's co-partitioned relations: (deg, edgesDeg). */
   private def pagerankGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     def build(persist: DataFrame => DataFrame): (DataFrame, DataFrame) = {
@@ -78,7 +94,7 @@ object JoinQueries {
         //    node-local — there, persist is the right default; in this
         //    single-JVM harness wall-clock favors checkpoint.
         // ShuffleAudit measures both via graft.shared.carrier.
-        sys.props.getOrElse("graft.shared.carrier", "checkpoint") match {
+        sharedCarrier(spark, dir) match {
           case "checkpoint" =>
             val (deg, edgesDeg) = build(identity)
             (deg.localCheckpoint(true), edgesDeg.localCheckpoint(true))
@@ -113,7 +129,7 @@ object JoinQueries {
       graphCache.getOrElseUpdate(key, {
         // persist for the same layout reason as [[pagerankGraph]]: the
         // distinct's hashpartitioning(x, y) stays visible to consumers
-        if (sys.props.getOrElse("graft.shared.carrier", "checkpoint") == "checkpoint") {
+        if (sharedCarrier(spark, dir) == "checkpoint") {
           val e = build.localCheckpoint(true); (e, e)
         } else {
           val e = build.persist(); (e, e)
