@@ -59,11 +59,16 @@ object ShuffleAudit {
     val wall = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       println(df.queryExecution.executedPlan.toString)
-    // drain the async listener bus: poll until the counters are stable
-    // (listenerBus.waitUntilEmpty is private[spark])
+    // drain the async listener bus (listenerBus.waitUntilEmpty is
+    // private[spark]): require 3 CONSECUTIVE stable 500 ms polls — one
+    // unchanged poll can be a GC pause, not an empty bus — and cap the
+    // wait at 30 s so a trickling bus cannot busy-wait forever.
     var last = -1L
-    while (last != bytes.get + records.get) {
-      last = bytes.get + records.get
+    var stable = 0
+    val drainDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < drainDeadline) {
+      val cur = bytes.get + records.get
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
       Thread.sleep(500)
     }
     println(f"""[shuffleaudit] {"query":"$name","carrier":"${

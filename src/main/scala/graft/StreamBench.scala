@@ -109,7 +109,8 @@ object StreamBench {
       lit(java.math.BigDecimal.ZERO)).as("h"))
 
   private def digestOf(df: DataFrame, cols: Seq[String]): (Long, java.math.BigDecimal) = {
-    val r = df.agg(digestCols(cols).head, digestCols(cols).tail: _*).head
+    val d = digestCols(cols)
+    val r = df.agg(d.head, d.tail: _*).head
     (r.getLong(0), r.getDecimal(1))
   }
 
@@ -152,6 +153,12 @@ object StreamBench {
   private def runTwinGrouped(spark: SparkSession, parts: Seq[Path], schema: StructType,
                              name: String, mode: String, groupCols: Seq[String])
                             (build: DataFrame => DataFrame): Map[Seq[Any], Long] = {
+    // the cross-batch summation below is only correct when each trigger
+    // emits NEW rows exactly once; complete/update modes re-emit rows
+    // across triggers and would double-count (runTwinComplete covers
+    // the complete case)
+    require(mode == "append",
+      s"runTwinGrouped sums across triggers — '$mode' would double-count")
     val dir = Files.createTempDirectory(s"graft_sb_$name")
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, Map[Seq[Any], Long]]()
     val q = build(spark.readStream.schema(schema).parquet(dir.toString))

@@ -54,7 +54,7 @@ object JoinQueries {
     * multi-node cluster, where the avoided exchanges cross the network,
     * persist is the right choice for iterative consumers.
     */
-  private def sharedCarrier(spark: SparkSession, dir: String): String =
+  private def sharedCarrier: String =
     sys.props.getOrElse("graft.shared.carrier", "checkpoint")
 
   /** Pagerank's co-partitioned relations: (deg, edgesDeg). */
@@ -94,7 +94,7 @@ object JoinQueries {
         //    node-local — there, persist is the right default; in this
         //    single-JVM harness wall-clock favors checkpoint.
         // ShuffleAudit measures both via graft.shared.carrier.
-        sharedCarrier(spark, dir) match {
+        sharedCarrier match {
           case "checkpoint" =>
             val (deg, edgesDeg) = build(identity)
             (deg.localCheckpoint(true), edgesDeg.localCheckpoint(true))
@@ -129,7 +129,7 @@ object JoinQueries {
       graphCache.getOrElseUpdate(key, {
         // persist for the same layout reason as [[pagerankGraph]]: the
         // distinct's hashpartitioning(x, y) stays visible to consumers
-        if (sharedCarrier(spark, dir) == "checkpoint") {
+        if (sharedCarrier == "checkpoint") {
           val e = build.localCheckpoint(true); (e, e)
         } else {
           val e = build.persist(); (e, e)

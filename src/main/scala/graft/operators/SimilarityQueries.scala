@@ -264,8 +264,9 @@ object SimilarityQueries {
       .map(_.toLong).getOrElse(4L << 20)
     if (estBytes > bcFloor) {
       graft.plans.RingArgmaxCid.register(spark)
-      val key = s"$dir#${embFingerprint(dir)}#$ring"
-      graft.plans.RingArgmaxCid.evict(s"$dir#", keep = key)
+      val fp = embFingerprint(dir)
+      val key = s"$dir#$fp#$ring"
+      graft.plans.RingArgmaxCid.evict(dir, liveFp = fp)
       graft.plans.RingArgmaxCid.getOrBroadcast(key) {
         spark.sparkContext.broadcast(graft.plans.RingArgmaxCid.RingPayload(
           centsLocal.map(_._1).toArray,

@@ -115,11 +115,22 @@ object RingArgmaxCid {
   def getOrBroadcast(key: String)(mk: => Broadcast[RingPayload]): Broadcast[RingPayload] =
     payloads.computeIfAbsent(key, _ => mk)
 
-  def evict(prefix: String, keep: String): Unit = {
+  /** Evict SUPERSEDED generations only: drops every `dir#…` entry whose
+    * fingerprint component differs from `liveFp`, keeping ALL rings of
+    * the live generation (ADVICE r16 — the old keep-one-key form
+    * re-broadcast on every session↔spread ring switch, and its
+    * startsWith(keep) over-kept ring names that prefix another).
+    * Keys are `dir#fp#ring`; both delimiters are '#' and `fp` is
+    * `size:bytes:mtimeNanos` (never contains '#'), so the generation
+    * prefix `dir#fp#` is unambiguous.
+    */
+  def evict(dir: String, liveFp: String): Unit = {
+    val dirPrefix = s"$dir#"
+    val livePrefix = s"$dir#$liveFp#"
     val it = payloads.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.startsWith(prefix) && !e.getKey.startsWith(keep)) {
+      if (e.getKey.startsWith(dirPrefix) && !e.getKey.startsWith(livePrefix)) {
         try e.getValue.unpersist(false) catch { case _: Throwable => () }
         it.remove()
       }

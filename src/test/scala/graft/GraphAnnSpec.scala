@@ -164,4 +164,32 @@ class GraphAnnSpec extends SparkSpec {
     assert(edges.forall { case (s, d) => cellOf(s) == cellOf(d) },
       "edge crosses cells — the cell-local build leaked")
   }
+
+  test("ring broadcast eviction keeps ALL rings of the live generation (ADVICE r16)") {
+    import graft.plans.RingArgmaxCid
+    val dir = "/graftspec/evict"
+    def payload = RingArgmaxCid.RingPayload(Array(1L), Array(Array(1f)), Array(1.0))
+    def mk() = spark.sparkContext.broadcast(payload)
+    var built = 0
+    def get(key: String) = RingArgmaxCid.getOrBroadcast(key) { built += 1; mk() }
+    // two rings of the SAME generation — one a name-prefix of the other
+    // (the old startsWith(keep) over-keep shape)
+    val a = get(s"$dir#fp1#ring")
+    val b = get(s"$dir#fp1#ring2")
+    assert(built === 2)
+    // evicting at the live fingerprint must keep BOTH: alternating the
+    // session and spread rings must not re-broadcast on every switch
+    RingArgmaxCid.evict(dir, liveFp = "fp1")
+    assert(get(s"$dir#fp1#ring") eq a)
+    assert(get(s"$dir#fp1#ring2") eq b)
+    assert(built === 2, "live-generation ring was evicted and rebuilt")
+    // a new generation supersedes: both fp1 rings drop, fp2 builds fresh
+    val c = get(s"$dir#fp2#ring")
+    RingArgmaxCid.evict(dir, liveFp = "fp2")
+    assert(get(s"$dir#fp2#ring") eq c)
+    assert(built === 3)
+    get(s"$dir#fp1#ring")
+    assert(built === 4, "superseded-generation ring survived eviction")
+    RingArgmaxCid.evict(dir, liveFp = "none") // leave no spec entries behind
+  }
 }
