@@ -52,7 +52,13 @@ object JoinQueries {
     * documented negative result. `graft.shared.carrier=persist` keeps
     * the cold-query/cluster-shaped alternative selectable; on a real
     * multi-node cluster, where the avoided exchanges cross the network,
-    * persist is the right choice for iterative consumers.
+    * persist is the right choice for iterative consumers. Round 17 adds
+    * two more (VERDICT r16 #4, chasing the warm/cold split): "bucketed"
+    * — organize-once bucketed parquet (layout in the files, parquet
+    * re-scan, no storage pressure) — and "disk" — persist(DISK_ONLY)
+    * (layout via the cache, batches on local disk). Both pagerank-only:
+    * triangle/LPA join on two different keys, so no single bucket
+    * column serves them.
     */
   private def sharedCarrier: String =
     sys.props.getOrElse("graft.shared.carrier", "checkpoint")
@@ -98,11 +104,47 @@ object JoinQueries {
           case "checkpoint" =>
             val (deg, edgesDeg) = build(identity)
             (deg.localCheckpoint(true), edgesDeg.localCheckpoint(true))
+          case "bucketed" =>
+            // Third carrier (VERDICT r16 #4): organize-once BUCKETED
+            // PARQUET — the SkewBucketingSpec layout applied to the
+            // shared build. bucketBy(src) bakes the hash layout into
+            // the FILES, so iterative consumers joining on src read a
+            // pre-bucketed scan with no exchange (the persist win)
+            // while the re-scan is a plain columnar parquet read with
+            // zero storage-memory pressure (the checkpoint win). The
+            // organize cost is one write per relation at build time —
+            // the cluster-shaped trade: pay the layout once, every
+            // iteration and every warm run reuses it from disk.
+            val (deg, edgesDeg) = build(identity)
+            (bucketedCarrier(spark, dir, "deg", deg, "src"),
+              bucketedCarrier(spark, dir, "edges", edgesDeg, "src"))
+          case "disk" =>
+            // persist(DISK_ONLY): keeps the InMemoryRelation layout
+            // guarantee (under the pinned
+            // canChangeCachedPlanOutputPartitioning=false) without
+            // competing for storage memory with the sweep — the
+            // serialized columnar batches live on local disk.
+            build(_.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
           case _ =>
             build(_.persist())
         }
       })
     }
+  }
+
+  /** Write `df` as a bucketed+sorted parquet table on `key` and read it
+    * back — the "bucketed" shared-build carrier. One table per
+    * (dir, partitions) cache entry, overwritten on regeneration; data
+    * lands under java.io.tmpdir, not the warehouse. */
+  private def bucketedCarrier(spark: SparkSession, dir: String, part: String,
+                              df: DataFrame, key: String): DataFrame = {
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tag = java.lang.Integer.toHexString((dir + "#" + buckets).hashCode)
+    val tbl = s"graft_carrier_${part}_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tbl"
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key).format("parquet").saveAsTable(tbl)
+    spark.table(tbl)
   }
 
   /** Triangle counting's sampled canonical edge relation (x < y). */
@@ -128,11 +170,15 @@ object JoinQueries {
       val key = (spark, dir + "#tri", spark.conf.get("spark.sql.shuffle.partitions", ""))
       graphCache.getOrElseUpdate(key, {
         // persist for the same layout reason as [[pagerankGraph]]: the
-        // distinct's hashpartitioning(x, y) stays visible to consumers
-        if (sharedCarrier == "checkpoint") {
-          val e = build.localCheckpoint(true); (e, e)
-        } else {
+        // distinct's hashpartitioning(x, y) stays visible to consumers.
+        // Only the persist/checkpoint pair applies here — the triangle
+        // and LPA consumers join on x and y separately, so neither the
+        // bucketed nor the DISK_ONLY pagerank carrier has a single key
+        // to organize on; unknown carriers take the checkpoint default.
+        if (sharedCarrier == "persist") {
           val e = build.persist(); (e, e)
+        } else {
+          val e = build.localCheckpoint(true); (e, e)
         }
       })._1
     }

@@ -155,4 +155,33 @@ class JaccardGuardSpec extends SparkSpec {
       graft.core.releaseQueryCaches(spark)
     } finally sys.props -= "graft.jaccard.maxPairsPerDoc"
   }
+
+  test("routed twin: the decision fires the LSH branch on the declared corpus; both branches agree") {
+    // VERDICT r16 #5 — dedup_jaccard_routed IS the routed outcome: its
+    // budget (64 pairs/doc) sits below the declared corpora's measured
+    // density, so the guard decision must come out "lsh" — and the LSH
+    // candidates + exact verify must land on the exact lane's rows.
+    val routedFn = Registry.all.toMap.apply("dedup_jaccard_routed").fn
+    sys.props -= "graft.jaccard.routed.decision"
+    val viaLsh = routedFn(spark, sf001).collect().map(_.toSeq).toSeq
+    graft.core.releaseQueryCaches(spark)
+    assert(sys.props.get("graft.jaccard.routed.decision") === Some("lsh"),
+      "declared corpus density must route the twin onto the LSH branch")
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.avg").value > 64L,
+      "routed gauge must record the over-budget density")
+    val exact = fn(spark, sf001).collect().map(_.toSeq).toSeq
+    graft.core.releaseQueryCaches(spark)
+    assert(viaLsh === exact,
+      "LSH-routed pairs must equal the exact lane's pairs at j >= 0.9")
+    // an explicit budget raise flips the decision to the exact branch —
+    // same rows either way (the oracle cannot tell the branches apart)
+    System.setProperty("graft.jaccard.routed.budget", Long.MaxValue.toString)
+    try {
+      val viaExact = routedFn(spark, sf001).collect().map(_.toSeq).toSeq
+      graft.core.releaseQueryCaches(spark)
+      assert(sys.props.get("graft.jaccard.routed.decision") === Some("exact"),
+        "a raised budget must flip the decision to the exact branch")
+      assert(viaExact === viaLsh)
+    } finally sys.props -= "graft.jaccard.routed.budget"
+  }
 }

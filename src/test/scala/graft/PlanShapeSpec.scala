@@ -902,6 +902,28 @@ class PlanShapeSpec extends SparkSpec {
         case _: GlobalLimit => ()
       }.isDefined
     }
+    // The √N-ring membership predicate (hash(vec_id) % k == 0 — md5-60bit
+    // or xxhash64 form) bounds its relation at ~N/k = ~√N rows: the
+    // similarity family's DECLARED ring carrier, broadcast by contract
+    // (~25 MB at a 10¹⁰-vector corpus — the same bytes the fold path
+    // ships per executor as an sc.broadcast past graft.ring.broadcastBytes).
+    // Only the ring shape qualifies: a remainder-of-hash-of-id comparison
+    // to a literal; a plain fraction/modulo on a raw column still flags.
+    def ringPredicateBound(p: LogicalPlan): Boolean = {
+      def hashOfId(e: Expression): Boolean = e.collectFirst {
+        case m: Md5 if m.references.exists(_.name.toLowerCase.endsWith("_id")) => ()
+        case x: XxHash64 if x.references.exists(_.name.toLowerCase.endsWith("_id")) => ()
+      }.isDefined
+      def isRing(c: Expression): Boolean = c match {
+        case EqualTo(Remainder(h, _: Literal, _), Literal(v, _)) =>
+          hashOfId(h) && String.valueOf(v) == "0"
+        case EqualTo(Pmod(h, _: Literal, _), Literal(v, _)) =>
+          hashOfId(h) && String.valueOf(v) == "0"
+        case And(l, r) => isRing(l) || isRing(r)
+        case _ => false
+      }
+      p.collectFirst { case Filter(cond, _) if isRing(cond) => () }.isDefined
+    }
     // A scopedPersist()'d probe relation optimizes to an InMemoryRelation
     // leaf whose bounding filter lives inside the cached physical plan —
     // recognize the pushed/compiled literal-id filter there.
@@ -927,7 +949,8 @@ class PlanShapeSpec extends SparkSpec {
           }
           sides.collect {
             case side if leafIsFact(side) && !boundedAggregate(side) &&
-                !literalIdBound(side) && !cachedBound(side) =>
+                !literalIdBound(side) && !cachedBound(side) &&
+                !ringPredicateBound(side) =>
               s"$name: broadcast hint on unbounded fact subtree:\n$side"
           }
       }.flatten
