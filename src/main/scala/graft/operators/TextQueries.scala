@@ -2704,8 +2704,9 @@ object TextQueries {
     // BELOW the declared corpora's measured ~120–1250 pairs/doc so the
     // decision genuinely fires at every SF), then run the branch the
     // decision picks: banded MinHash-LSH candidate generation (B=16
-    // bands × R=2 rows = 32 min-hashes; P[miss a true j ≥ 0.9 pair] =
-    // (1 − 0.81)¹⁶ ≈ 3·10⁻¹²) followed by the SAME exact
+    // bands × R=4 rows = 64 min-hashes; P[miss a true j ≥ 0.9 pair] =
+    // (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸ — effectively lossless, and the three
+    // oracle SFs hash-check it exactly) followed by the SAME exact
     // [[jaccardVerify]] kernel at the SAME 0.9 threshold. Either branch
     // lands on the exact pair relation, so the oracle is the SAME
     // brute-force SQL as the exact lane — the hash gate proves the
@@ -2724,7 +2725,17 @@ object TextQueries {
       (spark, dir) => {
         val thr = 0.9
         val gen = 0.89 // probe at the exact lane's generation threshold
-        val (bands, rows) = (16, 2)
+        // B=16 bands × R=4 rows (64 min-hashes). R=2 collapses on a
+        // template-heavy corpus: shared boilerplate vocabulary makes
+        // many docs share their two minimal token hashes, so band
+        // buckets reach ~1600 docs at 100× (2.16 G candidate pairs —
+        // measured, round 17) and the candidate join OOMs. R=4 requires
+        // FOUR equal mins per band — bucket membership decays
+        // multiplicatively in shared-vocab looseness — while a true
+        // j ≥ 0.9 pair still collides in some band with
+        // P = 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4·10⁻⁸ (effectively lossless; the
+        // three oracle SFs hash-check it exactly).
+        val (bands, rows) = (16, 4)
         val sorted = jaccardSorted(spark, dir)
         val budget = sys.props.get("graft.jaccard.routed.budget")
           .map(_.toLong).getOrElse(64L)
@@ -2752,23 +2763,37 @@ object TextQueries {
               col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
             .select("d1", "d2").distinct()
         } else {
-          // 32 per-doc min-hashes in ONE aggregate pass over the token
-          // stream; band key b = hash(b, mh[2b], mh[2b+1])
+          // 64 per-doc min-hashes + the doc's token count in ONE
+          // aggregate pass over the token stream; band key
+          // b = hash(b, mh[Rb], …, mh[Rb+R−1])
           val sigCols = (0 until bands * rows).map(i =>
-            min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+            min(xxhash64(lit(i), col("h"))).as(s"m$i")) :+
+            count(lit(1)).as("n")
           val sig = jaccardTokens(spark, dir).groupBy("doc_id")
             .agg(sigCols.head, sigCols.tail: _*)
           val bandStructs = (0 until bands).map(b =>
             struct(lit(b).as("bi"),
-              xxhash64(lit(b), col(s"m${b * rows}"), col(s"m${b * rows + 1}"))
-                .as("bv")))
+              xxhash64((lit(b) +: (0 until rows).map(r =>
+                col(s"m${b * rows + r}"))): _*).as("bv")))
           val banded = sig
-            .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-            .select(col("doc_id"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-          banded.select(col("bi"), col("bv"), col("doc_id").as("d1"))
-            .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"))
-              .hint("shuffle_hash"), Seq("bi", "bv"))
-            .filter(col("d1") < col("d2"))
+            .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
+            .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+          // the exact lane's size gate, applied to the band join too —
+          // LOSSLESS at the declared threshold (|A∩B| ≤ min sizes, so
+          // j ≥ gen forces the sizes within gen of each other) and it
+          // drops the cross-size half of any template bucket before
+          // the distinct. NO shuffle_hash hint here, deliberately: on a
+          // template-heavy corpus a band bucket can hold 10³+ docs
+          // (measured 1.3k at 100×), and hash-probing such keys holds
+          // the whole flood in flight per task; sort-merge streams each
+          // bucket's cross product with ONE buffered group side and
+          // lets AQE split the skewed partitions — the OOM-proof shape
+          // for pair enumeration over skewed band keys.
+          banded.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("n").as("n1"))
+            .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("n").as("n2")),
+              Seq("bi", "bv"))
+            .filter(col("d1") < col("d2") &&
+              col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
             .select("d1", "d2").distinct()
         }
         jaccardVerify(spark, sorted, cands, thr)
