@@ -247,10 +247,15 @@ object Bench {
     * exhausting an 8 GB heap on the ≈1.9 GB 100× twin while 256 ran
     * clean — and an r15 re-run at exactly 256 still tipped over once
     * mid-sweep (UNABLE_TO_ACQUIRE_MEMORY in pagerank's sort), so 256 is
-    * the cliff edge, not a safe point; the memory regime sizes at
-    * 4 MiB/partition → 512 there (~4 MiB of columnar parquet ≈ 64 MB of
-    * row-form shuffle input, sorts comfortably inside the ~170 MB
-    * per-task execution share at local[32]/8 GB). The 10× calibration:
+    * the cliff edge, not a safe point. Round 17 re-measured the cliff
+    * at the 203-key surface and it had MOVED ONTO 512: cold pagerank at
+    * the 1.96 GB twin OOM'd reproducibly at 512 partitions
+    * (UNABLE_TO_ACQUIRE_MEMORY in the iteration join's sort) while 1024
+    * ran clean AND faster (128.9 s vs the r16 512-point's 162.0 s —
+    * smaller sorts spill less). The memory regime therefore sizes at
+    * 2 MiB/partition → 1024 there (~2 MiB of columnar parquet ≈ 32 MB
+    * of row-form shuffle input, one step past the measured 512 cliff,
+    * the same discipline as r15's 256→512 move). The 10× calibration:
     * a blind 4 MiB rule split the 187 MB twin 64 ways and cost 21%
     * task-overhead wall (219.9 s vs 181.8 s at the core floor), so the
     * floor holds until even a COARSE 16 MiB split would exceed the core
@@ -269,9 +274,9 @@ object Bench {
     // bound and MORE partitions only add task overhead (the 187 MB 10×
     // twin ran 181.8 s at the 32-core floor and 219.9 s split 64 ways —
     // scale/bench_full_10x_{r14,r15}.json); past that boundary the
-    // corpus is sort-memory-bound and gets the tight 4 MiB/partition
-    // sizing (512 at the 1.9 GB 100× twin — one step past the measured
-    // 256 OOM cliff).
+    // corpus is sort-memory-bound and gets the tight 2 MiB/partition
+    // sizing (1024 at the 1.9 GB 100× twin — one step past the 512
+    // cliff re-measured in round 17; 512 was one step past r14's 256).
     val coarse = (bytes + (16L << 20) - 1) / (16L << 20)
     // Latency regime returns the core count DIRECTLY (ADVICE r15): the
     // power-of-two rounding exists so AQE can coalesce the data-derived
@@ -279,7 +284,7 @@ object Bench {
     // local[12] 16 partitions — pure task overhead vs the partitions=
     // cores default this rule is calibrated against.
     if (coarse <= cpus) return cpus
-    val raw = (bytes + (4L << 20) - 1) / (4L << 20)
+    val raw = (bytes + (2L << 20) - 1) / (2L << 20)
     var p = 1L
     while (p < raw) p <<= 1
     math.min(p, 4096L).toInt

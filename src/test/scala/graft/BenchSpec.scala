@@ -137,8 +137,10 @@ class BenchSpec extends SparkSpec {
   test("auto shuffle partitions: data-derived, core-floored, power-of-two") {
     // calibration points (r14/r15 measurements): the ~17 MB sf0.1 corpus
     // stays at the core floor; the ~1.9 GB 100x twin lands at 512 — one
-    // step PAST the 256 cliff edge where an r15 re-run still OOM'd once
-    // mid-sweep — with NO env knob
+    // step PAST the measured cliff edge — 256 OOM'd in r14/r15, and the
+    // r17 re-measure at the 203-key surface moved the cliff onto 512
+    // (cold pagerank reproducibly OOM'd; 1024 ran clean and faster) —
+    // with NO env knob
     def fake(bytes: Long): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_autosp")
       val f = new java.io.RandomAccessFile(dir.resolve("t.parquet").toFile, "rw")
@@ -147,9 +149,9 @@ class BenchSpec extends SparkSpec {
     }
     assert(Bench.autoShufflePartitions(fake(17L << 20), 32) === 32)
     assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 32) // latency regime
-    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 512) // memory regime
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 1024) // memory regime
     assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 4)
-    assert(Bench.autoShufflePartitions(fake(187L << 20), 4) === 64) // 4-core boundary
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 4) === 128) // 4-core boundary
     // monotone cap: absurd volume cannot explode the partition count
     assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
     // latency regime on a NON-power-of-two core count returns the core
