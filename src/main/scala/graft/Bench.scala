@@ -81,10 +81,18 @@ object Bench {
       spark.catalog.clearCache()
       (sec, err)
     }
+    // Per-key progress to STDERR (stdout stays the driver's one compact
+    // JSON line): when a sweep dies mid-flight — the r17 100× board lost
+    // its JVM to an uncaught executor OutOfMemoryError 62 minutes in —
+    // the log must attribute the death to a KEY, not a stage id.
+    def progress(pass: String, name: String, sec: Double, err: Option[String]): Unit =
+      Console.err.println(fmtD(s"[bench] $pass $name %.2fs", sec) +
+        err.fold("")(e => s" ERR ${e.take(80)}"))
     // pass 0: unmeasured warmup — JIT + page cache + shared pipeline;
     // its wall time is recorded only through the error channel
     val warmed = queries.map { case (name, fn) =>
       val (s0, e0) = once(fn)
+      progress("warmup", name, s0, e0)
       (name, fn, s0, e0)
     }
     // pass 1: every query once, measured, canary interleaved
@@ -93,6 +101,7 @@ object Bench {
       else {
         if (i % canaryEvery == 0) canary += canaryProbe(spark)
         val (s1, e1) = once(fn)
+        progress("pass1", name, s1, e1)
         (name, fn, s1, e1)
       }
     }
@@ -103,6 +112,7 @@ object Bench {
       else {
         if (i % canaryEvery == 0) canary += canaryProbe(spark)
         val (s2, e2) = once(fn)
+        progress("pass2", name, s2, e2)
         if (e2.isDefined) Result(name, math.min(s1, s2), Seq(s1, s2), e2)
         else {
           val two = Seq(s1, s2)

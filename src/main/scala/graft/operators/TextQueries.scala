@@ -374,6 +374,66 @@ object TextQueries {
       .limit(300)
   }
 
+  /** Dev-only stage profile of the two jaccard lanes (graft.JaccProfile
+    * main): times each shared stage cold — the sorted-token build, the
+    * density probe, the LSH signature/band/candidate pass, the exact
+    * prefix candidate pass, and each lane's verify — so lane-cost claims
+    * in SCALE.md are per-stage measurements, not end-to-end guesses. */
+  private[graft] def jaccardStageProfile(spark: SparkSession, dir: String): Unit = {
+    val thr = 0.9
+    val gen = 0.89
+    val (bands, rows) = (16, 4)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[jacc] $label ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val sorted = jaccardSorted(spark, dir)
+    timed("sorted_build")(sorted.count())
+    val keyed = jaccardPrefixKeyed(sorted, gen)
+    timed("probe")(jaccardLoadProbe(sorted, keyed))
+    graft.plans.MinHash64D.register(spark)
+    val sig = sorted.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
+    timed("sig_minhash")(
+      sig.write.format("noop").mode("overwrite").save())
+    val sigAggCols = (0 until bands * rows).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")) :+ count(lit(1)).as("n")
+    timed("sig_aggregate_form")(
+      jaccardTokens(spark, dir).groupBy("doc_id")
+        .agg(sigAggCols.head, sigAggCols.tail: _*)
+        .write.format("noop").mode("overwrite").save())
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("bi"),
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("mh"), b * rows + r + 1))): _*).as("bv")))
+    val banded = sig
+      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    val lshCands = banded.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("n").as("n1"))
+      .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("bi", "bv"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
+      .select("d1", "d2").distinct()
+    val nLsh = timed("lsh_candidates")(lshCands.count())
+    println(s"[jacc] lsh_candidate_pairs $nLsh")
+    timed("lsh_verify")(jaccardVerify(spark, sorted, lshCands, thr)
+      .write.format("noop").mode("overwrite").save())
+    val exCands = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
+      .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("band"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
+      .select("d1", "d2").distinct()
+    val nEx = timed("exact_candidates")(exCands.count())
+    println(s"[jacc] exact_candidate_pairs $nEx")
+    timed("exact_verify")(jaccardVerify(spark, sorted, exCands, thr)
+      .write.format("noop").mode("overwrite").save())
+  }
+
   /** The oracle both jaccard lanes share: the SAME exact pair relation,
     * computed brute-force in DuckDB — the routed lane's LSH+verify must
     * land on it bit-for-bit, which is precisely the routed contract. */
@@ -2763,18 +2823,23 @@ object TextQueries {
               col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
             .select("d1", "d2").distinct()
         } else {
-          // 64 per-doc min-hashes + the doc's token count in ONE
-          // aggregate pass over the token stream; band key
-          // b = hash(b, mh[Rb], …, mh[Rb+R−1])
-          val sigCols = (0 until bands * rows).map(i =>
-            min(xxhash64(lit(i), col("h"))).as(s"m$i")) :+
-            count(lit(1)).as("n")
-          val sig = jaccardTokens(spark, dir).groupBy("doc_id")
-            .agg(sigCols.head, sigCols.tail: _*)
+          // 64 per-doc min-hashes off the ALREADY-PERSISTED token
+          // arrays, map-side: one codegen'd loop computes every lane
+          // (plans/MinHash64D — bit-equal to the aggregate form
+          // min(xxhash64(lit(i), h)) by seed-chain construction). The
+          // aggregate form re-scanned documents and shuffled a
+          // 65-column partial per doc; this is a projection off
+          // `sorted`, zero extra shuffle (the r17 100× board measured
+          // the signature pass dominating the routed lane). Band key
+          // b = hash(b, mh[Rb], …, mh[Rb+R−1]), unchanged.
+          graft.plans.MinHash64D.register(spark)
+          val sig = sorted.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n"),
+            graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
           val bandStructs = (0 until bands).map(b =>
             struct(lit(b).as("bi"),
               xxhash64((lit(b) +: (0 until rows).map(r =>
-                col(s"m${b * rows + r}"))): _*).as("bv")))
+                element_at(col("mh"), b * rows + r + 1))): _*).as("bv")))
           val banded = sig
             .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
             .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))

@@ -120,6 +120,31 @@ class DedupFunctionsSpec extends SparkSpec {
     assert(row === 7L, "majority vote of {7,7,8} is 7")
   }
 
+  test("codegen minhash64 matches the aggregate min(xxhash64(i,h)) form lane-for-lane") {
+    graft.plans.MinHash64D.register(spark)
+    val k = 8
+    val toks = graft.core.t(spark, sf001, "documents")
+      .select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(lang, w))")
+          .as("toks"))
+    val fast = toks.select(col("doc_id"),
+      graft.plans.MinHash64D.minhash64(col("toks"), k).as("mh"))
+    // the form the routed-dedup key used before the expression: explode
+    // to token rows, k aggregate mins — the seed-chain contract is that
+    // the expression reproduces it bit-for-bit on every lane
+    val slow = toks.select(col("doc_id"), explode(col("toks")).as("h"))
+      .groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("h")))): _*).as("mh2"))
+    val diff = fast.join(slow, "doc_id")
+      .filter(col("mh") =!= col("mh2")).count()
+    assert(diff === 0L, "expression must match the aggregate form on every doc")
+    // fold identity: an empty array yields Long.MaxValue in every lane
+    val empty = spark.sql(
+      "SELECT graft_minhash64(CAST(array() AS ARRAY<BIGINT>), 3) AS mh")
+      .collect().head.getSeq[Long](0)
+    assert(empty === Seq.fill(3)(Long.MaxValue), "empty array is the fold identity")
+  }
+
   test("cosine: orthogonal 0, identical 1, library matches manual fold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f))
