@@ -85,9 +85,12 @@ object Bench {
     // JSON line): when a sweep dies mid-flight — the r17 100× board lost
     // its JVM to an uncaught executor OutOfMemoryError 62 minutes in —
     // the log must attribute the death to a KEY, not a stage id.
+    // err is collapsed to ONE line before truncation (ADVICE r17): a
+    // multi-line exception message would break the one-line-per-key log
+    // this channel exists to provide.
     def progress(pass: String, name: String, sec: Double, err: Option[String]): Unit =
       Console.err.println(fmtD(s"[bench] $pass $name %.2fs", sec) +
-        err.fold("")(e => s" ERR ${e.take(80)}"))
+        err.fold("")(e => s" ERR ${e.replaceAll("\\s+", " ").take(80)}"))
     // pass 0: unmeasured warmup — JIT + page cache + shared pipeline;
     // its wall time is recorded only through the error channel
     val warmed = queries.map { case (name, fn) =>
@@ -262,19 +265,31 @@ object Bench {
     * the 1.96 GB twin OOM'd reproducibly at 512 partitions
     * (UNABLE_TO_ACQUIRE_MEMORY in the iteration join's sort) while 1024
     * ran clean AND faster (128.9 s vs the r16 512-point's 162.0 s —
-    * smaller sorts spill less). The memory regime therefore sizes at
-    * 2 MiB/partition → 1024 there (~2 MiB of columnar parquet ≈ 32 MB
-    * of row-form shuffle input, one step past the measured 512 cliff,
-    * the same discipline as r15's 256→512 move). The 10× calibration:
-    * a blind 4 MiB rule split the 187 MB twin 64 ways and cost 21%
-    * task-overhead wall (219.9 s vs 181.8 s at the core floor), so the
-    * floor holds until even a COARSE 16 MiB split would exceed the core
-    * count. Rounded UP to a power of two (halvable by AQE coalescing),
-    * capped at 4096. At cluster scale the same rule is the
-    * volume-proportional INITIAL partition count handed to AQE, not a
-    * fixed core-count constant.
+    * smaller sorts spill less). The 10× calibration: a blind 4 MiB rule
+    * split the 187 MB twin 64 ways and cost 21% task-overhead wall
+    * (219.9 s vs 181.8 s at the core floor), so the floor holds until
+    * even a COARSE 16 MiB split would exceed the core count. Rounded UP
+    * to a power of two (halvable by AQE coalescing), capped at 4096.
+    * At cluster scale the same rule is the volume-proportional INITIAL
+    * partition count handed to AQE, not a fixed core-count constant.
+    *
+    * Round 18 (VERDICT r17 #2): memory-per-core enters the rule, but
+    * ASYMMETRICALLY. The INITIAL count is a safety bound and only ever
+    * gets FINER than the measured 2 MiB anchor (perPartition =
+    * min(2 MiB, memPerCore >> 7) — a 4 GiB heap halves the byte budget;
+    * a 16 GiB heap does NOT coarsen it, because with AQE coalescing a
+    * too-fine initial count is merged for free while a too-coarse one
+    * cannot be split). The COARSENING job moves to where task sizes are
+    * actually set — the per-stage AQE advisory in [[aqeScaleConfigs]],
+    * derived from memPerCore and sized to the SHUFFLE bytes of each
+    * stage rather than the parquet bytes of the whole corpus. That is
+    * what dissolves the r17 cap-regime harm (graph_community_lpa 875.5 s
+    * at a FLAT 4096 vs 204.1 s at 1024 at 300× — SCALE.md round-17):
+    * the initial count may still be 4096, but no heavy stage RUNS at
+    * 4096 any more (validated in SCALE.md round-18).
     */
-  private[graft] def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
+  private[graft] def autoShufflePartitions(sfDir: String, cpus: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
     def size(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(size).sum)
       else f.length()
@@ -284,9 +299,7 @@ object Bench {
     // bound and MORE partitions only add task overhead (the 187 MB 10×
     // twin ran 181.8 s at the 32-core floor and 219.9 s split 64 ways —
     // scale/bench_full_10x_{r14,r15}.json); past that boundary the
-    // corpus is sort-memory-bound and gets the tight 2 MiB/partition
-    // sizing (1024 at the 1.9 GB 100× twin — one step past the 512
-    // cliff re-measured in round 17; 512 was one step past r14's 256).
+    // corpus is sort-memory-bound and gets the memory-per-core sizing.
     val coarse = (bytes + (16L << 20) - 1) / (16L << 20)
     // Latency regime returns the core count DIRECTLY (ADVICE r15): the
     // power-of-two rounding exists so AQE can coalesce the data-derived
@@ -294,10 +307,42 @@ object Bench {
     // local[12] 16 partitions — pure task overhead vs the partitions=
     // cores default this rule is calibrated against.
     if (coarse <= cpus) return cpus
-    val raw = (bytes + (2L << 20) - 1) / (2L << 20)
+    val memPerCore = math.max(1L, heapBytes) / math.max(1, cpus)
+    val perPartition = math.max(64L << 10, math.min(2L << 20, memPerCore >> 7))
+    val raw = (bytes + perPartition - 1) / perPartition
     var p = 1L
     while (p < raw) p <<= 1
     math.min(p, 4096L).toInt
+  }
+
+  /** Memory-regime AQE wiring (VERDICT r17 #4): when the volume-derived
+    * INITIAL partition count exceeds the core count, let AQE coalesce
+    * each post-shuffle stage to an advisory size derived from memory
+    * per core instead of Spark's parallelism-first default (which only
+    * coalesces below minPartitionSize=1 MiB — at 1024/4096 initial
+    * partitions of 2–4 MiB each it never fires, so mid-size map-heavy
+    * stages paid 1.5–1.8× task overhead at 100× and iterative keys
+    * 4.3× at 300×, SCALE.md round-17). Advisory = memPerCore >> 6
+    * (4 MiB at 256 MiB/core): the 100× iterative join (~4.5 GB shuffle)
+    * coalesces to ~1024-equivalent tasks — the measured clean-and-fast
+    * point — while a 300 MB map-heavy stage drops to ~75 tasks instead
+    * of 1024. minPartitionNum pins the core count as the floor so no
+    * stage collapses below full parallelism. Latency regime (count ==
+    * cores) keeps Spark defaults — partitions already equal cores and
+    * parallelism-first preserves them. SPARK_GRAFT_AQE_ADVISORY
+    * overrides the advisory bytes ("off" disables the wiring) for knob
+    * sweeps.
+    */
+  private[graft] def aqeScaleConfigs(partitions: Int, cpus: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Seq[(String, String)] = {
+    val env = sys.env.get("SPARK_GRAFT_AQE_ADVISORY")
+    if (partitions <= cpus || env.contains("off")) return Seq.empty
+    val memPerCore = math.max(1L, heapBytes) / math.max(1, cpus)
+    val advisory = env.map(_.toLong).getOrElse(math.max(1L << 20, memPerCore >> 6))
+    Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> cpus.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -328,7 +373,7 @@ object Bench {
     // ScaleKnob + SCALE.md carry its measurements.
     System.setProperty("graft.ann.ring",
       sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Iterative-graph exchange reuse (VERDICT r14 #5): at the default
@@ -339,6 +384,9 @@ object Bench {
       // (4.35M->2.02M records) with LPA and the rest neutral.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
+    // Memory-regime AQE coalesce wiring — see [[aqeScaleConfigs]].
+    val spark = aqeScaleConfigs(shufflePartitions.toInt, cpus.toInt)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths once so the first measured

@@ -33,13 +33,17 @@ object ShuffleAudit {
       sys.env.getOrElse("SPARK_GRAFT_ANN_RING", "oracle"))
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       Bench.autoShufflePartitions(sfDir, cpus.toInt).toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
+    // Same memory-regime AQE coalesce wiring as Bench.main, so audited
+    // runs measure the plan shape the bench actually executes.
+    val spark = Bench.aqeScaleConfigs(shufflePartitions.toInt, cpus.toInt)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val bytes = new java.util.concurrent.atomic.AtomicLong()

@@ -354,9 +354,12 @@ object TextQueries {
     * walk needs VALUE order, so the projections re-sort once per doc,
     * map-side. Token arrays rejoin shuffled-hash on doc_id — candidates
     * carry (id, id) only until this point (dedup_minhash_verified
-    * pattern). */
-  private def jaccardVerify(spark: SparkSession, sorted: DataFrame,
-                            pairs: DataFrame, thr: Double): DataFrame = {
+    * pattern). Returns the FULL verified relation (d1, d2, ja); the
+    * declared keys order + limit via [[jaccardVerify]], the routed
+    * lane's representative collapse consumes it unlimited (rep pairs
+    * expand to member pairs before the final top-300). */
+  private def jaccardVerifyPairs(spark: SparkSession, sorted: DataFrame,
+                                 pairs: DataFrame, thr: Double): DataFrame = {
     graft.plans.SortedIntersectD.register(spark)
     pairs
       .join(sorted.select(col("doc_id").as("d1"), array_sort(col("toks")).as("t1"))
@@ -370,8 +373,77 @@ object TextQueries {
         / (size(col("t1")) + size(col("t2")) - col("inter")), 4))
       .filter(col("ja") >= thr)
       .select(col("d1"), col("d2"), col("ja"))
+  }
+
+  /** The declared output shape both jaccard keys share: verified pairs,
+    * strongest first, top-300. */
+  private def jaccardVerify(spark: SparkSession, sorted: DataFrame,
+                            pairs: DataFrame, thr: Double): DataFrame =
+    jaccardVerifyPairs(spark, sorted, pairs, thr)
       .orderBy(col("ja").desc, col("d1"), col("d2"))
       .limit(300)
+
+  /** Exact-lane candidate pairs off the prefix index: band equi-join +
+    * the lossless size gate + distinct. ONE builder shared by
+    * dedup_jaccard_prefix, the routed lane's exact branch, and the
+    * stage profiler (ADVICE r17: a profiler with its own inline copy
+    * would silently measure a different plan than the shipped keys). */
+  private def jaccardExactCands(keyed: DataFrame, gen: Double): DataFrame =
+    keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
+      .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("band"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
+      .select("d1", "d2").distinct()
+
+  /** Banded MinHash-LSH candidate pairs over `docs` = (doc_id, toks):
+    * 64 codegen min-hashes off the persisted token arrays
+    * (plans/MinHash64D — a map-side projection, zero extra shuffle),
+    * B band keys per doc, self-join on (band index, band value), the
+    * exact lane's lossless size gate, distinct. Deliberately NO
+    * shuffle_hash hint on the band join: template buckets are the skew
+    * case and sort-merge + AQE skew-split streams each bucket's cross
+    * product instead of holding the flood in a hash probe (the
+    * OOM-proof shape — see dedup_jaccard_routed). Shared by the routed
+    * lane and the stage profiler. */
+  private def jaccardLshCands(spark: SparkSession, docs: DataFrame,
+                              gen: Double, bands: Int, rows: Int): DataFrame = {
+    graft.plans.MinHash64D.register(spark)
+    val sig = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("bi"),
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(col("mh"), b * rows + r + 1))): _*).as("bv")))
+    val banded = sig
+      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    banded.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("n").as("n1"))
+      .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("bi", "bv"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Representative collapse for the routed lane (VERDICT r17 #3):
+    * group docs by their token ARRAY — `toks` is canonical (distinct
+    * tokens, rarity-then-hash sorted), so array equality ⟺ token-set
+    * equality ⟺ pairwise jaccard 1.0, and every member of a group has
+    * the SAME jaccard against every outside doc. Grouping on the array
+    * itself (not a digest) keeps the lane exact — no collision caveat.
+    * Returns (reps, mem): one representative doc per distinct set, and
+    * the (rep, member) relation. Empty-token docs are dropped — they
+    * can never reach a candidate pair on the exact lane (no prefix
+    * bands), and their jaccard is undefined. */
+  private def jaccardRepGroups(sorted: DataFrame): (DataFrame, DataFrame) = {
+    val groups = scopedPersist(sorted
+      .filter(size(col("toks")) > 0)
+      .groupBy("toks")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members")))
+    (groups.select(col("rep").as("doc_id"), col("toks")),
+      groups.select(col("rep"), explode(col("members")).as("m")))
   }
 
   /** Dev-only stage profile of the two jaccard lanes (graft.JaccProfile
@@ -394,40 +466,36 @@ object TextQueries {
     val keyed = jaccardPrefixKeyed(sorted, gen)
     timed("probe")(jaccardLoadProbe(sorted, keyed))
     graft.plans.MinHash64D.register(spark)
-    val sig = sorted.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n"),
-      graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
+    // signature forms compared: the shipped codegen projection vs the
+    // retired aggregate form (kept as the measured-against baseline)
     timed("sig_minhash")(
-      sig.write.format("noop").mode("overwrite").save())
+      sorted.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
+        .write.format("noop").mode("overwrite").save())
     val sigAggCols = (0 until bands * rows).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")) :+ count(lit(1)).as("n")
     timed("sig_aggregate_form")(
       jaccardTokens(spark, dir).groupBy("doc_id")
         .agg(sigAggCols.head, sigAggCols.tail: _*)
         .write.format("noop").mode("overwrite").save())
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("bi"),
-        xxhash64((lit(b) +: (0 until rows).map(r =>
-          element_at(col("mh"), b * rows + r + 1))): _*).as("bv")))
-    val banded = sig
-      .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-    val lshCands = banded.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("n").as("n1"))
-      .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("n").as("n2")),
-        Seq("bi", "bv"))
-      .filter(col("d1") < col("d2") &&
-        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
-      .select("d1", "d2").distinct()
-    val nLsh = timed("lsh_candidates")(lshCands.count())
-    println(s"[jacc] lsh_candidate_pairs $nLsh")
-    timed("lsh_verify")(jaccardVerify(spark, sorted, lshCands, thr)
+    // every stage below is the SHIPPED builder (ADVICE r17): the routed
+    // key and this profiler call the same private helpers, so SCALE.md
+    // cost attributions are measurements of the real plan.
+    val (reps, mem) = jaccardRepGroups(sorted)
+    val nReps = timed("rep_collapse")(reps.count())
+    println(s"[jacc] distinct_token_sets $nReps")
+    timed("rep_members")(mem.write.format("noop").mode("overwrite").save())
+    val repCands = jaccardLshCands(spark, reps, gen, bands, rows)
+    val nRep = timed("rep_lsh_candidates")(repCands.count())
+    println(s"[jacc] rep_lsh_candidate_pairs $nRep")
+    timed("rep_verify")(jaccardVerifyPairs(spark, reps, repCands, thr)
       .write.format("noop").mode("overwrite").save())
-    val exCands = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
-      .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
-        Seq("band"))
-      .filter(col("d1") < col("d2") &&
-        col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
-      .select("d1", "d2").distinct()
+    val lshCands = jaccardLshCands(spark, sorted, gen, bands, rows)
+    val nLsh = timed("lsh_candidates_uncollapsed")(lshCands.count())
+    println(s"[jacc] lsh_candidate_pairs $nLsh")
+    timed("lsh_verify_uncollapsed")(jaccardVerify(spark, sorted, lshCands, thr)
+      .write.format("noop").mode("overwrite").save())
+    val exCands = jaccardExactCands(keyed, gen)
     val nEx = timed("exact_candidates")(exCands.count())
     println(s"[jacc] exact_candidate_pairs $nEx")
     timed("exact_verify")(jaccardVerify(spark, sorted, exCands, thr)
@@ -2743,13 +2811,7 @@ object TextQueries {
               s"still a quadratic hot spot; run this corpus on the banded-LSH lane " +
               s"(dedup_minhash_lsh) or raise the budget explicitly.")
         }
-        val pairs = keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
-          .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
-            Seq("band"))
-          .filter(col("d1") < col("d2") &&
-            col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
-          .select("d1", "d2").distinct()
-        jaccardVerify(spark, sorted, pairs, thr)
+        jaccardVerify(spark, sorted, jaccardExactCands(keyed, gen), thr)
       },
       Some(jaccardExactOracle),
       tier = "E"),
@@ -2772,15 +2834,23 @@ object TextQueries {
     // brute-force SQL as the exact lane — the hash gate proves the
     // routed lane loses nothing on the declared corpora.
     //
-    // Scale shape: signatures are ONE partial+final aggregate carrying
-    // 32 longs per doc (map-side combined mins — no shuffle of token
-    // streams); bands explode to 16 narrow (bi, bv, doc_id) rows per
-    // doc and self-join shuffled-hash on the band key (bucket sizes are
-    // the LSH guarantee at j ≥ 0.9 — near-dup clusters, not corpus
-    // fractions); candidates carry (id, id) only into the verify join.
-    // Unlike the exact lane, total candidate work is ~Σ bucket² over
-    // NEAR-DUPLICATE buckets — linear-ish in the dup structure, immune
-    // to the prefix-band density that routes the exact lane off.
+    // Scale shape (round 18 — representative collapse, VERDICT r17 #3):
+    // the LSH branch first collapses docs with IDENTICAL token sets to
+    // one representative (one groupBy on the canonical token array —
+    // exact, no digest), then runs signatures/banding/verify on the
+    // representatives only. On the template-heavy corpus shape this
+    // lane exists for (~100-copy clusters measured at 100×), that
+    // removes the cluster multiplicity that made candidates ≈ output:
+    // a g-copy cluster contributed g²/2 band-collision rows × up to 16
+    // bands before the distinct; collapsed, it contributes ONE banded
+    // doc. Signatures are a map-side codegen projection off the
+    // persisted token arrays (plans/MinHash64D — 64 lanes in one loop,
+    // no aggregate, no extra shuffle). The verified REP pairs (exact
+    // jaccard, same kernel) then expand back to member pairs: within a
+    // group every pair is jaccard 1.0 by construction; across verified
+    // rep pairs every member pair inherits the rep pair's exact ja
+    // (identical sets ⟹ identical jaccard against everything). The
+    // expansion is output-sized — the same contract as the exact lane.
     "dedup_jaccard_routed" -> QueryDef(
       (spark, dir) => {
         val thr = 0.9
@@ -2810,58 +2880,44 @@ object TextQueries {
           setGauge(spark, "graft.jaccard.routed.hot", hot)
           setGauge(spark, "graft.jaccard.routed.budget", budget)
           val d = avg > budget || hot > budget
-          System.setProperty("graft.jaccard.routed.decision",
-            if (d) "lsh" else "exact")
+          // The decision rides the named-accumulator gauge path like
+          // every other routing signal (VERDICT r17 #5 — the old
+          // System.setProperty was JVM-global mutable state concurrent
+          // sessions would clobber, and invisible to cluster operators
+          // anyway): 1 = the LSH branch fired, 0 = exact.
+          setGauge(spark, "graft.jaccard.routed.decision", if (d) 1L else 0L)
           d
         }
-        val cands = if (!routed) {
-          val keyed = jaccardPrefixKeyed(sorted, gen)
-          keyed.select(col("band"), col("doc_id").as("d1"), col("n").as("n1"))
-            .join(keyed.select(col("band"), col("doc_id").as("d2"), col("n").as("n2")),
-              Seq("band"))
-            .filter(col("d1") < col("d2") &&
-              col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
-            .select("d1", "d2").distinct()
-        } else {
-          // 64 per-doc min-hashes off the ALREADY-PERSISTED token
-          // arrays, map-side: one codegen'd loop computes every lane
-          // (plans/MinHash64D — bit-equal to the aggregate form
-          // min(xxhash64(lit(i), h)) by seed-chain construction). The
-          // aggregate form re-scanned documents and shuffled a
-          // 65-column partial per doc; this is a projection off
-          // `sorted`, zero extra shuffle (the r17 100× board measured
-          // the signature pass dominating the routed lane). Band key
-          // b = hash(b, mh[Rb], …, mh[Rb+R−1]), unchanged.
-          graft.plans.MinHash64D.register(spark)
-          val sig = sorted.select(col("doc_id"),
-            size(col("toks")).cast("long").as("n"),
-            graft.plans.MinHash64D.minhash64(col("toks"), bands * rows).as("mh"))
-          val bandStructs = (0 until bands).map(b =>
-            struct(lit(b).as("bi"),
-              xxhash64((lit(b) +: (0 until rows).map(r =>
-                element_at(col("mh"), b * rows + r + 1))): _*).as("bv")))
-          val banded = sig
-            .select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
-            .select(col("doc_id"), col("n"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-          // the exact lane's size gate, applied to the band join too —
-          // LOSSLESS at the declared threshold (|A∩B| ≤ min sizes, so
-          // j ≥ gen forces the sizes within gen of each other) and it
-          // drops the cross-size half of any template bucket before
-          // the distinct. NO shuffle_hash hint here, deliberately: on a
-          // template-heavy corpus a band bucket can hold 10³+ docs
-          // (measured 1.3k at 100×), and hash-probing such keys holds
-          // the whole flood in flight per task; sort-merge streams each
-          // bucket's cross product with ONE buffered group side and
-          // lets AQE split the skewed partitions — the OOM-proof shape
-          // for pair enumeration over skewed band keys.
-          banded.select(col("bi"), col("bv"), col("doc_id").as("d1"), col("n").as("n1"))
-            .join(banded.select(col("bi"), col("bv"), col("doc_id").as("d2"), col("n").as("n2")),
-              Seq("bi", "bv"))
-            .filter(col("d1") < col("d2") &&
-              col("n2") >= col("n1") * lit(gen) && col("n1") >= col("n2") * lit(gen))
-            .select("d1", "d2").distinct()
+        if (!routed)
+          jaccardVerify(spark, sorted,
+            jaccardExactCands(jaccardPrefixKeyed(sorted, gen), gen), thr)
+        else {
+          // Representative collapse (see the scale-shape note above):
+          // band + verify run on one doc per DISTINCT token set.
+          val (reps, mem) = jaccardRepGroups(sorted)
+          val repPairs = jaccardVerifyPairs(spark, reps,
+            jaccardLshCands(spark, reps, gen, bands, rows), thr)
+          // Cross-group expansion: every member pair inherits its rep
+          // pair's exact ja (identical sets ⟹ identical jaccard).
+          // Normalized to d1 < d2; pairs are distinct by construction
+          // (groups are disjoint, one rep pair per group pair).
+          val cross = repPairs
+            .join(mem.select(col("rep").as("d1"), col("m").as("m1")), Seq("d1"))
+            .join(mem.select(col("rep").as("d2"), col("m").as("m2")), Seq("d2"))
+            .select(least(col("m1"), col("m2")).as("d1"),
+              greatest(col("m1"), col("m2")).as("d2"), col("ja"))
+          // Within-group pairs ARE the duplicates: jaccard exactly 1.0.
+          // Distinct arrays differ as sets, so rep pairs sit strictly
+          // below 1.0 — the union is disjoint.
+          val intra = mem.select(col("rep"), col("m").as("m1"))
+            .join(mem.select(col("rep"), col("m").as("m2")), Seq("rep"))
+            .filter(col("m1") < col("m2"))
+            .select(col("m1").as("d1"), col("m2").as("d2"),
+              lit(1.0).cast("double").as("ja"))
+          cross.unionAll(intra)
+            .orderBy(col("ja").desc, col("d1"), col("d2"))
+            .limit(300)
         }
-        jaccardVerify(spark, sorted, cands, thr)
       },
       Some(jaccardExactOracle),
       tier = "E"),

@@ -108,6 +108,12 @@ object MinHash64D {
     new ExpressionInfo(classOf[MinHash64D].getName, "graft_minhash64")
   val builder: Seq[Expression] => Expression = { ch =>
     require(ch.length == 2, "graft_minhash64(tokenHashes, k)")
+    // Foldability is checked BEFORE eval (ADVICE r17): eval(null) on a
+    // non-literal second argument (e.g. a column reference) throws an
+    // opaque runtime exception from deep inside the expression instead
+    // of the analysis-time message the caller can act on.
+    if (!ch(1).foldable) throw new IllegalArgumentException(
+      s"graft_minhash64 k must be an integer literal, got expression ${ch(1).sql}")
     val k = ch(1).eval(null) match {
       case i: Int => i
       case l: Long => l.toInt

@@ -147,17 +147,42 @@ class BenchSpec extends SparkSpec {
       try f.setLength(bytes) finally f.close()
       dir.toString
     }
-    assert(Bench.autoShufflePartitions(fake(17L << 20), 32) === 32)
-    assert(Bench.autoShufflePartitions(fake(187L << 20), 32) === 32) // latency regime
-    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32) === 1024) // memory regime
-    assert(Bench.autoShufflePartitions(fake(17L << 20), 4) === 4)
-    assert(Bench.autoShufflePartitions(fake(187L << 20), 4) === 128) // 4-core boundary
+    val g8 = 8L << 30 // the default-heap anchor: 8 GiB / 32 cores = 256 MiB/core
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 32, g8) === 32)
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 32, g8) === 32) // latency regime
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, g8) === 1024) // memory regime
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 4, g8) === 4)
+    assert(Bench.autoShufflePartitions(fake(187L << 20), 4, g8) === 128) // 4-core boundary
     // monotone cap: absurd volume cannot explode the partition count
-    assert(Bench.autoShufflePartitions(fake(1L << 40), 32) === 4096)
+    assert(Bench.autoShufflePartitions(fake(1L << 40), 32, g8) === 4096)
     // latency regime on a NON-power-of-two core count returns the core
     // count itself (ADVICE r15) — 12, not a rounded-up 16
-    assert(Bench.autoShufflePartitions(fake(17L << 20), 12) === 12)
-    assert(Bench.autoShufflePartitions(fake(100L << 20), 7) === 7)
+    assert(Bench.autoShufflePartitions(fake(17L << 20), 12, g8) === 12)
+    assert(Bench.autoShufflePartitions(fake(100L << 20), 7, g8) === 7)
+    // memory-per-core is ASYMMETRIC in the initial count (VERDICT r17
+    // #2): a SMALLER heap gets proportionally finer splits (safety) …
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 4L << 30) === 2048)
+    // … but a LARGER heap does NOT coarsen it — with AQE coalescing a
+    // too-fine initial merges for free, a too-coarse one cannot split.
+    // The 16 GiB 100x/300x boards keep the measured-safe 2 MiB anchor
+    // (1024 / the 4096 cap); per-stage coarsening is aqeScaleConfigs'.
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 16L << 30) === 1024)
+    assert(Bench.autoShufflePartitions(fake(5800L << 20), 32, 16L << 30) === 4096)
+  }
+
+  test("memory-regime AQE wiring: advisory from memory-per-core, core-count floor") {
+    val g8 = 8L << 30
+    // latency regime: partitions == cores -> Spark defaults untouched
+    assert(Bench.aqeScaleConfigs(32, 32, g8) === Seq.empty)
+    // memory regime: parallelism-first off, advisory = memPerCore >> 6
+    // (4 MiB at 256 MiB/core), stage floor = core count
+    val cfg = Bench.aqeScaleConfigs(1024, 32, g8).toMap
+    assert(cfg("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
+    assert(cfg("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (4L << 20).toString)
+    assert(cfg("spark.sql.adaptive.coalescePartitions.minPartitionNum") === "32")
+    // advisory scales with the heap: 16 GiB / 32 cores -> 8 MiB
+    assert(Bench.aqeScaleConfigs(2048, 32, 16L << 30).toMap
+      .apply("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (8L << 20).toString)
   }
 
   test("compact line fits the driver's 2000-char tail at full surface size") {

@@ -162,10 +162,11 @@ class JaccardGuardSpec extends SparkSpec {
     // density, so the guard decision must come out "lsh" — and the LSH
     // candidates + exact verify must land on the exact lane's rows.
     val routedFn = Registry.all.toMap.apply("dedup_jaccard_routed").fn
-    sys.props -= "graft.jaccard.routed.decision"
     val viaLsh = routedFn(spark, sf001).collect().map(_.toSeq).toSeq
     graft.core.releaseQueryCaches(spark)
-    assert(sys.props.get("graft.jaccard.routed.decision") === Some("lsh"),
+    // the decision is a named-accumulator gauge (VERDICT r17 #5 — no
+    // JVM-global property): 1 = LSH branch, 0 = exact
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.decision").value === 1L,
       "declared corpus density must route the twin onto the LSH branch")
     assert(graft.core.gauge(spark, "graft.jaccard.routed.avg").value > 64L,
       "routed gauge must record the over-budget density")
@@ -179,7 +180,7 @@ class JaccardGuardSpec extends SparkSpec {
     try {
       val viaExact = routedFn(spark, sf001).collect().map(_.toSeq).toSeq
       graft.core.releaseQueryCaches(spark)
-      assert(sys.props.get("graft.jaccard.routed.decision") === Some("exact"),
+      assert(graft.core.gauge(spark, "graft.jaccard.routed.decision").value === 0L,
         "a raised budget must flip the decision to the exact branch")
       assert(viaExact === viaLsh)
     } finally sys.props -= "graft.jaccard.routed.budget"
