@@ -273,20 +273,38 @@ object Bench {
     * At cluster scale the same rule is the volume-proportional INITIAL
     * partition count handed to AQE, not a fixed core-count constant.
     *
-    * Round 18 (VERDICT r17 #2): memory-per-core enters the rule, but
-    * ASYMMETRICALLY. The INITIAL count is a safety bound and only ever
-    * gets FINER than the measured 2 MiB anchor (perPartition =
-    * min(2 MiB, memPerCore >> 7) — a 4 GiB heap halves the byte budget;
-    * a 16 GiB heap does NOT coarsen it, because with AQE coalescing a
-    * too-fine initial count is merged for free while a too-coarse one
-    * cannot be split). The COARSENING job moves to where task sizes are
-    * actually set — the per-stage AQE advisory in [[aqeScaleConfigs]],
-    * derived from memPerCore and sized to the SHUFFLE bytes of each
-    * stage rather than the parquet bytes of the whole corpus. That is
-    * what dissolves the r17 cap-regime harm (graph_community_lpa 875.5 s
-    * at a FLAT 4096 vs 204.1 s at 1024 at 300× — SCALE.md round-17):
-    * the initial count may still be 4096, but no heavy stage RUNS at
-    * 4096 any more (validated in SCALE.md round-18).
+    * Round 18 (VERDICT r17 #2): memory-per-core enters the rule — via
+    * the EFFECTIVE heap, and with a wave-depth floor, because round
+    * 18's 300× audit falsified the first (asymmetric) design. That
+    * design kept a flat 2 MiB anchor ("a too-fine initial count
+    * coalesces for free under AQE") — but AQE coalescing cannot reach
+    * CACHED plans (canChangeCachedPlanOutputPartitioning=false pins
+    * them by design, VERDICT r14 #5), and iterative keys live on
+    * cached relations, so the 4096 initial count still taxed every
+    * LPA/pagerank iteration: measured at 300×/16 GiB with the AQE
+    * wiring ON, graph_community_lpa = 218.0 s at 1024 initial, 444.0 s
+    * at 2048, >1140 s (killed) at the old rule's 4096 — super-linear
+    * in the initial count alone (SCALE.md round-18). Two derivations,
+    * both from measurements:
+    *  - `effective = heap − 4 GiB` (floored at heap/4): the single-JVM
+    *    co-residence reserve. The heap-cliff measurements (round 17)
+    *    showed driver + session caches eat a roughly FIXED slice —
+    *    8 GiB dies at 100×/300× while 16 GiB runs clean — so sort
+    *    memory scales with the heap BEYOND that slice, not with the
+    *    raw heap. perPartition = effMemPerCore >> 6 lands exactly on
+    *    both calibrated points: 8 GiB → 128 MiB/core → 2 MiB (the
+    *    measured 100× anchor: 512 OOM'd, 1024 clean) and 16 GiB →
+    *    384 MiB/core → 6 MiB (300× raw 967 → 1024, the measured-best
+    *    point). Clamped to [64 KiB, 16 MiB] — at 16 MiB the memory
+    *    regime meets the latency regime's boundary constant.
+    *  - Floor at 32 tasks/core in the memory regime: both measured
+    *    iterative optima sit at 32×cores = 1024 (pagerank at 100× ran
+    *    68.8 s at 512 vs 46.4 s at 1024 — fewer partitions spill;
+    *    lpa at 300× ran 218 s at 1024 vs 444 s at 2048 — more
+    *    partitions reschedule), and light stages above the floor are
+    *    AQE-coalesced for free ([[aqeScaleConfigs]]). The cap keeps
+    *    4096 for the volume term but never binds below the floor on
+    *    many-core clusters.
     */
   private[graft] def autoShufflePartitions(sfDir: String, cpus: Int,
       heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
@@ -307,12 +325,13 @@ object Bench {
     // local[12] 16 partitions — pure task overhead vs the partitions=
     // cores default this rule is calibrated against.
     if (coarse <= cpus) return cpus
-    val memPerCore = math.max(1L, heapBytes) / math.max(1, cpus)
-    val perPartition = math.max(64L << 10, math.min(2L << 20, memPerCore >> 7))
+    val effective = math.max(heapBytes - (4L << 30), math.max(1L, heapBytes) / 4)
+    val memPerCore = effective / math.max(1, cpus)
+    val perPartition = math.max(64L << 10, math.min(16L << 20, memPerCore >> 6))
     val raw = (bytes + perPartition - 1) / perPartition
     var p = 1L
     while (p < raw) p <<= 1
-    math.min(p, 4096L).toInt
+    math.min(math.max(p, 32L * cpus), math.max(4096L, 32L * cpus)).toInt
   }
 
   /** Memory-regime AQE wiring (VERDICT r17 #4): when the volume-derived

@@ -2834,23 +2834,29 @@ object TextQueries {
     // brute-force SQL as the exact lane — the hash gate proves the
     // routed lane loses nothing on the declared corpora.
     //
-    // Scale shape (round 18 — representative collapse, VERDICT r17 #3):
-    // the LSH branch first collapses docs with IDENTICAL token sets to
-    // one representative (one groupBy on the canonical token array —
-    // exact, no digest), then runs signatures/banding/verify on the
-    // representatives only. On the template-heavy corpus shape this
-    // lane exists for (~100-copy clusters measured at 100×), that
-    // removes the cluster multiplicity that made candidates ≈ output:
-    // a g-copy cluster contributed g²/2 band-collision rows × up to 16
-    // bands before the distinct; collapsed, it contributes ONE banded
-    // doc. Signatures are a map-side codegen projection off the
-    // persisted token arrays (plans/MinHash64D — 64 lanes in one loop,
-    // no aggregate, no extra shuffle). The verified REP pairs (exact
-    // jaccard, same kernel) then expand back to member pairs: within a
-    // group every pair is jaccard 1.0 by construction; across verified
-    // rep pairs every member pair inherits the rep pair's exact ja
-    // (identical sets ⟹ identical jaccard against everything). The
-    // expansion is output-sized — the same contract as the exact lane.
+    // Scale shape (round 18 — representative collapse + saturation
+    // short-circuit, VERDICT r17 #3): the LSH branch first collapses
+    // docs with IDENTICAL token sets to one representative (one
+    // groupBy on the canonical token array — exact, no digest). Two
+    // measured effects at 100× (SCALE.md round-18 stage profile):
+    // (1) the collapse itself is MODEST on the ScaleGen corpus — its
+    // dup clusters are near-dups, not exact dups, so 500k docs yield
+    // 426.6k reps and candidates drop only 102M → 64.6M; (2) the
+    // DECISIVE win is the limit-aware short-circuit below: the group
+    // relation yields the intra (ja = 1.0) pairs linearly, and when
+    // they alone saturate the declared top-300 — the template-heavy
+    // case this lane routes on — banding, candidate join and verify
+    // are skipped entirely (routed 17.6 s vs exact 86.3 s at 100×,
+    // min-of-2; the r17 form LOST 126.8 vs 83.0). When the head is
+    // unsaturated the full pipeline runs on the reps: signatures are
+    // a map-side codegen projection off the persisted token arrays
+    // (plans/MinHash64D — 64 lanes in one loop, no aggregate, no
+    // extra shuffle), verify is the SAME exact kernel, and verified
+    // REP pairs expand back to member pairs: within a group every
+    // pair is jaccard 1.0 by construction; across verified rep pairs
+    // every member pair inherits the rep pair's exact ja (identical
+    // sets ⟹ identical jaccard against everything). The expansion is
+    // output-sized — the same contract as the exact lane.
     "dedup_jaccard_routed" -> QueryDef(
       (spark, dir) => {
         val thr = 0.9
@@ -2895,28 +2901,60 @@ object TextQueries {
           // Representative collapse (see the scale-shape note above):
           // band + verify run on one doc per DISTINCT token set.
           val (reps, mem) = jaccardRepGroups(sorted)
-          val repPairs = jaccardVerifyPairs(spark, reps,
-            jaccardLshCands(spark, reps, gen, bands, rows), thr)
-          // Cross-group expansion: every member pair inherits its rep
-          // pair's exact ja (identical sets ⟹ identical jaccard).
-          // Normalized to d1 < d2; pairs are distinct by construction
-          // (groups are disjoint, one rep pair per group pair).
-          val cross = repPairs
-            .join(mem.select(col("rep").as("d1"), col("m").as("m1")), Seq("d1"))
-            .join(mem.select(col("rep").as("d2"), col("m").as("m2")), Seq("d2"))
-            .select(least(col("m1"), col("m2")).as("d1"),
-              greatest(col("m1"), col("m2")).as("d2"), col("ja"))
           // Within-group pairs ARE the duplicates: jaccard exactly 1.0.
           // Distinct arrays differ as sets, so rep pairs sit strictly
-          // below 1.0 — the union is disjoint.
+          // below 1.0 (pround to 4 places cannot lift a cross pair to
+          // 1.0: docs carry ≪ 20000 tokens, so a non-identical pair is
+          // ≤ 1 − 1/|union| ≤ 0.9975) — the union is disjoint AND every
+          // intra pair outranks every cross pair in the declared
+          // (ja DESC, d1, d2) order.
           val intra = mem.select(col("rep"), col("m").as("m1"))
             .join(mem.select(col("rep"), col("m").as("m2")), Seq("rep"))
             .filter(col("m1") < col("m2"))
             .select(col("m1").as("d1"), col("m2").as("d2"),
               lit(1.0).cast("double").as("ja"))
-          cross.unionAll(intra)
-            .orderBy(col("ja").desc, col("d1"), col("d2"))
-            .limit(300)
+          // Limit-aware saturation short-circuit (VERDICT r17 #3): when
+          // the intra-group pair count alone covers the declared top-300
+          // — Σ g·(g−1)/2 over the persisted groups, one cheap aggregate
+          // — the whole answer is ja = 1.0 exact-duplicate pairs, and
+          // enumerating near-duplicate candidates cannot contribute a
+          // row. On the template-heavy corpus shape this lane routes on,
+          // that is the common case (the 100× twin's top-300 saturates:
+          // candidates ≈ the ~10⁸ true near-dup pairs, SCALE.md
+          // round-18), and the lane degenerates to the LINEAR group
+          // relation: no banding, no candidate join, no verify. At the
+          // declared oracle SFs where the head still holds sub-1.0 pairs
+          // (97/300 ones at sf0.001, 115/300 at sf0.01), the count stays
+          // under the limit and the FULL LSH+verify+expand pipeline runs
+          // and hash-checks — the short-circuit never de-exercises the
+          // branch this key exists to pin. planOnly declares the full
+          // branch (the probe and the count are eager actions).
+          val saturated = !planOnly.value && {
+            val nIntra = mem.groupBy("rep").agg(cnt("g"))
+              .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)))
+              .head.getLong(0)
+            setGauge(spark, "graft.jaccard.routed.saturated",
+              if (nIntra >= 300L) 1L else 0L)
+            nIntra >= 300L
+          }
+          if (saturated)
+            intra.orderBy(col("ja").desc, col("d1"), col("d2")).limit(300)
+          else {
+            val repPairs = jaccardVerifyPairs(spark, reps,
+              jaccardLshCands(spark, reps, gen, bands, rows), thr)
+            // Cross-group expansion: every member pair inherits its rep
+            // pair's exact ja (identical sets ⟹ identical jaccard).
+            // Normalized to d1 < d2; pairs are distinct by construction
+            // (groups are disjoint, one rep pair per group pair).
+            val cross = repPairs
+              .join(mem.select(col("rep").as("d1"), col("m").as("m1")), Seq("d1"))
+              .join(mem.select(col("rep").as("d2"), col("m").as("m2")), Seq("d2"))
+              .select(least(col("m1"), col("m2")).as("d1"),
+                greatest(col("m1"), col("m2")).as("d2"), col("ja"))
+            cross.unionAll(intra)
+              .orderBy(col("ja").desc, col("d1"), col("d2"))
+              .limit(300)
+          }
         }
       },
       Some(jaccardExactOracle),

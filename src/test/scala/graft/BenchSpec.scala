@@ -159,15 +159,24 @@ class BenchSpec extends SparkSpec {
     // count itself (ADVICE r15) — 12, not a rounded-up 16
     assert(Bench.autoShufflePartitions(fake(17L << 20), 12, g8) === 12)
     assert(Bench.autoShufflePartitions(fake(100L << 20), 7, g8) === 7)
-    // memory-per-core is ASYMMETRIC in the initial count (VERDICT r17
-    // #2): a SMALLER heap gets proportionally finer splits (safety) …
-    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 4L << 30) === 2048)
-    // … but a LARGER heap does NOT coarsen it — with AQE coalescing a
-    // too-fine initial merges for free, a too-coarse one cannot split.
-    // The 16 GiB 100x/300x boards keep the measured-safe 2 MiB anchor
-    // (1024 / the 4096 cap); per-stage coarsening is aqeScaleConfigs'.
+    // memory-per-core sizing off the EFFECTIVE heap (VERDICT r17 #2,
+    // round-18 300× audit): a SMALLER heap gets proportionally finer
+    // splits (4 GiB → 512 KiB/partition → the 4096 cap for the 100×
+    // twin — safety) …
+    assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 4L << 30) === 4096)
+    // … and a LARGER heap coarsens the initial count, because AQE
+    // coalescing cannot reach CACHED plans (pinned by
+    // canChangeCachedPlanOutputPartitioning=false), so iterative keys
+    // pay the initial count directly: measured at 300×/16 GiB with the
+    // AQE wiring on, lpa = 218 s at 1024 initial, 444 s at 2048,
+    // >1140 s at the old rule's 4096. 16 GiB → (16−4) GiB effective →
+    // 384 MiB/core → 6 MiB/partition; both twins land on the
+    // 32-tasks-per-core floor = 1024, the measured-best point at BOTH
+    // scales (pagerank 100×: 68.8 s at 512 vs 46.4 s at 1024).
     assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 16L << 30) === 1024)
-    assert(Bench.autoShufflePartitions(fake(5800L << 20), 32, 16L << 30) === 4096)
+    assert(Bench.autoShufflePartitions(fake(5800L << 20), 32, 16L << 30) === 1024)
+    // the wave-depth floor never exceeds the cap on many-core shapes
+    assert(Bench.autoShufflePartitions(fake(1L << 40), 256, 8L << 34) === 8192)
   }
 
   test("memory-regime AQE wiring: advisory from memory-per-core, core-count floor") {

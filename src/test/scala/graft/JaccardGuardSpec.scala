@@ -170,6 +170,11 @@ class JaccardGuardSpec extends SparkSpec {
       "declared corpus density must route the twin onto the LSH branch")
     assert(graft.core.gauge(spark, "graft.jaccard.routed.avg").value > 64L,
       "routed gauge must record the over-budget density")
+    // sf0.001's top-300 still holds sub-1.0 pairs (97 ja=1.0 rows), so
+    // the saturation short-circuit must NOT fire — the full
+    // LSH+verify+expand pipeline is what this oracle SF exercises
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.saturated").value === 0L,
+      "an unsaturated head must run the full LSH branch")
     val exact = fn(spark, sf001).collect().map(_.toSeq).toSeq
     graft.core.releaseQueryCaches(spark)
     assert(viaLsh === exact,
@@ -184,5 +189,26 @@ class JaccardGuardSpec extends SparkSpec {
         "a raised budget must flip the decision to the exact branch")
       assert(viaExact === viaLsh)
     } finally sys.props -= "graft.jaccard.routed.budget"
+  }
+
+  test("saturation short-circuit: a limit-saturated corpus answers from the group relation alone") {
+    // 60 identical docs = one representative group with 60·59/2 = 1770
+    // intra (ja = 1.0) pairs ≥ the declared top-300, so the routed lane
+    // must answer LINEARLY — no banding, no candidate join, no verify —
+    // and still land on the exact lane's rows bit-for-bit (every intra
+    // pair outranks every cross pair in the (ja DESC, d1, d2) order).
+    val routedFn = Registry.all.toMap.apply("dedup_jaccard_routed").fn
+    val dir = denseFixture(docs = 60, toks = 300)
+    val viaRouted = routedFn(spark, dir).collect().map(_.toSeq).toSeq
+    graft.core.releaseQueryCaches(spark)
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.decision").value === 1L,
+      "an all-identical corpus must route onto the LSH branch")
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.saturated").value === 1L,
+      "1770 intra pairs must saturate the declared top-300")
+    assert(viaRouted.length === 300 && viaRouted.forall(_.apply(2) === 1.0))
+    val exact = fn(spark, dir).collect().map(_.toSeq).toSeq
+    graft.core.releaseQueryCaches(spark)
+    assert(viaRouted === exact,
+      "the short-circuited answer must equal the exact lane's rows")
   }
 }
