@@ -345,12 +345,18 @@ object Bench {
     * (4 MiB at 256 MiB/core): the 100× iterative join (~4.5 GB shuffle)
     * coalesces to ~1024-equivalent tasks — the measured clean-and-fast
     * point — while a 300 MB map-heavy stage drops to ~75 tasks instead
-    * of 1024. minPartitionNum pins the core count as the floor so no
-    * stage collapses below full parallelism. Latency regime (count ==
-    * cores) keeps Spark defaults — partitions already equal cores and
-    * parallelism-first preserves them. SPARK_GRAFT_AQE_ADVISORY
-    * overrides the advisory bytes ("off" disables the wiring) for knob
-    * sweeps.
+    * of 1024. minPartitionNum pins 4× the core count as the floor: the
+    * first (floor = cores) wiring let pagerank's ~500 MB iteration
+    * exchange coalesce to ~62 tasks of ~8 MiB compressed each, and on
+    * the late-sweep heap (session caches + shared pipelines resident)
+    * 32 such tasks concurrently OOM'd the 16 GiB 100× board in pass 2
+    * — a sweep the r17 un-coalesced 1024-partition board survived.
+    * 4×cores halves-plus the per-task footprint while keeping ~90% of
+    * the task-overhead win over the 1024-way split. Latency regime
+    * (count == cores) keeps Spark defaults — partitions already equal
+    * cores and parallelism-first preserves them.
+    * SPARK_GRAFT_AQE_ADVISORY overrides the advisory bytes ("off"
+    * disables the wiring) for knob sweeps.
     */
   private[graft] def aqeScaleConfigs(partitions: Int, cpus: Int,
       heapBytes: Long = Runtime.getRuntime.maxMemory): Seq[(String, String)] = {
@@ -361,7 +367,7 @@ object Bench {
     Seq(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
-      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> cpus.toString)
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> (4 * cpus).toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -403,6 +409,20 @@ object Bench {
       // (4.35M->2.02M records) with LPA and the rest neutral.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
+      // Headless-harness status-store diet (round 18): a 203-key ×
+      // 3-pass 100× sweep runs ~7,000 stages, and with the AQE wiring
+      // each execution retains re-planned plan graphs + per-stage
+      // metrics in the driver's SQL/status stores (defaults keep 1000
+      // executions) — multi-GB ballast by pass 2 that serves no one
+      // with the UI off. The 16 GiB 100× board OOM'd in pass-2
+      // pagerank at the SAME stage twice before this diet; the
+      // tightened periodic GC also lets ContextCleaner's weak-ref
+      // shuffle cleanup actually fire inside one sweep (default 30min
+      // ≈ half the sweep).
+      .config("spark.sql.ui.retainedExecutions", "64")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.cleaner.periodicGC.interval", "5min")
     // Memory-regime AQE coalesce wiring — see [[aqeScaleConfigs]].
     val spark = aqeScaleConfigs(shufflePartitions.toInt, cpus.toInt)
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

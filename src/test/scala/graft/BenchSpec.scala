@@ -184,11 +184,13 @@ class BenchSpec extends SparkSpec {
     // latency regime: partitions == cores -> Spark defaults untouched
     assert(Bench.aqeScaleConfigs(32, 32, g8) === Seq.empty)
     // memory regime: parallelism-first off, advisory = memPerCore >> 6
-    // (4 MiB at 256 MiB/core), stage floor = core count
+    // (4 MiB at 256 MiB/core), stage floor = 4× the core count (a
+    // floor of exactly `cores` let ~8 MiB coalesced tasks OOM the
+    // 16 GiB 100× board late in pass 2 — SCALE.md round-18)
     val cfg = Bench.aqeScaleConfigs(1024, 32, g8).toMap
     assert(cfg("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
     assert(cfg("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (4L << 20).toString)
-    assert(cfg("spark.sql.adaptive.coalescePartitions.minPartitionNum") === "32")
+    assert(cfg("spark.sql.adaptive.coalescePartitions.minPartitionNum") === "128")
     // advisory scales with the heap: 16 GiB / 32 cores -> 8 MiB
     assert(Bench.aqeScaleConfigs(2048, 32, 16L << 30).toMap
       .apply("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (8L << 20).toString)
