@@ -325,13 +325,30 @@ object Bench {
     // local[12] 16 partitions — pure task overhead vs the partitions=
     // cores default this rule is calibrated against.
     if (coarse <= cpus) return cpus
-    val effective = math.max(heapBytes - (4L << 30), math.max(1L, heapBytes) / 4)
-    val memPerCore = effective / math.max(1, cpus)
-    val perPartition = math.max(64L << 10, math.min(16L << 20, memPerCore >> 6))
+    val perPartition =
+      math.max(64L << 10, math.min(16L << 20, effectiveMemPerCore(cpus, heapBytes) >> 6))
     val raw = (bytes + perPartition - 1) / perPartition
     var p = 1L
     while (p < raw) p <<= 1
-    math.min(math.max(p, 32L * cpus), math.max(4096L, 32L * cpus)).toInt
+    // Floor 32 tasks/core (the measured iterative optimum at both 100×
+    // and 300×); cap 64 tasks/core-or-4096 — the cap sits strictly
+    // ABOVE the floor so the volume/memory-derived p still binds on
+    // many-core shapes (ADVICE r18: a shared floor==cap collapsed the
+    // rule to a constant 32·cpus there, silently abandoning the
+    // per-partition byte budget the memory regime exists to enforce).
+    math.min(math.max(p, 32L * cpus), math.max(4096L, 64L * cpus)).toInt
+  }
+
+  /** Memory per core, ONE basis shared by the initial-partition rule
+    * and the AQE advisory (VERDICT r18 #3 — they previously derived
+    * from effective vs raw heap six lines apart): heap minus a 4 GiB
+    * reserve for what never shows up in per-task arithmetic (driver
+    * bookkeeping, broadcast vars, session caches, late-sweep status-
+    * store ballast — the measured pass-2 OOM margin, SCALE.md
+    * round-18), floored at heap/4 so small heaps keep a sane budget. */
+  private[graft] def effectiveMemPerCore(cpus: Int, heapBytes: Long): Long = {
+    val effective = math.max(heapBytes - (4L << 30), math.max(1L, heapBytes) / 4)
+    effective / math.max(1, cpus)
   }
 
   /** Memory-regime AQE wiring (VERDICT r17 #4): when the volume-derived
@@ -341,11 +358,11 @@ object Bench {
     * coalesces below minPartitionSize=1 MiB — at 1024/4096 initial
     * partitions of 2–4 MiB each it never fires, so mid-size map-heavy
     * stages paid 1.5–1.8× task overhead at 100× and iterative keys
-    * 4.3× at 300×, SCALE.md round-17). Advisory = memPerCore >> 6
-    * (4 MiB at 256 MiB/core): the 100× iterative join (~4.5 GB shuffle)
-    * coalesces to ~1024-equivalent tasks — the measured clean-and-fast
-    * point — while a 300 MB map-heavy stage drops to ~75 tasks instead
-    * of 1024. minPartitionNum pins 4× the core count as the floor: the
+    * 4.3× at 300×, SCALE.md round-17). Advisory = effective memPerCore
+    * >> 6 (6 MiB at 16 GiB/32 cores): the 100× iterative join (~4.5 GB
+    * shuffle) coalesces to ~768-equivalent tasks — inside the measured
+    * clean-and-fast band around 1024 — while a 300 MB map-heavy stage
+    * drops to ~128 tasks (the floor) instead of 1024. minPartitionNum pins 4× the core count as the floor: the
     * first (floor = cores) wiring let pagerank's ~500 MB iteration
     * exchange coalesce to ~62 tasks of ~8 MiB compressed each, and on
     * the late-sweep heap (session caches + shared pipelines resident)
@@ -362,8 +379,14 @@ object Bench {
       heapBytes: Long = Runtime.getRuntime.maxMemory): Seq[(String, String)] = {
     val env = sys.env.get("SPARK_GRAFT_AQE_ADVISORY")
     if (partitions <= cpus || env.contains("off")) return Seq.empty
-    val memPerCore = math.max(1L, heapBytes) / math.max(1, cpus)
-    val advisory = env.map(_.toLong).getOrElse(math.max(1L << 20, memPerCore >> 6))
+    // Advisory off the same EFFECTIVE memory-per-core basis as
+    // [[autoShufflePartitions]] (VERDICT r18 #3 — raw heap here vs
+    // effective heap there was two bases for one concept): 16 GiB/32
+    // cores → 384 MiB effective/core → 6 MiB advisory (was 8 MiB raw —
+    // the safe direction: smaller coalesce targets mean more, smaller
+    // tasks, and the 4×cores floor still bounds the coalesce).
+    val advisory = env.map(_.toLong)
+      .getOrElse(math.max(1L << 20, effectiveMemPerCore(cpus, heapBytes) >> 6))
     Seq(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,

@@ -433,17 +433,22 @@ object TextQueries {
     * equality ⟺ pairwise jaccard 1.0, and every member of a group has
     * the SAME jaccard against every outside doc. Grouping on the array
     * itself (not a digest) keeps the lane exact — no collision caveat.
-    * Returns (reps, mem): one representative doc per distinct set, and
-    * the (rep, member) relation. Empty-token docs are dropped — they
-    * can never reach a candidate pair on the exact lane (no prefix
-    * bands), and their jaccard is undefined. */
-  private def jaccardRepGroups(sorted: DataFrame): (DataFrame, DataFrame) = {
+    * Returns (reps, mem, groups): one representative doc per distinct
+    * set, the (rep, member) relation, and the persisted grouped
+    * relation itself — the routed lane's saturation probe aggregates
+    * over `groups` directly (one narrow scan of the cached relation,
+    * ADVICE r18) instead of re-shuffling the exploded members. Empty-
+    * token docs are dropped — they can never reach a candidate pair on
+    * the exact lane (no prefix bands), and their jaccard is
+    * undefined. */
+  private def jaccardRepGroups(sorted: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val groups = scopedPersist(sorted
       .filter(size(col("toks")) > 0)
       .groupBy("toks")
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members")))
     (groups.select(col("rep").as("doc_id"), col("toks")),
-      groups.select(col("rep"), explode(col("members")).as("m")))
+      groups.select(col("rep"), explode(col("members")).as("m")),
+      groups)
   }
 
   /** Dev-only stage profile of the two jaccard lanes (graft.JaccProfile
@@ -481,7 +486,7 @@ object TextQueries {
     // every stage below is the SHIPPED builder (ADVICE r17): the routed
     // key and this profiler call the same private helpers, so SCALE.md
     // cost attributions are measurements of the real plan.
-    val (reps, mem) = jaccardRepGroups(sorted)
+    val (reps, mem, _) = jaccardRepGroups(sorted)
     val nReps = timed("rep_collapse")(reps.count())
     println(s"[jacc] distinct_token_sets $nReps")
     timed("rep_members")(mem.write.format("noop").mode("overwrite").save())
@@ -2900,14 +2905,17 @@ object TextQueries {
         else {
           // Representative collapse (see the scale-shape note above):
           // band + verify run on one doc per DISTINCT token set.
-          val (reps, mem) = jaccardRepGroups(sorted)
+          val (reps, mem, groups) = jaccardRepGroups(sorted)
           // Within-group pairs ARE the duplicates: jaccard exactly 1.0.
-          // Distinct arrays differ as sets, so rep pairs sit strictly
-          // below 1.0 (pround to 4 places cannot lift a cross pair to
-          // 1.0: docs carry ≪ 20000 tokens, so a non-identical pair is
-          // ≤ 1 − 1/|union| ≤ 0.9975) — the union is disjoint AND every
-          // intra pair outranks every cross pair in the declared
-          // (ja DESC, d1, d2) order.
+          // Distinct arrays differ as sets, so a cross (non-identical)
+          // pair has ja ≤ 1 − 1/|union|, and pround to 4 places lifts
+          // that to 1.0 only when ja ≥ 1 − 0.5·10⁻⁴, i.e. |union| ≥
+          // 20000 (ADVICE r18 — the old "≤ 0.9975" bound was wrong:
+          // that needs |union| ≤ 400). Since |union| ≤ 2·max_n, the
+          // short-circuit below ENFORCES 2·max_n < 20000 rather than
+          // assuming it: inside that guard the 1.0 tier is exactly the
+          // intra pairs and every intra pair outranks every cross pair
+          // in the declared (ja DESC, d1, d2) order.
           val intra = mem.select(col("rep"), col("m").as("m1"))
             .join(mem.select(col("rep"), col("m").as("m2")), Seq("rep"))
             .filter(col("m1") < col("m2"))
@@ -2928,14 +2936,24 @@ object TextQueries {
           // under the limit and the FULL LSH+verify+expand pipeline runs
           // and hash-checks — the short-circuit never de-exercises the
           // branch this key exists to pin. planOnly declares the full
-          // branch (the probe and the count are eager actions).
+          // branch (the probe and the count are eager actions). The
+          // probe is ONE aggregate over the persisted group relation
+          // (ADVICE r18 — no re-shuffle of the exploded members), and
+          // it also reads max distinct-token count to enforce the
+          // soundness guard: past 2·max_n ≥ 20000 a cross pair COULD
+          // pround to 1.0 and displace intra pairs from the top-300,
+          // so the short-circuit refuses and the full pipeline runs.
           val saturated = !planOnly.value && {
-            val nIntra = mem.groupBy("rep").agg(cnt("g"))
-              .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)))
-              .head.getLong(0)
+            val r = groups.agg(
+              coalesce(sum(expr(
+                "cast(size(members) as bigint) * (size(members) - 1) div 2")),
+                lit(0L)),
+              coalesce(max(size(col("toks"))), lit(0))).head
+            val (nIntra, maxN) = (r.getLong(0), r.getInt(1))
+            val sat = nIntra >= 300L && 2L * maxN < 20000L
             setGauge(spark, "graft.jaccard.routed.saturated",
-              if (nIntra >= 300L) 1L else 0L)
-            nIntra >= 300L
+              if (sat) 1L else 0L)
+            sat
           }
           if (saturated)
             intra.orderBy(col("ja").desc, col("d1"), col("d2")).limit(300)

@@ -175,25 +175,40 @@ class BenchSpec extends SparkSpec {
     // scales (pagerank 100×: 68.8 s at 512 vs 46.4 s at 1024).
     assert(Bench.autoShufflePartitions(fake(1900L << 20), 32, 16L << 30) === 1024)
     assert(Bench.autoShufflePartitions(fake(5800L << 20), 32, 16L << 30) === 1024)
-    // the wave-depth floor never exceeds the cap on many-core shapes
-    assert(Bench.autoShufflePartitions(fake(1L << 40), 256, 8L << 34) === 8192)
+    // many-core shapes: the cap (64 tasks/core) sits strictly above the
+    // floor (32 tasks/core), so the volume/memory term still BINDS there
+    // instead of collapsing to a constant (ADVICE r18) — 1 TiB on 256
+    // cores / 128 GiB heap derives ~7.75 MiB/partition → p = 262144,
+    // clamped to the 16384 cap (not the old floor==cap 8192)
+    assert(Bench.autoShufflePartitions(fake(1L << 40), 256, 8L << 34) === 16384)
+    // … and between floor and cap the derived p passes through untouched:
+    // 64 GiB on 256 cores / 128 GiB heap → 64 GiB / 7.75 MiB ≈ 8.3k →
+    // p = 16384, inside [8192, 16384]
+    assert(Bench.autoShufflePartitions(fake(64L << 30), 256, 8L << 34) === 16384)
+    assert(Bench.autoShufflePartitions(fake(32L << 30), 256, 8L << 34) === 8192)
   }
 
   test("memory-regime AQE wiring: advisory from memory-per-core, core-count floor") {
     val g8 = 8L << 30
     // latency regime: partitions == cores -> Spark defaults untouched
     assert(Bench.aqeScaleConfigs(32, 32, g8) === Seq.empty)
-    // memory regime: parallelism-first off, advisory = memPerCore >> 6
-    // (4 MiB at 256 MiB/core), stage floor = 4× the core count (a
-    // floor of exactly `cores` let ~8 MiB coalesced tasks OOM the
-    // 16 GiB 100× board late in pass 2 — SCALE.md round-18)
+    // memory regime: parallelism-first off, advisory = EFFECTIVE
+    // memPerCore >> 6 — the same basis as autoShufflePartitions
+    // (VERDICT r18 #3): 8 GiB heap → 4 GiB effective → 128 MiB/core →
+    // 2 MiB advisory. Stage floor = 4× the core count (a floor of
+    // exactly `cores` let ~8 MiB coalesced tasks OOM the 16 GiB 100×
+    // board late in pass 2 — SCALE.md round-18)
     val cfg = Bench.aqeScaleConfigs(1024, 32, g8).toMap
     assert(cfg("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
-    assert(cfg("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (4L << 20).toString)
+    assert(cfg("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (2L << 20).toString)
     assert(cfg("spark.sql.adaptive.coalescePartitions.minPartitionNum") === "128")
-    // advisory scales with the heap: 16 GiB / 32 cores -> 8 MiB
+    // advisory scales with the heap: 16 GiB → 12 GiB effective / 32
+    // cores → 384 MiB/core → 6 MiB
     assert(Bench.aqeScaleConfigs(2048, 32, 16L << 30).toMap
-      .apply("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (8L << 20).toString)
+      .apply("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (6L << 20).toString)
+    // the two rules now share one memory-per-core helper — pin the basis
+    assert(Bench.effectiveMemPerCore(32, 16L << 30) === (12L << 30) / 32)
+    assert(Bench.effectiveMemPerCore(32, g8) === (4L << 30) / 32)
   }
 
   test("compact line fits the driver's 2000-char tail at full surface size") {

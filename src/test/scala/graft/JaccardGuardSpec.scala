@@ -211,4 +211,33 @@ class JaccardGuardSpec extends SparkSpec {
     assert(viaRouted === exact,
       "the short-circuited answer must equal the exact lane's rows")
   }
+
+  test("saturation short-circuit refuses huge-token corpora where pround could lift a cross pair to 1.0") {
+    // ADVICE r18: pround(ja, 4) rounds a NON-identical pair up to 1.0
+    // once |union| ≥ 20000 (1 − 1/20000 = 0.99995 rounds to 1.0), so a
+    // cross pair could displace intra pairs from the top-300 and the
+    // intra-only short-circuit would be unsound. The guard is 2·max_n <
+    // 20000. Fixture: 30 identical docs of 10000 distinct tokens each —
+    // 435 intra pairs saturate the top-300, but max_n = 10000 puts
+    // 2·max_n AT the boundary, so the short-circuit must REFUSE and the
+    // full LSH+verify+expand pipeline must still produce the exact rows.
+    val routedFn = Registry.all.toMap.apply("dedup_jaccard_routed").fn
+    val dir = denseFixture(docs = 30, toks = 10000)
+    val viaRouted = routedFn(spark, dir).collect().map(_.toSeq).toSeq
+    graft.core.releaseQueryCaches(spark)
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.decision").value === 1L,
+      "an all-identical corpus must route onto the LSH branch")
+    assert(graft.core.gauge(spark, "graft.jaccard.routed.saturated").value === 0L,
+      "the token-size guard must refuse the short-circuit at 2*max_n >= 20000")
+    assert(viaRouted.length === 300 && viaRouted.forall(_.apply(2) === 1.0))
+    // the exact lane needs its density budget raised on this fixture
+    // ((29/2)·1101 shared-prefix pairs/doc > 4096) — same rows either way
+    System.setProperty("graft.jaccard.maxPairsPerDoc", "0")
+    try {
+      val exact = fn(spark, dir).collect().map(_.toSeq).toSeq
+      graft.core.releaseQueryCaches(spark)
+      assert(viaRouted === exact,
+        "the guarded full pipeline must still equal the exact lane's rows")
+    } finally sys.props -= "graft.jaccard.maxPairsPerDoc"
+  }
 }
