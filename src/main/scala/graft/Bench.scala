@@ -369,16 +369,32 @@ object Bench {
     * 32 such tasks concurrently OOM'd the 16 GiB 100× board in pass 2
     * — a sweep the r17 un-coalesced 1024-partition board survived.
     * 4×cores halves-plus the per-task footprint while keeping ~90% of
-    * the task-overhead win over the 1024-way split. Latency regime
-    * (count == cores) keeps Spark defaults — partitions already equal
-    * cores and parallelism-first preserves them.
-    * SPARK_GRAFT_AQE_ADVISORY overrides the advisory bytes ("off"
-    * disables the wiring) for knob sweeps.
+    * the task-overhead win over the 1024-way split.
+    *
+    * Latency regime (count == cores, round 19): Spark's parallelism-
+    * first default never coalesces below the core count, so every
+    * micro-exchange of a multi-stage query (probe-bounded beam hops,
+    * per-band windows, 6-row stage aggregates) runs a full `cpus`-task
+    * wave on kilobytes of data — pure scheduling overhead, and the
+    * reason the r17 board measured local[4] FASTER than local[32] on a
+    * 17 MB corpus (guide §2.2: fewer, larger reduce partitions). The
+    * wiring turns parallelism-first off here too, which drops Spark's
+    * coalesce floor to 1 (CoalesceShufflePartitions: non-parallelism-
+    * first min = minPartitionNum.getOrElse(1)) and lets the SAME
+    * memory-per-core advisory size every post-shuffle stage by its
+    * measured bytes: a sub-advisory exchange collapses to one task
+    * while a corpus-scale exchange keeps bytes/advisory tasks. No
+    * explicit minPartitionNum: the byte-derived count IS the policy,
+    * and the per-task ceiling (advisory ≤ effective mem/core >> 6)
+    * keeps any coalesced task two orders of magnitude under its heap
+    * share, so the floor-vs-OOM calibration of the memory regime does
+    * not arise. SPARK_GRAFT_AQE_ADVISORY overrides the advisory bytes
+    * ("off" disables the wiring in BOTH regimes) for knob sweeps.
     */
   private[graft] def aqeScaleConfigs(partitions: Int, cpus: Int,
       heapBytes: Long = Runtime.getRuntime.maxMemory): Seq[(String, String)] = {
     val env = sys.env.get("SPARK_GRAFT_AQE_ADVISORY")
-    if (partitions <= cpus || env.contains("off")) return Seq.empty
+    if (env.contains("off")) return Seq.empty
     // Advisory off the same EFFECTIVE memory-per-core basis as
     // [[autoShufflePartitions]] (VERDICT r18 #3 — raw heap here vs
     // effective heap there was two bases for one concept): 16 GiB/32
@@ -387,10 +403,12 @@ object Bench {
     // tasks, and the 4×cores floor still bounds the coalesce).
     val advisory = env.map(_.toLong)
       .getOrElse(math.max(1L << 20, effectiveMemPerCore(cpus, heapBytes) >> 6))
-    Seq(
+    val common = Seq(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
-      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> (4 * cpus).toString)
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString)
+    if (partitions <= cpus) common
+    else common :+
+      ("spark.sql.adaptive.coalescePartitions.minPartitionNum" -> (4 * cpus).toString)
   }
 
   def main(args: Array[String]): Unit = {

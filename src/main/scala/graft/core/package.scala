@@ -41,6 +41,45 @@ package object core {
     }
   }
 
+  /** Scale-adaptive scan spread (round 19; guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    * Parquet scans parallelize only across row groups / split ranges,
+    * and the local fixtures are single-row-group files — so every
+    * map-heavy pass over a scan (md5 shingling, minhash lanes, dot
+    * products, levenshtein) serializes on ONE core regardless of the
+    * session's core count (measured: dedup_band_admit spent 2×1.5 s in
+    * one-task minhash map stages on a 32-core session). When the scan's
+    * estimated split count would leave over half the cores idle AND the
+    * relation is big enough that map CPU dominates one narrow exchange
+    * (≥ 256 KiB — the tiny dims and sub-sf0.1 fixtures stay unsplit),
+    * hash-spread it across the cores on the table's dense primary key
+    * (deterministic under retry, unlike rand-derived keys — guide §2.5;
+    * and downstream key-clustered ops reuse the layout instead of
+    * re-exchanging). At cluster scale a healthy table has ≥ cores
+    * splits, the condition is false, and the scan is untouched — the
+    * rule is derived from input size, not tuned to a core count.
+    */
+  def tSpread(spark: SparkSession, sfDir: String, name: String, key: String): DataFrame = {
+    val df = t(spark, sfDir, name)
+    // knob for A/B sweeps (mirrors SPARK_GRAFT_AQE_ADVISORY=off)
+    if (sys.env.get("SPARK_GRAFT_SCAN_SPREAD").contains("off")) return df
+    val cores = spark.sparkContext.defaultParallelism
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(size).sum)
+      else f.length()
+    val bytes = size(new java.io.File(s"$sfDir/$name.parquet"))
+    val maxSplit = {
+      val raw = try spark.conf.get("spark.sql.files.maxPartitionBytes")
+        catch { case _: Throwable => "" }
+      val digits = raw.takeWhile(_.isDigit)
+      if (digits.nonEmpty) digits.toLong else 128L << 20
+    }
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (bytes >= (256L << 10) && splits * 2 <= cores)
+      df.repartition(cores, col(key))
+    else df
+  }
+
   /** Cast to exact decimal — the first step of every money aggregate. */
   def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
 
@@ -128,6 +167,43 @@ package object core {
         lr.rdd.unpersist(false); ()
       case _ => ()
     }
+
+  /** Eager localCheckpoint RIGHT-SIZED by its own materialized bytes
+    * (round 19, guide §2.2 "fewer, larger partitions"): a checkpointed
+    * relation keeps its build-time partition count — the shuffle-
+    * partition initial count (32 locally, 1024+ at the 100× boards) —
+    * and AQE coalescing cannot reach cached plans, so EVERY downstream
+    * stage that scans it pays that task count no matter how few bytes
+    * it holds (a 2000-row ANN assignment table scanned ~15× per graph
+    * query = ~500 no-op tasks). After materializing, read the blocks'
+    * actual size from the storage info and coalesce to ceil(bytes /
+    * advisory) partitions, clamping the advisory to [1, 16] MiB so an
+    * unwired session's 64 MiB default cannot serialize a genuinely
+    * large relation. coalesce() is a narrow, deterministic merge —
+    * values and their free-on-release path (the LogicalRDD leaf) are
+    * unchanged.
+    */
+  def ckptRightsized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ck = df.localCheckpoint(true)
+    val rddId = ck.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    val parts = rddId.map(_ => ck.rdd.getNumPartitions).getOrElse(1)
+    val bytes = rddId.flatMap(id =>
+      spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(i => i.memSize + i.diskSize).getOrElse(0L)
+    val advisory = {
+      val raw = try spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        catch { case _: Throwable => "" }
+      val digits = raw.takeWhile(_.isDigit)
+      val v = if (digits.nonEmpty) digits.toLong else 4L << 20
+      math.max(1L << 20, math.min(16L << 20, v))
+    }
+    val target = math.max(1L, math.min(parts.toLong,
+      (bytes + advisory - 1) / advisory)).toInt
+    if (2 * target <= parts) ck.coalesce(target) else ck
+  }
 
   /** Release every cache a declared query registered on this session.
     * Idempotent; safe if the query also unpersisted eagerly itself.

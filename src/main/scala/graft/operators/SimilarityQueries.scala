@@ -99,7 +99,11 @@ object SimilarityQueries {
         val stale = simCache.keys.filter(o => o.dir == dir && o.fp != fp).toSeq
         stale.foreach { o => simCache.remove(o).foreach(freeCheckpoint) }
       }
-      simCache.getOrElseUpdate(k, build.localCheckpoint(true))
+      // right-sized by materialized bytes (core.ckptRightsized, round
+      // 19): consumers scan these relations ~15× per graph query, and
+      // the raw checkpoint would carry the initial shuffle-partition
+      // count into every one of those stages
+      simCache.getOrElseUpdate(k, ckptRightsized(build))
     }
 
   // ------------------------------------------------------------------

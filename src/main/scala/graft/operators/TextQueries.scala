@@ -21,6 +21,19 @@ import graft.core._
   */
 object TextQueries {
 
+  /** Scan-spread documents reader (core.tSpread, round 19) — applied
+    * SURGICALLY to the handful of queries whose profile shows a heavy
+    * single-task scan-side map (md5 minhash lanes, levenshtein, n-gram
+    * explodes) and few downstream stages. A blanket application was
+    * measured NET-NEGATIVE (full board 160 s → 186 s): the extra
+    * exchange taxes the ~50 light keys and multiplies task counts in
+    * multi-stage pipelines, and it contradicts the map-only plan
+    * contracts PlanShapeSpec pins. doc_id is dense, so the hash spread
+    * is even and doc_id-keyed consumers reuse the layout.
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    tSpread(spark, dir, "documents", "doc_id")
+
   /** 60-bit portable hash, Spark SQL form. `$s` is an expression string. */
   private def hx(s: String) = s"cast(conv(substr(md5($s), 1, 15), 16, 10) as bigint)"
   /** Same hash, DuckDB form. */
@@ -142,13 +155,13 @@ object TextQueries {
       val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", ""))
       vpCache.getOrElseUpdate(key, {
         val (base, bands, pairs, sigs) = buildVerifiedPipeline(spark, dir)
-        val docs = base.select(col("doc_id"), col("lang")).localCheckpoint(true)
-        val p = pairs.select(col("d1"), col("d2"), col("ja"),
-          col("inter"), col("n1"), col("n2")).localCheckpoint(true)
+        val docs = ckptRightsized(base.select(col("doc_id"), col("lang")))
+        val p = ckptRightsized(pairs.select(col("d1"), col("d2"), col("ja"),
+          col("inter"), col("n1"), col("n2")))
         // sigs are 8 longs per doc — checkpointed so dedup_minhash_est's
         // estimator grades the SAME signatures the candidates came from
         // without re-running the md5 minhash pass
-        val sg = sigs.localCheckpoint(true)
+        val sg = ckptRightsized(sigs)
         // the checkpoints are materialized — free the pipeline's own
         // persisted intermediates instead of waiting for clearCache
         base.unpersist(); bands.unpersist()
@@ -182,7 +195,7 @@ object TextQueries {
     if (!java.lang.Boolean.getBoolean("graft.shared.pipeline")) build
     else winCache.synchronized {
       val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", ""))
-      winCache.getOrElseUpdate(key, build.localCheckpoint(true))
+      winCache.getOrElseUpdate(key, ckptRightsized(build))
     }
   }
 
@@ -241,6 +254,13 @@ object TextQueries {
         when(col("nw") >= 5, array_distinct(expr(gram5)))
           .otherwise(expr("cast(array() as array<string>)")).as("g5"),
         expr(hx("cast(doc_id as string)")).as("h"))
+    // NOT scan-spread (round 19): this relation is checkpointed once and
+    // then read by ~25 downstream stages per pipeline run — a 32-partition
+    // checkpoint multiplies every one of those stages' task count for
+    // kilobytes of per-stage data (measured: curation 7.9 s → 16.5 s wall
+    // with the spread; stage walls sum 26 s over 41 stages). The build
+    // cost sits in the unmeasured warmup under the shared pipeline, and
+    // at cluster scale the scan parallelizes naturally.
     def build = t(spark, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .withColumn("nw", size(col("w")).cast("long"))
@@ -253,7 +273,7 @@ object TextQueries {
     else e2eCache.synchronized {
       e2eCache.getOrElseUpdate(
         (spark, dir, spark.conf.get("spark.sql.shuffle.partitions", "")),
-        build.localCheckpoint(true))
+        ckptRightsized(build))
     }
   }
 
@@ -827,11 +847,19 @@ object TextQueries {
     // offline. Declared output: the per-lang admission funnel.
     "dedup_band_admit" -> QueryDef(
       (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // round 19: the per-band owner is a window min over the SAME key
+        // the old groupBy+shuffle_hash join used — one exchange by k
+        // instead of two (guide §2.4: operations keyed the same way share
+        // one exchange), and with a single consumer the band relation
+        // needs no persist (whose two concurrent first consumers each
+        // recomputed the full minhash map — measured 2 × 1.5 s one-task
+        // stages). Same rows by construction: min-per-k attached to each
+        // band row IS the join's owner column.
         val bands = minhashBands(
-          t(spark, dir, "documents").select(col("doc_id"), col("text")))
-          .scopedPersist()
-        val owners = bands.groupBy("k").agg(min(col("doc_id")).as("owner"))
-        val adm = bands.join(owners.hint("shuffle_hash"), Seq("k"))
+          docsSpread(spark, dir).select(col("doc_id"), col("text")))
+        val adm = bands
+          .withColumn("owner", min(col("doc_id")).over(Window.partitionBy("k")))
           .groupBy("doc_id")
           .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("rej"))
         t(spark, dir, "documents").select(col("doc_id"), col("lang"))
@@ -1007,7 +1035,7 @@ object TextQueries {
     // density, then the O(#langs) summary.
     "text_contamination_ngram" -> QueryDef(
       (spark, dir) => {
-        val grams = t(spark, dir, "documents")
+        val grams = docsSpread(spark, dir)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 5)
           .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
@@ -1167,10 +1195,23 @@ object TextQueries {
         val g = corpus.filter(col("nw") >= 20 && col("nw") <= 100000 &&
           col("chars") >= col("nw") * 3 && col("chars") <= col("nw") * 10 &&
           col("alphac") * 5 >= col("nw") * 4 && col("stopc") >= 2)
-          .scopedPersist()
-        val keep3 = g.groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-        val e = g.join(keep3.hint("shuffle_hash"), Seq("digest", "doc_id"), "left_semi")
-          .scopedPersist()
+          .scopedCheckpoint()
+        // round 19: first-of-content = window min over digest — ONE
+        // exchange where the old groupBy(digest) + (digest, doc_id)
+        // semi-join took two on different keys (guide §2.4). Same rows:
+        // keep exactly the min-doc_id row of each digest group.
+        // g/e/bands are EAGER scoped checkpoints, not lazy persists
+        // (round 19): each has 2–3 downstream consumers that AQE
+        // submits as concurrent query stages, and a lazy persist makes
+        // every one of them recompute the whole g→e→bands lineage
+        // before the cache lands (profile: two duplicate ~6 s-taskSum
+        // band-build stages per run). Eager materialization runs the
+        // chain exactly once and truncates the plan the ~10 downstream
+        // stages re-optimize (guide §3.3).
+        val e = g.withColumn("mind",
+            min(col("doc_id")).over(Window.partitionBy("digest")))
+          .filter(col("doc_id") === col("mind")).drop("mind")
+          .scopedCheckpoint()
         val bandCols = (0 until 4).map { b =>
           md5(concat_ws("-", lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
         }
@@ -1180,7 +1221,7 @@ object TextQueries {
           .select((Seq(col("doc_id")) ++ (0 until 8).map(i => col(s"mh$i"))): _*)
           .join(e.select("doc_id").hint("shuffle_hash"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(array(bandCols: _*)).as("k"))
-          .scopedPersist()
+          .scopedCheckpoint()
         val capped = graft.functions.MinHash.capBands(bands, "k", 100)
         val cand = capped.as("a")
           .join(capped.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
@@ -1321,12 +1362,17 @@ object TextQueries {
         val g = delta.filter(col("nw") >= 20 && col("nw") <= 100000 &&
           col("chars") >= col("nw") * 3 && col("chars") <= col("nw") * 10 &&
           col("alphac") * 5 >= col("nw") * 4 && col("stopc") >= 2)
-          .scopedPersist()
+          .scopedCheckpoint()
         val gNew = g.join(existing.select("digest").distinct().hint("shuffle_hash"),
           Seq("digest"), "left_anti")
-        val keepMin = gNew.groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-        val e = gNew.join(keepMin.hint("shuffle_hash"), Seq("digest", "doc_id"), "left_semi")
-          .scopedPersist()
+        // round 19: first-of-content within the delta = window min over
+        // digest — one exchange for the old groupBy + semi-join pair
+        // (same rewrite as pipeline_curation_e2e; identical rows)
+        val e = gNew.withColumn("mind",
+            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("digest")))
+          .filter(col("doc_id") === col("mind")).drop("mind")
+          .scopedCheckpoint()
         // near-dup partner pool: the corpus (only docs that HAVE
         // shingles — <3-word docs cannot be shingle near-dups) plus the
         // delta's own exact survivors (lower-id rule applied in cand)
@@ -1340,7 +1386,7 @@ object TextQueries {
           .select((Seq(col("doc_id")) ++ (0 until 8).map(i => col(s"mh$i"))): _*)
           .join(pool.hint("shuffle_hash"), Seq("doc_id"))
           .select(col("doc_id"), col("isd"), explode(array(bandCols: _*)).as("k"))
-          .scopedPersist()
+          .scopedCheckpoint()
         val capped = graft.functions.MinHash.capBands(bands, "k", 100)
         val cand = capped.hint("shuffle_hash").as("a")
           .join(capped.as("b"), col("a.k") === col("b.k") && col("a.isd") &&
@@ -1680,7 +1726,7 @@ object TextQueries {
     // join would degenerate toward all-pairs as the corpus grows.
     "dedup_simhash_pairs" -> QueryDef(
       (spark, dir) => {
-        val d = t(spark, dir, "documents")
+        val d = docsSpread(spark, dir)
           .withColumn("hs", expr(s"transform(split(text, ' '), w -> ${hx("w")})"))
           .select(col("doc_id"), expr(simhashSparkW(60)).as("sh"))
         val bandCols = (0 until 4).map { b =>
@@ -2035,7 +2081,7 @@ object TextQueries {
         // join consume it — unpersisted, the corpus-wide md5 window pass
         // executes twice (at 100 TB this relation is the staged
         // "instance table" a Lee-et-al pipeline materializes anyway)
-        val inst = t(spark, dir, "documents")
+        val inst = docsSpread(spark, dir)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= k)
           .select(col("doc_id"), posexplode(expr(
@@ -2608,7 +2654,7 @@ object TextQueries {
     "text_bigram_lm" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
-        val pairs = t(spark, dir, "documents")
+        val pairs = docsSpread(spark, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -2694,7 +2740,7 @@ object TextQueries {
     "dedup_edit_distance" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val d = t(spark, dir, "documents")
+        val d = docsSpread(spark, dir)
         val probes = d.filter(col("doc_id") < 15)
           .select(col("doc_id").as("probe"), col("lang"),
             col("text").as("ptext"), col("n_chars").as("pn"))

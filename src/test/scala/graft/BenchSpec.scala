@@ -190,8 +190,14 @@ class BenchSpec extends SparkSpec {
 
   test("memory-regime AQE wiring: advisory from memory-per-core, core-count floor") {
     val g8 = 8L << 30
-    // latency regime: partitions == cores -> Spark defaults untouched
-    assert(Bench.aqeScaleConfigs(32, 32, g8) === Seq.empty)
+    // latency regime (round 19): parallelism-first off + byte advisory,
+    // but NO minPartitionNum floor — Spark's non-parallelism-first
+    // default floor is 1, so sub-advisory micro-exchanges collapse to
+    // one task while corpus-scale exchanges keep bytes/advisory tasks
+    val lat = Bench.aqeScaleConfigs(32, 32, g8).toMap
+    assert(lat("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
+    assert(lat("spark.sql.adaptive.advisoryPartitionSizeInBytes") === (2L << 20).toString)
+    assert(!lat.contains("spark.sql.adaptive.coalescePartitions.minPartitionNum"))
     // memory regime: parallelism-first off, advisory = EFFECTIVE
     // memPerCore >> 6 — the same basis as autoShufflePartitions
     // (VERDICT r18 #3): 8 GiB heap → 4 GiB effective → 128 MiB/core →
