@@ -845,7 +845,12 @@ object JoinQueries {
         val e = triangleEdges(spark, dir)
         // x < y everywhere, so the two directions are disjoint and the
         // union of a distinct pair set is a distinct arc set
-        val und = scopedPersist(
+        // eager checkpoint, not lazy persist (round 19): und and each
+        // round's labels have 2-3 consumers that AQE submits as
+        // concurrent query stages; a lazy persist recomputes the whole
+        // previous round once per consumer before the cache lands, and
+        // the checkpoint also truncates the per-round plan growth.
+        val und = scopedCheckpoint(
           e.select(col("x").as("src"), col("y").as("dst"))
             .union(e.select(col("y").as("src"), col("x").as("dst"))))
         var labels = und.select(col("src").as("node")).distinct()
@@ -855,7 +860,7 @@ object JoinQueries {
           // each round's labels feed TWO consumers (the neighbor join and
           // the self-vote union) — persist so a round computes once, the
           // same discipline as pagerank's per-iteration relations
-          labels = scopedPersist(labels)
+          labels = scopedCheckpoint(labels)
           val nbr = und
             .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
             .select(col("src"), col("label"))

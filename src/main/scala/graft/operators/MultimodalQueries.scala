@@ -17,7 +17,7 @@ object MultimodalQueries {
     "multimodal_meta_extract" -> QueryDef(
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "text")
+          t(spark, dir, "documents"), "doc_id", "text", "text")
         graft.multimodal.Multimodal.stubDecodeCols(assets)
           .select(col("asset_id"), col("modality"),
             length(col("bytes")).cast("long").as("n_bytes"),
@@ -45,7 +45,7 @@ object MultimodalQueries {
     "multimodal_frame_sample" -> QueryDef(
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "text")
+          t(spark, dir, "documents"), "doc_id", "text", "text")
         val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
         graft.multimodal.Multimodal.sampleFrames(decoded, stride = 4)
           .select(col("asset_id"), col("n_frames").cast("long").as("n_frames"),
@@ -69,7 +69,7 @@ object MultimodalQueries {
     "multimodal_feature_ann" -> QueryDef(
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "text")
+          t(spark, dir, "documents"), "doc_id", "text", "text")
         val feats = graft.multimodal.Multimodal.stubFeatures(assets)
           .select(col("asset_id"), col("features"))
         // the shared feature-source-agnostic lane: MultimodalCodecSpec
@@ -118,7 +118,7 @@ object MultimodalQueries {
     "multimodal_dedup_phash" -> QueryDef(
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "text")
+          t(spark, dir, "documents"), "doc_id", "text", "text")
         val feats = graft.multimodal.Multimodal.stubFeatures(assets)
         // the shared feature-source-agnostic lane: MultimodalCodecSpec
         // drives the SAME function with real decoded pixels
@@ -167,7 +167,7 @@ object MultimodalQueries {
     "multimodal_audio_vad" -> QueryDef(
       (spark, dir) => {
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "audio")
+          t(spark, dir, "documents"), "doc_id", "text", "audio")
         val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
           .select(col("asset_id"), md5(col("bytes")).as("ah"),
             col("n_frames").cast("long").as("n_frames"))
@@ -230,7 +230,7 @@ object MultimodalQueries {
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val assets = graft.multimodal.Multimodal.assetsFrom(
-          tSpread(spark, dir, "documents", "doc_id"), "doc_id", "text", "video")
+          t(spark, dir, "documents"), "doc_id", "text", "video")
         val decoded = graft.multimodal.Multimodal.stubDecodeCols(assets)
           .select(col("asset_id"), md5(col("bytes")).as("ah"),
             col("n_frames").cast("long").as("n_frames"))

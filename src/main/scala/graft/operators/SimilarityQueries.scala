@@ -1387,14 +1387,14 @@ object SimilarityQueries {
           .filter(col("crn") <= 2)
           .select("probe", "cand")
           .unionByName(probes.select(col("probe"), col("probe").as("cand")))
-        var visited = score(entry).scopedPersist()
+        var visited = scopedCheckpoint(score(entry))
         (1 to 2).foreach { _ =>
           val beam = visited.withColumn("frn", row_number().over(fw))
             .filter(col("frn") <= B).select("probe", "cand")
           val reached = beam.join(edges, col("cand") === col("src"))
             .select(col("probe"), col("dst").as("cand")).distinct()
             .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
-          visited = visited.unionByName(score(reached)).scopedPersist()
+          visited = scopedCheckpoint(visited.unionByName(score(reached)))
         }
         visited.filter(col("cand") =!= col("probe"))
           .withColumn("rn", row_number().over(fw))
@@ -1473,7 +1473,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val assigned = ivfAssigned(spark, dir)
         val edges0 = graphEdges0(spark, dir)
-        val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4).scopedPersist()
+        val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4)
         val corpus = assigned.select(col("vec_id").as("cvid"),
           col("v").as("cv2"), col("nv").as("cn2"))
         val probes = assigned.filter(col("vec_id") < 10)
@@ -1507,7 +1507,7 @@ object SimilarityQueries {
         // never sort — the declared plan, not an AQE rescue
         val entry = delegates.join(broadcast(pc), col("pcid") === col("cid"))
           .select("probe", "cand").distinct()
-        var visited = score(entry).scopedPersist()
+        var visited = scopedCheckpoint(score(entry))
         // one coarse hop on the layer-1 graph (B=2)
         val beam1 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 2).select("probe", "cand")
@@ -1515,7 +1515,7 @@ object SimilarityQueries {
           .select(col("probe"), col("dst").as("cand")).distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach1)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach1)))
         // descend: the 2 best layer-1 vertices + the probe's own vertex
         // enter layer 0, then two deg-8 hops at B=4
         val drop = visited.withColumn("frn", row_number().over(fw))
@@ -1526,14 +1526,14 @@ object SimilarityQueries {
           .distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach2)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach2)))
         val beam0 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 4).select("probe", "cand")
         val reach3 = edges0.join(broadcast(beam0), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand")).distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach3)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach3)))
         visited.filter(col("cand") =!= col("probe"))
           .withColumn("rn", row_number().over(fw))
           .filter(col("rn") <= 3)
@@ -1867,14 +1867,14 @@ object SimilarityQueries {
           .filter(col("crn") <= 2)
           .select("probe", "cand")
           .unionByName(probes.select(col("probe"), col("probe").as("cand")))
-        var visited = score(entry).scopedPersist()
+        var visited = scopedCheckpoint(score(entry))
         (1 to 2).foreach { _ =>
           val beam = visited.withColumn("frn", row_number().over(fw))
             .filter(col("frn") <= B).select("probe", "cand")
           val reached = beam.join(edges, col("cand") === col("src"))
             .select(col("probe"), col("dst").as("cand")).distinct()
             .join(visited.select("probe", "cand"), Seq("probe", "cand"), "left_anti")
-          visited = visited.unionByName(score(reached)).scopedPersist()
+          visited = scopedCheckpoint(visited.unionByName(score(reached)))
         }
         visited.filter(col("cand") =!= col("probe"))
           .withColumn("rn", row_number().over(fw))
@@ -1950,7 +1950,7 @@ object SimilarityQueries {
         val edges0 = sharedOr(spark, s"ged0@$ring", dir) {
           cellKnn(assigned, lit(true), 8)
         }
-        val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4).scopedPersist()
+        val edges1 = cellKnn(assigned, col("vec_id") % 16 === 0, 4)
         val corpus = assigned.select(col("vec_id").as("cvid"),
           col("v").as("cv2"), col("nv").as("cn2"))
         val probes = assigned.filter(col("vec_id") < 10)
@@ -1978,14 +1978,14 @@ object SimilarityQueries {
           .select(col("cid"), col("vec_id").as("cand"))
         val entry = delegates.join(broadcast(pc), col("pcid") === col("cid"))
           .select("probe", "cand").distinct()
-        var visited = score(entry).scopedPersist()
+        var visited = scopedCheckpoint(score(entry))
         val beam1 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 2).select("probe", "cand")
         val reach1 = edges1.join(broadcast(beam1), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand")).distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach1)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach1)))
         val drop = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 2).select("probe", "cand")
         val reach2 = edges0.join(broadcast(drop), col("cand") === col("src"))
@@ -1994,14 +1994,14 @@ object SimilarityQueries {
           .distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach2)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach2)))
         val beam0 = visited.withColumn("frn", row_number().over(fw))
           .filter(col("frn") <= 4).select("probe", "cand")
         val reach3 = edges0.join(broadcast(beam0), col("cand") === col("src"))
           .select(col("probe"), col("dst").as("cand")).distinct()
           .join(broadcast(visited.select("probe", "cand")),
             Seq("probe", "cand"), "left_anti")
-        visited = visited.unionByName(score(reach3)).scopedPersist()
+        visited = scopedCheckpoint(visited.unionByName(score(reach3)))
         visited.filter(col("cand") =!= col("probe"))
           .withColumn("rn", row_number().over(fw))
           .filter(col("rn") <= 3)

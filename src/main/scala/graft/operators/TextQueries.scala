@@ -2663,26 +2663,30 @@ object TextQueries {
             xxhash64(col("s.p"), col("s.q")).as("bh"),
             xxhash64(col("s.p")).as("ph"),
             xxhash64(col("s.q")).as("wh"))
-          .scopedPersist()
+          .scopedCheckpoint()
         val words = t(spark, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
         // bh determines (ph, wh), so grouping by all three stays a
         // partial+final agg over |distinct pairs| keys while keeping the
         // context/word hashes available downstream without re-splitting
-        val gb = pairs.groupBy("bh", "ph", "wh").agg(cnt("cb")).scopedPersist()
+        val gb = pairs.groupBy("bh", "ph", "wh").agg(cnt("cb"))
         // left-context counts FOLD from the distinct-pair aggregate
         // (Σ_w c(prev,w) = c(prev·)) instead of re-scanning the corpus
         // pair stream — the shuffle carries |distinct pairs| partials,
-        // not |corpus pairs| rows; same for the scalar total from vocab
-        val cps = gb.groupBy("ph").agg(sum(col("cb")).cast("long").as("cp"))
+        // not |corpus pairs| rows; same for the scalar total from vocab.
+        // Round 19: the fold is a window sum over ph attached in place
+        // (one exchange by ph) instead of a groupBy(ph) + join back
+        // (exchange + join) — guide §2.4; identical values.
+        val gbc = gb.withColumn("cp", sum(col("cb"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("ph"))
+          .cast("long"))
         val uni = words.select(xxhash64(col("w")).as("wh"))
           .groupBy("wh").agg(cnt("cw")).scopedPersist()
         val tot = uni.agg(sum(col("cw")).cast("long").as("total"))
         val prob = "0.75 * (cast(cb as double) / cast(cp as double)) " +
           "+ 0.25 * (cast(cw as double) / cast(total as double))"
         pairs.groupBy("doc_id", "bh").agg(cnt("m"))
-          .join(gb.hint("shuffle_hash"), Seq("bh"))
-          .join(cps.hint("shuffle_hash"), Seq("ph"))
+          .join(gbc.hint("shuffle_hash"), Seq("bh"))
           .join(uni.hint("shuffle_hash"), Seq("wh"))
           .crossJoin(broadcast(tot))
           .withColumn("bits", pround(
